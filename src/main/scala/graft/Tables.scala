@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-corpus table loader (TESTDATA.md). Tables are single parquet
+  * files under a scale-factor dir; at cluster scale these would be
+  * partitioned directories — the read path is identical.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    // default; read nanos as long and truncate to micros (exactly what
+    // DuckDB does internally, so oracle comparisons line up).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    else df
+  }
+
+  /** Register every table as a temp view (idempotent). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
