@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** All query packs, concatenated. Order matters only for docs. */
   def allDefs: Seq[QueryDef] =
-    _root_.graft.queries.Relational.defs
+    _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.IngestPack.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by nation — 3-way fact join + broadcast dim + agg.

@@ -1,0 +1,46 @@
+package graft.sources
+
+import graft.functions.TypeLattice
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Bulk NDJSON batch load (SURVEY §2A A6, the worker's
+  * processInsertMessage: /root/reference/pkg/workers/workers.go:87-127):
+  * download batch file → ensure table → infer + add columns → bulk
+  * load. Here: infer the 4-type lattice over the file, evolve the
+  * catalog schema additively, then one distributed
+  * `spark.read.schema(...).json(file)` append — the Spark analog of
+  * DuckDB's `INSERT INTO t BY NAME SELECT * FROM read_ndjson_auto(f)`.
+  *
+  * Reading with an explicit per-column schema makes Spark coerce the
+  * raw JSON token to the column type (numbers/bools render into string
+  * columns, ints widen to long, etc.), matching backend bulk-load
+  * coercion. Inference is a driver-side single pass for rotation-sized
+  * files, or `TypeLattice.inferTypesDistributed` beyond a threshold.
+  */
+final class Loader(catalog: GraftCatalog, distributedInferenceBytes: Long = 256L * 1024 * 1024) {
+
+  def loadFile(database: String, table: String, file: Path): Long = {
+    val spark = catalog.spark
+    val types =
+      if (Files.size(file) <= distributedInferenceBytes)
+        TypeLattice.inferTypes(Files.lines(file).iterator().asScala)
+      else {
+        import spark.implicits._
+        TypeLattice.inferTypesDistributed(spark, spark.read.textFile(file.toString))
+      }
+    catalog.ensureTable(database, table)
+    catalog.addColumns(database, table, types)
+    val batchStruct = org.apache.spark.sql.types.StructType(
+      catalog.structOf(database, table).fields.filter(f => types.contains(f.name) ||
+        f.name == catalog.RowIdColumn))
+    val df = spark.read.schema(batchStruct).json(file.toString)
+    catalog.append(database, table, df)
+    df.count()
+  }
+
+  /** Consume a rotated sink file end-to-end (the worker loop body). */
+  def consume(closed: NdjsonSink.ClosedFile): Long =
+    loadFile(closed.database, closed.table, closed.path)
+}

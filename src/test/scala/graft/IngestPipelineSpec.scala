@@ -1,0 +1,135 @@
+package graft
+
+import graft.sources._
+import graft.query.QueryService
+import java.io.StringWriter
+import java.nio.file.Files
+
+/** End-to-end ingest → catalog → query (SURVEY §3.1/§3.2; fixtures
+  * F1/F2): insert JSON through flatten + __row_id + sink rotation +
+  * bulk load, then SQL it back and check the streamed encoders. */
+class IngestPipelineSpec extends SparkTestBase {
+
+  private def freshPipeline() = {
+    val tmp = Files.createTempDirectory("graft-test").toString
+    val catalog = new GraftCatalog(spark, s"$tmp/warehouse")
+    val loader = new Loader(catalog)
+    val sink = new NdjsonSink(s"$tmp/sink", maxRows = 1000)
+    (catalog, loader, sink, new Ingest(sink))
+  }
+
+  test("F1 quickstart: insert event, query it back with group by") {
+    val (catalog, loader, sink, ingest) = freshPipeline()
+    val r = ingest.insert("db1", "events_in", """{"user": "alice", "event": "click"}""")
+    assert(r.fullySucceeded && r.inserted == 1)
+    ingest.insert("db1", "events_in", """[{"user": "bob", "event": "click"},
+      {"user": "alice", "event": "view"}]""")
+    sink.flushAll().foreach(loader.consume)
+
+    assert(catalog.listTables("db1") == Seq("events_in"))
+    val schema = catalog.schemaOf("db1", "events_in")
+    assert(schema("__row_id") == "int")
+    assert(schema("user") == "string" && schema("event") == "string")
+
+    catalog.registerViews("db1")
+    val counts = QueryService.query(spark,
+      "select user, count(*) as n from events_in group by 1 order by 1;")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts == Seq("alice" -> 2L, "bob" -> 1L))
+
+    // __row_id: injected, unique, time-ordered snowflakes
+    val ids = catalog.read("db1", "events_in").select("__row_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == 3 && ids.distinct.length == 3 && ids.forall(_ > 0))
+  }
+
+  test("F4 type lattice drives column types; schema evolves additively") {
+    val (catalog, loader, sink, ingest) = freshPipeline()
+    ingest.insert("db", "t", """[{"a": 1, "b": 1.5, "c": true, "d": "x", "e": null},
+      {"a": 2.5, "b": 2, "c": "yes", "d": 3, "e": null}]""")
+    sink.flushAll().foreach(loader.consume)
+    val s1 = catalog.schemaOf("db", "t")
+    assert(s1("a") == "float" && s1("b") == "float" && s1("c") == "string" &&
+      s1("d") == "string" && s1("e") == "string")
+
+    // second batch: new column appears, existing columns keep types
+    ingest.insert("db", "t", """{"a": 7, "f": 42}""")
+    sink.flushAll().foreach(loader.consume)
+    val s2 = catalog.schemaOf("db", "t")
+    assert(s2("a") == "float" && s2("f") == "int")
+
+    val df = catalog.read("db", "t")
+    assert(df.count() == 3)
+    // old rows read NULL for the new column; numbers landed as doubles/strings
+    val row = df.filter(df("f").isNotNull).collect().head
+    assert(row.getAs[Double]("a") == 7.0)
+    val nullF = df.filter(df("f").isNull).count()
+    assert(nullF == 2)
+    // d saw "x" and 3 → string column holding both tokens
+    val ds = df.select("d").collect().map(_.getString(0)).filter(_ != null).toSet
+    assert(ds == Set("x", "3"))
+  }
+
+  test("sink rotation by rows and explicit age tick") {
+    var rotated = Vector.empty[NdjsonSink.ClosedFile]
+    val tmp = Files.createTempDirectory("graft-sink").toString
+    val sink = new NdjsonSink(tmp, maxRows = 2, onRotate = cf => rotated :+= cf)
+    sink.writeData("db", "t", """{"x":1}""")
+    assert(rotated.isEmpty)
+    sink.writeData("db", "t", """{"x":2}""")
+    assert(rotated.size == 1 && rotated.head.rows == 2)
+    sink.writeData("db", "t", """{"x":3}""")
+    val flushed = sink.flushAll()
+    assert(flushed.size == 1 && flushed.head.rows == 1)
+  }
+
+  test("F2 roundtrip through the streamed encoders (json / ndjson / csv)") {
+    val (catalog, loader, sink, ingest) = freshPipeline()
+    ingest.insert("db", "msgs", """{"msg": "hello world", "n": 1}""")
+    ingest.insert("db", "msgs", """{"msg": "with,comma \"q\"", "n": null}""")
+    sink.flushAll().foreach(loader.consume)
+    catalog.registerViews("db")
+
+    val df = QueryService.query(spark, "select msg, n from msgs order by __row_id")
+
+    val j = new StringWriter(); QueryService.writeJson(df, j)
+    assert(j.toString ==
+      """[{"msg":"hello world","n":1},{"msg":"with,comma \"q\""}]""")
+
+    val nd = new StringWriter(); QueryService.writeNdjson(df, nd)
+    assert(nd.toString ==
+      "{\"msg\":\"hello world\",\"n\":1}\n{\"msg\":\"with,comma \\\"q\\\"\"}\n")
+
+    val c = new StringWriter(); QueryService.writeCsv(df, c)
+    assert(c.toString ==
+      "msg,n\nhello world,1\n\"with,comma \"\"q\"\"\",null\n")
+  }
+
+  test("vertical and multitable ingest route rows to the right tables") {
+    val (catalog, loader, sink, ingest) = freshPipeline()
+    ingest.insert("db", "docs", """{"k": "v", "items": [{"x": 1}, {"x": 2}]}""",
+      Ingest.FlattenMode.Vertical)
+    sink.flushAll().foreach(loader.consume)
+    val v = catalog.read("db", "docs")
+    assert(v.count() == 2)
+    assert(v.columns.toSet.contains("__order_items"))
+    assert(v.columns.toSet.contains("___document_id"))
+
+    ingest.insert("db", "mt", """{"k": "v", "items": [{"x": 1}, {"x": 2}]}""",
+      Ingest.FlattenMode.MultiTable)
+    sink.flushAll().foreach(loader.consume)
+    assert(catalog.read("db", "mt").count() == 1)
+    assert(catalog.read("db", "items").count() == 2)
+    val fk = catalog.read("db", "items").select("mt_id").collect().map(_.getLong(0)).toSet
+    val pid = catalog.read("db", "mt").select("id").collect().map(_.getLong(0)).toSet
+    assert(fk == pid)
+  }
+
+  test("invalid bodies are rejected with per-item accounting") {
+    val (_, _, _, ingest) = freshPipeline()
+    assert(!ingest.insert("db", "t", """{"unterminated": """).fullySucceeded)
+    assert(!ingest.insert("db", "t", """"just a string"""").fullySucceeded)
+    val partial = ingest.insert("db", "t", """[{"ok": 1}, {"ok": 2}]""")
+    assert(partial.inserted == 2 && partial.failed == 0)
+  }
+}
