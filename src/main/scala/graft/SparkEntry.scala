@@ -14,7 +14,8 @@ object SparkEntry {
   /** All query packs, concatenated. Order matters only for docs. */
   def allDefs: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
-      _root_.graft.queries.IngestPack.defs
+      _root_.graft.queries.IngestPack.defs ++
+      _root_.graft.queries.TrainingOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by nation — 3-way fact join + broadcast dim + agg.

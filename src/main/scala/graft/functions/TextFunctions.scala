@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting. All
+  * row-local expressions (codegen'd, zero shuffles) so they compose
+  * freely with any scan at any scale.
+  */
+object TextFunctions {
+
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  // ---- token counting ---------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, "\\s+")).cast("long")
+
+  /** BPE-ish sub-token count: letter runs, digit runs, and individual
+    * punctuation each count as one token (regex-segmenter
+    * approximation of byte-pair tokenizers). Takes the column NAME
+    * (regexp_extract_all has no literal-pattern Scala builder here). */
+  def subTokenCountExpr(textCol: String): Column =
+    expr(s"size(regexp_extract_all($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))")
+      .cast("long")
+
+  // ---- quality scoring --------------------------------------------
+
+  /** Character length, word count, mean word length, alpha ratio,
+    * stopword ratio — the standard cheap quality signals. */
+  def qualitySignals(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("long")
+    val nWords = size(toks).cast("long")
+    val meanWordLen = round((nChars - (nWords - 1)).cast("double") / nWords, 4)
+    val alphaRatio = round(
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / nChars, 4)
+    val stopRatio = round(
+      size(filter(toks, t => t.isin(Stopwords.en.toSeq: _*))).cast("double") / nWords, 4)
+    Seq("n_chars" -> nChars, "n_words" -> nWords, "mean_word_len" -> meanWordLen,
+      "alpha_ratio" -> alphaRatio, "stopword_ratio" -> stopRatio)
+  }
+
+  /** Composite quality score in [0,1]: weighted blend of signals with
+    * saturating length terms (heuristic, deterministic). */
+  def qualityScore(text: Column): Column = {
+    val sig = qualitySignals(text).toMap
+    val lenTerm = least(sig("n_words").cast("double") / 100.0, lit(1.0))
+    round(least(greatest(
+      lit(0.4) * lenTerm + lit(0.3) * sig("alpha_ratio") +
+        lit(0.3) * least(sig("stopword_ratio") * 4.0, lit(1.0)),
+      lit(0.0)), lit(1.0)), 4)
+  }
+
+  // ---- language id ------------------------------------------------
+
+  /** Stopword-profile language ID over en/de/es/fr/it: the language
+    * whose stopword set intersects the token set most wins; ties and
+    * zero evidence fall back to 'und'. N-gram profiles would refine
+    * this; the operator shape (argmax over per-language row-local
+    * scores) is the same. */
+  def langId(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val scores = Stopwords.profiles.map { case (lang, words) =>
+      lang -> size(array_intersect(toks, array(words.map(lit).toSeq: _*)))
+    }
+    val best = greatest(scores.map(_._2).toSeq: _*)
+    scores.foldLeft(when(best <= 0, "und")) { case (acc, (lang, score)) =>
+      acc.when(score === best, lang)
+    }.otherwise("und")
+  }
+
+  // ---- fingerprinting ---------------------------------------------
+
+  /** Document fingerprint: lexicographic min of md5 over all k-char
+    * shingles (winnowing-style rolling fingerprint, k=16). Row-local;
+    * near-copies that share any 16-char run can collide on it. Takes
+    * the column NAME (substring with a lambda-var start position is
+    * only reachable through SQL text). */
+  def fingerprintExpr(textCol: String, k: Int = 16): Column =
+    expr(s"array_min(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
+      s"i -> md5(substring($textCol, i, $k))))")
+}
+
+/** Minimal public stopword profiles (top function words per language). */
+object Stopwords {
+  val en: Set[String] = Set("the", "a", "an", "of", "and", "to", "in", "is",
+    "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+  val de: Set[String] = Set("der", "die", "das", "und", "ist", "ich", "nicht",
+    "mit", "ein", "eine", "zu", "den", "von", "im", "auf", "für", "dem", "sich", "auch", "es")
+  val es: Set[String] = Set("el", "la", "de", "que", "y", "en", "un", "una",
+    "es", "no", "los", "las", "por", "con", "para", "su", "al", "lo", "como", "más")
+  val fr: Set[String] = Set("le", "la", "les", "de", "et", "un", "une", "est",
+    "en", "que", "qui", "dans", "pour", "pas", "sur", "au", "avec", "ne", "ce", "il")
+  val it: Set[String] = Set("il", "la", "di", "che", "e", "un", "una", "è",
+    "in", "per", "non", "con", "del", "della", "si", "da", "al", "le", "dei", "come")
+
+  val profiles: Seq[(String, Set[String])] =
+    Seq("en" -> en, "de" -> de, "es" -> es, "fr" -> fr, "it" -> it)
+}

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as
+  * opaque `binary` columns with typed metadata; decode / feature
+  * extraction runs as a partition-mapped batch transform (the Scala
+  * analog of `mapInPandas` — an Iterator[Row] → Iterator[Row] function
+  * per partition, so the decoder library initializes once per task,
+  * not once per row).
+  *
+  * ── STUB BOUNDARY ────────────────────────────────────────────────
+  * No image/audio codecs exist in this container, so `decodeStub`
+  * derives deterministic fake features from the raw bytes (first two
+  * bytes → fake width/height, byte count → fake frame count). The
+  * Spark-side contract — schema, binary transport, per-partition
+  * batching, output row shape — is real and tested; swap `decodeStub`
+  * for a JNI/FFI codec call in production.
+  * ─────────────────────────────────────────────────────────────────
+  */
+object Multimodal {
+
+  /** Wrap a text/bytes source as a multimodal table:
+    * (id, payload binary, kind, n_bytes). */
+  def asBinaryTable(df: DataFrame, idCol: String, payloadCol: String,
+                    kind: String): DataFrame =
+    df.select(
+      col(idCol).as("media_id"),
+      col(payloadCol).cast("binary").as("payload"),
+      lit(kind).as("kind"),
+      length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_frames", LongType),
+    StructField("payload_md5", StringType)))
+
+  /** Per-partition batch "decode": Iterator→Iterator, so real codecs
+    * amortize init across the partition (mapInPandas batch shape). */
+  def decodeStub(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
+    binaryTable.select("media_id", "kind", "n_bytes", "payload")
+      .mapPartitions { rows =>
+        // per-task init would happen here (codec contexts, model handles)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val kind = r.getAs[String]("kind")
+          val nBytes = r.getAs[Long]("n_bytes")
+          val payload = r.getAs[Array[Byte]]("payload")
+          // STUB decode: deterministic fakes from raw bytes
+          val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+          val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+          val width = 64L + (b0 % 64)
+          val height = 64L + (b1 % 64)
+          val nFrames = 1L + (nBytes % 8)
+          md.reset()
+          val hex = md.digest(payload).map("%02x".format(_)).mkString
+          Row(id, kind, nBytes, width, height, nFrames, hex)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling plan for video-kind rows: every `stride`-th frame
+    * index up to the fake frame count — demonstrates explode-style
+    * fan-out of per-frame work units that downstream decode tasks
+    * would consume. */
+  def sampleFrames(features: DataFrame, stride: Int): DataFrame =
+    features.filter(col("kind") === "video")
+      .select(col("media_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+}

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale text deduplication operators: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. All are pure DataFrame plans —
+  * no driver-side loops — so they scale with executors and stay inside
+  * whole-stage codegen.
+  *
+  * Common shape: per-doc signatures are computed row-local (one narrow
+  * projection), candidate generation is a band/bucket self-join
+  * (shuffle on the bucket key — the only shuffle), and verification is
+  * row-local again. At 100 TB the bucket join is the hot spot: bucket
+  * keys are salted by design (band id is part of the key) and
+  * pathological buckets (boilerplate shingles) should be capped with
+  * `maxBucketSize`.
+  */
+object Dedup {
+
+  /** lower + whitespace tokenization. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** k-word shingles (distinct); short docs fall back to the whole doc
+    * as a single shingle so they still participate. */
+  def wordShingles(toks: Column, k: Int): Column =
+    when(size(toks) >= k,
+      array_distinct(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
+      .otherwise(array(concat_ws(" ", toks)))
+
+  // ---- exact -------------------------------------------------------
+
+  /** Exact dedup by content hash: every row keeps its duplicate-group
+    * representative (min id over identical content). One hash-shuffle;
+    * at scale this is the cheapest possible dedup and the baseline the
+    * fuzzy variants are measured against. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = df.select(col(idCol), md5(col(textCol)).as("__h"))
+    val reps = hashed.groupBy("__h").agg(min(col(idCol)).as("dup_group"))
+    hashed.join(reps, "__h").select(col(idCol), col("dup_group")).drop("__h")
+  }
+
+  // ---- MinHash + LSH ----------------------------------------------
+
+  private val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Deterministic (a, b) hash-family parameters, seeded. */
+  private def hashParams(numHashes: Int, seed: Long): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** (doc id, minhash signature array, shingle count). Signature i is
+    * min over shingles of ((a_i * h + b_i) mod p), h = xxhash64 of the
+    * shingle folded into [0, p). Computed as numHashes partial-agg min
+    * columns — map-side combine means the shuffle carries |docs| rows,
+    * not |shingles|. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, numHashes: Int = 128,
+                        seed: Long = 42L): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(wordShingles(tokens(col(textCol)), shingleK)).as("__s"))
+      .select(col(idCol), pmod(xxhash64(col("__s")), lit(MersennePrime)).as("__h"))
+    val params = hashParams(numHashes, seed)
+    val mins = params.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("__h") + lit(b), lit(MersennePrime))).as(s"__mh$i")
+    }
+    sh.groupBy(col(idCol))
+      .agg(mins.head, mins.tail :+ count(lit(1)).as("n_shingles"): _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("signature"),
+        col("n_shingles"))
+  }
+
+  /** Candidate pairs from banded LSH + signature-estimated Jaccard.
+    * bands must divide numHashes; a pair is a candidate iff some band
+    * of the signatures matches exactly. Estimated Jaccard = fraction
+    * of matching signature components. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.7, seed: Long = 42L,
+                   maxBucketSize: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed)
+
+    val banded = sigs.select(
+      col(idCol).as("doc"), col("signature"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows)), b)))
+        .as(Seq("band", "bucket")))
+      .select(col("doc"), col("signature"), col("band"), col("bucket"))
+
+    // cap pathological buckets (identical boilerplate at scale)
+    val withSize = banded
+      .withColumn("__bs", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
+      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+
+    val a = withSize.select(col("band"), col("bucket"),
+      col("doc").as("doc_a"), col("signature").as("sig_a"))
+    val b = withSize.select(col("band"), col("bucket"),
+      col("doc").as("doc_b"), col("signature").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    cand.withColumn("est_jaccard",
+      aggregate(zip_with(col("sig_a"), col("sig_b"),
+        (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Per-doc dedup verdict: dup_group = min(self, matched neighbors).
+    * (Single LSH pass — transitive closure would iterate this plan.) */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                   threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
+      .agg(min("doc_a").as("__nb"))
+    df.select(col(idCol))
+      .join(neighborMin, Seq(idCol), "left_outer")
+      .select(col(idCol), least(col(idCol), coalesce(col("__nb"), col(idCol))).as("dup_group"))
+  }
+
+  // ---- SimHash -----------------------------------------------------
+
+  /** 64-bit SimHash computed entirely row-local (no explode/shuffle):
+    * per token, xxhash64 supplies 64 bits; each bit position accumulates
+    * +1/-1; the sign vector becomes the fingerprint. */
+  def simhash(toks: Column): Column = {
+    val sums = aggregate(
+      toks,
+      array_repeat(lit(0L), 64),
+      (acc, tk) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          i => when(call_function("shiftright", xxhash64(tk), i)
+            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
+        (a, b) => a + b))
+    aggregate(
+      zip_with(sums, sequence(lit(0), lit(63)),
+        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates;
+    * verification = Hamming distance over the 64-bit fingerprints. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), simhash(tokens(col(textCol))).as("sh"))
+    val banded = sigs.select(col("doc"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  // ---- exact n-gram Jaccard ---------------------------------------
+
+  /** Exact Jaccard similarity over k-word shingle sets. Candidates are
+    * pairs sharing ≥1 shingle (blocked by dropping shingles that occur
+    * in more than maxShingleFreq docs — rare-shingle blocking keeps the
+    * self-join near-linear at scale). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, threshold: Double = 0.5,
+                        maxShingleFreq: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      explode(wordShingles(tokens(col(textCol)), shingleK)).as("s"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("__f"))
+      .filter(col("__f") <= maxShingleFreq).select("s")
+    val blocked = sh.join(rare, "s")
+    val inter = blocked.select(col("s"), col("doc").as("doc_a"))
+      .join(blocked.select(col("s"), col("doc").as("doc_b")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard", round(col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_common", "jaccard")
+  }
+}

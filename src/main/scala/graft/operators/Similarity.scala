@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exact baseline
+  * (O(|queries|·|corpus|) — fine when queries are few and broadcast);
+  * the IVF variant is the 100 TB path: corpus is partitioned into
+  * coarse cells once, and each query scans only its nProbe nearest
+  * cells, cutting the scan by ~nCells/nProbe.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<numeric> columns, computed with
+    * codegen'd higher-order functions (no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, _.cast("double"))
+    val bd = transform(b, _.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Exact top-k neighbors for each query vector (brute force).
+    * Queries are broadcast — the corpus is scanned once, never
+    * shuffled; the per-query top-k is a window over |q|·k rows. */
+  def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                     queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                     k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .filter(col(queryIdCol) =!= col(idCol))
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  /** Deterministic coarse quantizer: every vec_id ≡ 0 (mod stride)
+    * becomes a centroid. (A k-means refinement would iterate assign +
+    * mean; seeds keep the whole operator deterministic and test-able.) */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    stride: Int): DataFrame =
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign each corpus vector to its nearest centroid (one broadcast
+    * pass). This materialization is the "index build": at scale, write
+    * it partitioned by cell so probes prune partitions. */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("centroid_id"), cosine(col(vecCol), col("centroid_vec")).as("__sim"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+  }
+
+  /** IVF search: route each query to its nProbe nearest cells, then
+    * exact top-k only within those cells. Candidate scan shrinks by
+    * ~|cells|/nProbe versus brute force; recall < 1 is the trade. */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame,
+              queries: DataFrame, queryIdCol: String, queryVecCol: String,
+              k: Int, nProbe: Int): DataFrame = {
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+        col("centroid_id"), cosine(col(queryVecCol), col("centroid_vec")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc, col("centroid_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("centroid_id").as("cell"))
+
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+    cand.withColumn("rnk", row_number().over(
+      Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold. Exact
+    * all-pairs within blocks: corpus is range-blocked by id to bound
+    * the cross-join width; at scale swap the blocker for LSH buckets
+    * (random hyperplane signs) — same downstream verification. */
+  def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

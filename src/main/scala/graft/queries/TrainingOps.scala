@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the documents / embeddings
+  * corpora: dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding cosine), similarity search (brute-force + IVF), text
+  * analysis (quality, tokens, language id, fingerprint), and the
+  * multimodal binary plumbing. SQL-expressible ops carry DuckDB
+  * oracles; the signature/LSH ops are deterministic (fixed seeds) but
+  * not oracle-expressible, so they report per-doc results (rows are
+  * never empty) for the driver's rows-only check.
+  */
+object TrainingOps {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- dedup -----------------------------------------------------
+    QueryDef(
+      "dedup_exact",
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir).groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+    },
+
+    QueryDef.noOracle("dedup_minhash") { (s, dir) =>
+      // per-doc verdict: dup_group == doc_id unless an LSH-candidate
+      // neighbor with est-Jaccard ≥ 0.7 has a smaller id
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7)
+    },
+
+    QueryDef.noOracle("dedup_simhash") { (s, dir) =>
+      val d = docs(s, dir)
+      val sigs = d.select(col("doc_id"),
+        Dedup.simhash(Dedup.tokens(col("text"))).as("simhash"))
+      val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      val nb = pairs.groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("__nb"))
+      sigs.join(nb, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("simhash"),
+          least(col("doc_id"), coalesce(col("__nb"), col("doc_id"))).as("dup_group"))
+    },
+
+    QueryDef(
+      "dedup_ngram_jaccard",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+        |), rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        |), blocked AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.001
+        |""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 5, threshold = 0.001, maxShingleFreq = 100)
+    },
+
+    QueryDef(
+      "dedup_embedding",
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+        |""".stripMargin) { (s, dir) =>
+      Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
+    },
+
+    // ---- similarity search ----------------------------------------
+    QueryDef(
+      "ann_brute_topk",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings c CROSS JOIN q WHERE q.vec_id <> c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cos_sim,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |      FROM scored) t
+        |WHERE rnk <= 10
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding")),
+        "query_vec_id", "query_embedding", k = 10)
+    },
+
+    QueryDef.noOracle("ann_ivf_topk") { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding")),
+        "query_vec_id", "query_embedding", k = 10, nProbe = 3)
+    },
+
+    // ---- text analysis --------------------------------------------
+    QueryDef(
+      "text_quality",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words,
+        |  round((length(text) - (len(string_split(lower(text), ' ')) - 1)) * 1.0
+        |        / len(string_split(lower(text), ' ')), 4) AS mean_word_len,
+        |  round(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+        |        / length(text), 4) AS alpha_ratio,
+        |  round(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','an','of','and','to','in','is','it','that',
+        |                 'for','on','with','as','was','at','by','be','this','are')))
+        |        * 1.0 / len(string_split(lower(text), ' ')), 4) AS stopword_ratio
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val sig = TextFunctions.qualitySignals(col("text"))
+      docs(s, dir).select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    QueryDef(
+      "text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS sub_tokens
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.wsTokenCount(col("text")).as("ws_tokens"),
+        TextFunctions.subTokenCountExpr("text").as("sub_tokens"))
+    },
+
+    QueryDef.noOracle("text_langid") { (s, dir) =>
+      docs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
+        TextFunctions.langId(col("text")).as("lang_pred"))
+    },
+
+    QueryDef(
+      "text_fingerprint",
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(range(1, greatest(length(text) - 15, 1) + 1),
+        |    i -> md5(substr(text, i::int, 16))), 'min') AS fp
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprintExpr("text", 16).as("fp"))
+    },
+
+    // ---- multimodal plumbing --------------------------------------
+    QueryDef(
+      "mm_decode",
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+        |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+        |  CAST(64 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
+        |  CAST(1 + octet_length(text::BLOB) % 8 AS BIGINT) AS n_frames,
+        |  md5(text) AS payload_md5
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val bin = Multimodal.asBinaryTable(docs(s, dir), "doc_id", "text", "image")
+      Multimodal.decodeStub(s, bin)
+    },
+
+    QueryDef(
+      "mm_frame_sample",
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + octet_length(text::BLOB) % 8 AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, 1 + octet_length(text::BLOB) % 8, 2)) AS BIGINT) AS frame_idx
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val bin = Multimodal.asBinaryTable(docs(s, dir), "doc_id", "text", "video")
+      Multimodal.sampleFrames(Multimodal.decodeStub(s, bin), stride = 2)
+    })
+}

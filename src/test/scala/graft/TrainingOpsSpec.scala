@@ -1,0 +1,147 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests for the training-data operators: the fuzzy ones
+  * must actually FIND planted duplicates / neighbors, not merely run. */
+class TrainingOpsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exactGroups groups identical texts under the min id") {
+    val df = docsDf(1L -> "aa bb", 2L -> "cc dd", 3L -> "aa bb", 4L -> "aa bb")
+    val g = Dedup.exactGroups(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash finds planted near-duplicates and skips unrelated docs") {
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (0 until 60).map(i => if (i == 30) "CHANGED" else s"tok$i").mkString(" ")
+    val other = (0 until 60).map(i => s"zzz$i").mkString(" ")
+    val df = docsDf(10L -> base, 20L -> nearDup, 30L -> other)
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text",
+      shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((10L, 20L)))
+
+    val groups = Dedup.minhashDedup(df, "doc_id", "text",
+      shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(10L -> 10L, 20L -> 10L, 30L -> 30L))
+  }
+
+  test("minhash est_jaccard approximates exact shingle jaccard") {
+    val base = (0 until 100).map(i => s"w$i").mkString(" ")
+    val mod = ((0 until 50).map(i => s"w$i") ++ (0 until 50).map(i => s"x$i")).mkString(" ")
+    val df = docsDf(1L -> base, 2L -> mod)
+    val exact = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleK = 5, threshold = 0.0, maxShingleFreq = 1000)
+      .select("jaccard").collect().head.getDouble(0)
+    // r=2 rows/band: detection prob at j≈0.3 is ~1-(1-0.3^2)^128 ≈ 1
+    val est = Dedup.minhashPairs(df, "doc_id", "text",
+      shingleK = 5, numHashes = 256, bands = 128, threshold = 0.0)
+      .select("est_jaccard").collect().headOption.map(_.getDouble(0))
+    assert(est.isDefined, "LSH should surface the half-overlapping pair")
+    assert(math.abs(est.get - exact) < 0.15,
+      s"estimate ${est.get} too far from exact $exact")
+  }
+
+  test("simhash: identical docs collide, near-dups within hamming 3, unrelated far") {
+    val base = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val far = (0 until 80).map(i => s"qqq$i").mkString(" ")
+    val df = docsDf(1L -> base, 2L -> base, 3L -> near, 4L -> far)
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0L), "identical docs must have hamming 0")
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)),
+      "one-token change should stay within hamming 3")
+    assert(!pairs.exists(p => p._1._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("IVF top-k achieves high recall against brute force") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "qid", "qvec", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      q, "qid", "qvec", 10, nProbe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall $recall too low (nProbe=3 of 10 cells)")
+    assert(ivf.size == brute.size, "IVF must still return k rows per query")
+  }
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
+    val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    assert(math.abs(c - 0.5) < 1e-12) // dot=1, norms=sqrt(2)*sqrt(2)
+  }
+
+  test("langId identifies stopword-rich language samples") {
+    val samples = Seq(
+      1L -> "the cat is on the mat and it was a good day for this thing",
+      2L -> "der hund ist nicht mit der katze und das ist auch ein problem",
+      3L -> "el perro es un animal que vive en la casa con los gatos",
+      4L -> "le chien est dans la maison avec les chats pour le moment")
+    val out = samples.toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr"))
+  }
+
+  test("quality signals and score are sane and bounded") {
+    val df = docsDf(1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "@@@ ### !!! $$$")
+    val rows = df.select(col("doc_id") +:
+      TextFunctions.qualitySignals(col("text")).map { case (n, c) => c.as(n) } :+
+      TextFunctions.qualityScore(col("text")).as("score"): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val good = rows(1L); val junk = rows(2L)
+    assert(good.getAs[Long]("n_words") == 9)
+    assert(good.getAs[Double]("alpha_ratio") > 0.7)
+    assert(junk.getAs[Double]("alpha_ratio") == 0.0)
+    assert(good.getAs[Double]("score") > junk.getAs[Double]("score"))
+    Seq(good, junk).foreach { r =>
+      val s = r.getAs[Double]("score"); assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("fingerprint is stable under prefix edits that keep a shared window") {
+    val tail = "0123456789abcdefghijklmnopqrstuvwxyz"
+    val df = docsDf(1L -> s"AAA $tail", 2L -> s"BBBBB $tail")
+    val fps = df.select(TextFunctions.fingerprintExpr("text").as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1), "shared 16-char window should dominate the min")
+  }
+
+  test("multimodal decode stub: deterministic features through binary transport") {
+    val df = docsDf(7L -> "hello world this is a payload")
+    val bin = Multimodal.asBinaryTable(df, "doc_id", "text", "video")
+    val feat = Multimodal.decodeStub(spark, bin).collect().head
+    assert(feat.getAs[Long]("media_id") == 7L)
+    assert(feat.getAs[Long]("n_bytes") == 29L)
+    assert(feat.getAs[Long]("width") == 64L + ('h' % 64))
+    assert(feat.getAs[Long]("height") == 64L + ('e' % 64))
+    assert(feat.getAs[Long]("n_frames") == 1L + (29L % 8))
+    assert(feat.getAs[String]("payload_md5").length == 32)
+
+    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(spark, bin), 2)
+      .select("frame_idx").collect().map(_.getLong(0)).toSeq.sorted
+    assert(frames == (0L until (1 + 29 % 8)).by(2).toSeq)
+  }
+}
