@@ -19,7 +19,9 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer `div`, NOT `/`: double division loses precision on
+      // epoch-nanos (> 2^53) and shifts timestamps by up to ~128 ns
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators beyond plain SQL passthrough: as-of join (custom
+  * union+window operator — SURVEY §2B "As-of / range joins"), range
+  * frames, approximate distinct sketches. */
+object AdvancedOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // As-of join: each purchase matched to the user's most recent
+    // click at-or-before it. Oracle: DuckDB's native ASOF LEFT JOIN.
+    QueryDef(
+      "q_asof_join",
+      """SELECT p.user_id, p.event_id, p.ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_ts"))
+    },
+
+    // RANGE frame over a numeric ordering: peers within a value window.
+    QueryDef(
+      "q_window_range",
+      """SELECT o_orderkey, o_totalprice,
+        |  count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |    RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_within_1k
+        |FROM orders
+        |""".stripMargin) { (s, dir) =>
+      // partitioned range frame — a global ORDER BY window would choke
+      // one task at scale
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice")).rangeBetween(-1000, 0)
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        count(lit(1)).over(w).as("n_within_1k"))
+    },
+
+    // HLL sketch distinct. Estimates differ engine-to-engine, so the
+    // query reports both approx and exact; the spec asserts the error
+    // bound, the driver records rows.
+    QueryDef.noOracle("q_approx_distinct") { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    })
+}

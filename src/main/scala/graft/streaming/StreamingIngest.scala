@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming ingest (the upgrade path for the reference's
+  * file-rotation micro-batcher, SURVEY §2B "Streaming"): the rotated
+  * NDJSON directory becomes a file-source stream; each micro-batch
+  * appends to the catalog table through the same casting path as the
+  * batch loader. Watermarked windowed aggregations ride on top.
+  *
+  * At scale: file-source streams list the source dir per trigger —
+  * feed a compact dir (or a queue-backed source) and size
+  * `maxFilesPerTrigger` so one trigger's batch fits the cluster.
+  */
+object StreamingIngest {
+
+  /** NDJSON directory → streaming DataFrame under an explicit lattice
+    * schema (inference is not allowed on streams, by design). */
+  def streamNdjsonDir(spark: SparkSession, dir: String, schema: StructType,
+                      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Continuous ingest into a catalog table: every micro-batch goes
+    * through GraftCatalog.append (projection + casts identical to the
+    * batch loader, so batch/streaming rows are indistinguishable). */
+  def ingestToCatalog(stream: DataFrame, catalog: GraftCatalog,
+                      db: String, table: String,
+                      checkpointDir: String,
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        catalog.append(db, table, batch)
+      }
+      .start()
+
+  /** Tumbling-window counts with a watermark (late rows beyond the
+    * watermark are dropped; state is bounded). */
+  def tumblingCounts(events: DataFrame, tsCol: String, windowDur: String,
+                     watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("window.start").as("window_start") +:
+        col("window.end").as("window_end") +: keyCols.map(col)) :+ col("n"): _*)
+
+  /** Session windows (gap-based) — the sessionization the reference's
+    * users run in SQL, as a native stateful streaming op. */
+  def sessionCounts(events: DataFrame, tsCol: String, gap: String,
+                    watermark: String, keyCols: String*): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap) +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select((col("session_window.start").as("session_start") +:
+        col("session_window.end").as("session_end") +: keyCols.map(col)) :+ col("n"): _*)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("backward as-of join: latest right ≤ left, inclusive, null when none") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2"),
+      (1L, ts("2024-01-01 08:00:00"), "p0"), // before any click → null
+      (2L, ts("2024-01-01 10:30:00"), "p3")
+    ).toDF("user_id", "ts", "pid")
+
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), "c1"),
+      (1L, ts("2024-01-01 10:00:00"), "c2"), // equal ts → inclusive match for p1
+      (1L, ts("2024-01-01 11:00:00"), "c3"),
+      (2L, ts("2024-01-01 10:00:00"), "c4"),
+      (3L, ts("2024-01-01 00:00:00"), "c5") // key with no left rows
+    ).toDF("user_id", "ts", "cid")
+
+    val out = AsOfJoin.backward(left, right, Seq("user_id"), "ts", "ts", Seq("cid"))
+      .select("pid", "cid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    assert(out == Map("p0" -> null, "p1" -> "c2", "p2" -> "c3", "p3" -> "c4"))
+  }
+
+  test("as-of join matches a window-free reference computation") {
+    // randomized cross-check against an O(n^2) driver-side reference
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 200).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, s"L$i"))
+    val right = (1 to 300).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong * 2 + 1, s"R$i"))
+    val lDf = left.toDF("k", "t", "lv")
+    val rDf = right.toDF("k", "t", "rv")
+
+    val got = AsOfJoin.backward(lDf, rDf, Seq("k"), "t", "t", Seq("rv"))
+      .select("lv", "rv").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val expect = left.map { case (k, t, lv) =>
+      val cands = right.filter(r => r._1 == k && r._2 <= t)
+      // ties on t: our sort breaks by later row winning; generator makes
+      // right ts odd and unique per key? not guaranteed — pick max (t, rv)
+      lv -> (if (cands.isEmpty) null
+             else cands.maxBy(c => (c._2, c._3))._3)
+    }.toMap
+
+    // ignore ambiguous ties (same key + same right ts): both picks valid
+    val ambiguous = right.groupBy(r => (r._1, r._2)).filter(_._2.size > 1).values
+      .flatten.map(_._3).toSet
+    val strict = expect.filter { case (lv, rv) =>
+      rv == null || !ambiguous.contains(rv)
+    }
+    strict.foreach { case (lv, rv) =>
+      assert(got(lv) == rv, s"left=$lv expected=$rv got=${got(lv)}")
+    }
+    assert(strict.size > 150, "most rows should be unambiguous")
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.TypeLattice
+import graft.sources.GraftCatalog
+import graft.streaming.StreamingIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamingIngestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("file-source stream ingests NDJSON into a catalog table") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = Files.createDirectories(java.nio.file.Paths.get(tmp, "src"))
+    Files.writeString(srcDir.resolve("batch1.ndjson"),
+      """{"user": "alice", "n": 1}
+        |{"user": "bob", "n": 2}
+        |""".stripMargin)
+
+    val catalog = new GraftCatalog(spark, s"$tmp/wh")
+    val types = Map("user" -> TypeLattice.String, "n" -> TypeLattice.Int)
+    catalog.ensureTable("db", "s")
+    catalog.addColumns("db", "s", types)
+
+    val stream = StreamingIngest.streamNdjsonDir(spark, srcDir.toString,
+      TypeLattice.toStructType(types))
+    val q = StreamingIngest.ingestToCatalog(stream, catalog, "db", "s", s"$tmp/ckpt")
+    q.awaitTermination(60000)
+
+    val rows = catalog.read("db", "s").select("user", "n")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(rows == Set("alice" -> 1L, "bob" -> 2L))
+
+    // second file picked up by a fresh AvailableNow pass from the same
+    // checkpoint (exactly-once file accounting)
+    Files.writeString(srcDir.resolve("batch2.ndjson"), """{"user": "carol", "n": 3}""" + "\n")
+    val q2 = StreamingIngest.ingestToCatalog(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, TypeLattice.toStructType(types)),
+      catalog, "db", "s", s"$tmp/ckpt")
+    q2.awaitTermination(60000)
+    assert(catalog.read("db", "s").count() == 3)
+  }
+
+  test("watermarked tumbling window drops too-late rows, keeps state bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val counts = StreamingIngest.tumblingCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "10 minutes", "5 minutes", "k")
+
+    val q = counts.writeStream.format("memory")
+      .queryName("tumbling_out").outputMode("update").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:01:00"), "a"), (t("2024-01-01 10:02:00"), "a"),
+      (t("2024-01-01 10:11:00"), "b"))
+    q.processAllAvailable()
+    // advance the watermark far past the first window
+    mem.addData((t("2024-01-01 11:00:00"), "c"))
+    q.processAllAvailable()
+    // this row is an hour late — beyond the 5 min watermark → dropped
+    mem.addData((t("2024-01-01 10:03:00"), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("tumbling_out")
+      .select("window_start", "k", "n")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    // the 10:00 window for 'a' must have count 2 from the first batch
+    // and NO update with count 3 afterwards
+    val aRows = out.filter(r => r._2 == "a")
+    assert(aRows.map(_._3).max == 2, s"late row leaked into state: ${aRows.toSeq}")
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val sessions = StreamingIngest.sessionCounts(
+      mem.toDF().toDF("ts", "k"), "ts", "5 minutes", "1 minute", "k")
+    val q = sessions.writeStream.format("memory")
+      .queryName("session_out").outputMode("complete").start()
+
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData(
+      (t("2024-01-01 10:00:00"), "u"), (t("2024-01-01 10:03:00"), "u"),
+      (t("2024-01-01 10:06:00"), "u"), // still chained: gaps < 5 min
+      (t("2024-01-01 10:30:00"), "u")) // new session
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("session_out").select("session_start", "n")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1))).sortBy(_._1)
+    assert(out.length == 2, s"expected 2 sessions, got ${out.toSeq}")
+    assert(out.head._2 == 3 && out.last._2 == 1)
+  }
+}
