@@ -1,0 +1,158 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot inner loops of the
+  * training-data operators. Spark's higher-order functions (zip_with /
+  * aggregate / transform) evaluate their lambda per ELEMENT through the
+  * interpreter — fine for small arrays, brutal inside an O(n·m)
+  * pairwise operator. These expressions run one tight JVM loop per ROW
+  * instead (CodegenFallback: the loop itself is compiled Scala; only
+  * the call boundary is interpreted), which benched ~5-10× faster on
+  * the sf0.1 corpus and removes the explode+wide-agg shuffle from the
+  * MinHash path entirely.
+  */
+object NativeExpressions {
+
+  private def toDoubles(a: ArrayData): Array[Double] = a.toDoubleArray()
+
+  /** Cosine similarity over two array<double> columns, one fused pass
+    * (dot + both norms in a single loop). */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(l.asInstanceOf[ArrayData])
+      val b = toDoubles(r.asInstanceOf[ArrayData])
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) null
+      else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Dot product over two array<double> columns. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = toDoubles(l.asInstanceOf[ArrayData])
+      val b = toDoubles(r.asInstanceOf[ArrayData])
+      val n = math.min(a.length, b.length)
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += a(i) * b(i); i += 1 }
+      dot
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  private def xxhash64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, StringType, 42L)
+
+  /** 64-bit SimHash over array<string> tokens: per token, xxhash64
+    * supplies 64 bits; each bit position accumulates +1/-1; the sign
+    * vector is the fingerprint. Row-local, zero shuffle. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var t = 0
+      while (t < arr.numElements()) {
+        if (!arr.isNullAt(t)) {
+          val h = xxhash64(arr.getUTF8String(t))
+          var i = 0
+          while (i < 64) {
+            if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+            i += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L; var i = 0
+      while (i < 64) { if (counts(i) > 0) out |= (1L << i); i += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over array<string> shingles: numHashes
+    * universal-hash minima of xxhash64(shingle) mod p. Row-local — the
+    * banding join downstream shuffles |docs| rows, never |shingles|. */
+  case class MinHashSignature(child: Expression, numHashes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    private val P = 2147483647L // 2^31 - 1
+    @transient private lazy val params: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var t = 0
+      while (t < arr.numElements()) {
+        if (!arr.isNullAt(t)) {
+          val h = ((xxhash64(arr.getUTF8String(t)) % P) + P) % P
+          var i = 0
+          while (i < numHashes) {
+            val v2 = (params(i)._1 * h + params(i)._2) % P
+            if (v2 < sig(i)) sig(i) = v2
+            i += 1
+          }
+        }
+        t += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Fraction of positions where two equal-length array<long>
+    * signatures agree — the MinHash Jaccard estimator. */
+  case class SignatureAgreement(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      if (n == 0) return 0.0
+      var eq = 0; var i = 0
+      while (i < n) { if (a.getLong(i) == b.getLong(i)) eq += 1; i += 1 }
+      eq.toDouble / n
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column wrappers --------------------------------------------
+  def cosine_sim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def simhash64(tokens: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  def minhash_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes, seed))
+  def signature_agreement(a: Column, b: Column): Column =
+    ExpressionUtils.column(SignatureAgreement(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -54,25 +54,17 @@ object Dedup {
 
   /** (doc id, minhash signature array, shingle count). Signature i is
     * min over shingles of ((a_i * h + b_i) mod p), h = xxhash64 of the
-    * shingle folded into [0, p). Computed as numHashes partial-agg min
-    * columns — map-side combine means the shuffle carries |docs| rows,
-    * not |shingles|. */
+    * shingle folded into [0, p). Computed ROW-LOCAL by a native
+    * Catalyst expression (graft.functions.NativeExpressions) — no
+    * shingle explode, no shuffle at all in the signature stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
-                        seed: Long = 42L): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(wordShingles(tokens(col(textCol)), shingleK)).as("__s"))
-      .select(col(idCol), pmod(xxhash64(col("__s")), lit(MersennePrime)).as("__h"))
-    val params = hashParams(numHashes, seed)
-    val mins = params.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * col("__h") + lit(b), lit(MersennePrime))).as(s"__mh$i")
-    }
-    sh.groupBy(col(idCol))
-      .agg(mins.head, mins.tail :+ count(lit(1)).as("n_shingles"): _*)
+                        seed: Long = 42L): DataFrame =
+    df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleK).as("__sh"))
       .select(col(idCol),
-        array((0 until numHashes).map(i => col(s"__mh$i")): _*).as("signature"),
-        col("n_shingles"))
-  }
+        graft.functions.NativeExpressions
+          .minhash_signature(col("__sh"), numHashes, seed).as("signature"),
+        size(col("__sh")).cast("long").as("n_shingles"))
 
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * bands must divide numHashes; a pair is a candidate iff some band
@@ -86,12 +78,15 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed)
 
+    // banding carries only (doc, band, bucket) — 24 B/row — through the
+    // shuffle; the fat signature arrays are joined back just for the
+    // (few) candidate pairs.
     val banded = sigs.select(
-      col(idCol).as("doc"), col("signature"),
+      col(idCol).as("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows)), b)))
         .as(Seq("band", "bucket")))
-      .select(col("doc"), col("signature"), col("band"), col("bucket"))
+      .select(col("doc"), col("band"), col("bucket"))
 
     // cap pathological buckets (identical boilerplate at scale)
     val withSize = banded
@@ -99,19 +94,18 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
       .filter(col("__bs") <= maxBucketSize).drop("__bs")
 
-    val a = withSize.select(col("band"), col("bucket"),
-      col("doc").as("doc_a"), col("signature").as("sig_a"))
-    val b = withSize.select(col("band"), col("bucket"),
-      col("doc").as("doc_b"), col("signature").as("sig_b"))
+    val a = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+    val b = withSize.select(col("band"), col("bucket"), col("doc").as("doc_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
 
-    cand.withColumn("est_jaccard",
-      aggregate(zip_with(col("sig_a"), col("sig_b"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, v) => acc + v).cast("double") / numHashes)
+    val sigA = sigs.select(col(idCol).as("doc_a"), col("signature").as("sig_a"))
+    val sigB = sigs.select(col(idCol).as("doc_b"), col("signature").as("sig_b"))
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_jaccard",
+        graft.functions.NativeExpressions.signature_agreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
@@ -133,21 +127,10 @@ object Dedup {
 
   /** 64-bit SimHash computed entirely row-local (no explode/shuffle):
     * per token, xxhash64 supplies 64 bits; each bit position accumulates
-    * +1/-1; the sign vector becomes the fingerprint. */
-  def simhash(toks: Column): Column = {
-    val sums = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, tk) => zip_with(acc,
-        transform(sequence(lit(0), lit(63)),
-          i => when(call_function("shiftright", xxhash64(tk), i)
-            .bitwiseAND(1L) === 1L, 1L).otherwise(-1L)),
-        (a, b) => a + b))
-    aggregate(
-      zip_with(sums, sequence(lit(0), lit(63)),
-        (s, i) => when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+    * +1/-1; the sign vector becomes the fingerprint. Native Catalyst
+    * expression — one tight loop per row. */
+  def simhash(toks: Column): Column =
+    graft.functions.NativeExpressions.simhash64(toks)
 
   /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates;
     * verification = Hamming distance over the 64-bit fingerprints. */

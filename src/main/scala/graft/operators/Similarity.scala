@@ -13,16 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<numeric> columns, computed with
-    * codegen'd higher-order functions (no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = transform(a, _.cast("double"))
-    val bd = transform(b, _.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(ad, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(bd, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<numeric> columns — one fused
+    * native-expression loop per pair (see NativeExpressions). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeExpressions.cosine_sim(
+      a.cast("array<double>"), b.cast("array<double>"))
+
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine when both norms are already materialized — pairwise ops
+    * precompute norms once per row instead of once per PAIR, saving
+    * two array passes out of three in the O(n·m) inner loop. */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotProduct(a, b) / (na * nb)
 
   /** Exact top-k neighbors for each query vector (brute force).
     * Queries are broadcast — the corpus is scanned once, never
@@ -30,10 +37,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
                      queries: DataFrame, queryIdCol: String, queryVecCol: String,
                      k: Int): DataFrame = {
-    val joined = corpus.crossJoin(broadcast(queries))
+    val c = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(queryIdCol),
+      col(queryVecCol).cast("array<double>").as("__qv"))
+    val joined = c.crossJoin(broadcast(q))
       .filter(col(queryIdCol) =!= col(idCol))
       .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
-        round(cosine(col(vecCol), col(queryVecCol)), 6).as("cos_sim"))
+        round(graft.functions.NativeExpressions.cosine_sim(col("__cv"), col("__qv")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     joined.withColumn("rnk", row_number().over(w).cast("long"))
@@ -93,10 +105,13 @@ object Similarity {
     * (random hyperplane signs) — same downstream verification. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val normed = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val a = normed.select(col(idCol).as("id_a"), col("__v").as("va"))
+    val b = normed.select(col(idCol).as("id_b"), col("__v").as("vb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .withColumn("cos_sim",
+        round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
