@@ -1,0 +1,247 @@
+package graft.api
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.control._
+import graft.functions.JValue
+import graft.functions.JValue._
+import graft.query.{Copier, QueryService}
+import graft.sources._
+import org.apache.spark.sql.SparkSession
+import java.io.OutputStreamWriter
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import java.util.UUID
+import java.util.concurrent.ConcurrentHashMap
+
+/** The reference's HTTP API re-hosted on the Spark engine (SURVEY §2A
+  * A13-A16, A20; route table: /root/reference/pkg/api/router.go:38-60).
+  * JDK HttpServer — zero extra dependencies; handlers mirror the
+  * reference's auth / status-code / content-type behavior:
+  *
+  *   POST /api/data/insert/{table}?api_key=&flatten=
+  *   GET|POST /api/data/query?api_key=&format=json|ndjson|csv
+  *   POST /api/data/copy              {query, destination_id, destination_table}
+  *   POST /api/data/query/share       {query, duration, name} → {id}
+  *   GET  /share/{uuid}/data.{format} (no auth, expiring)
+  *   GET  /api/tables
+  *   GET  /api/tables/{table}/columns
+  *   GET  /healthcheck
+  */
+final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2) {
+
+  val catalog = new GraftCatalog(spark, s"$root/warehouse")
+  private val blob = new LocalBlobStore(s"$root/blob")
+  val queue = new JobQueue
+  private val loader = new Loader(catalog)
+  private val copier = new Copier(catalog)
+  private val workers = new Workers(queue, loader, copier, workerCount)
+
+  // rotated sink files: upload to the blob store, enqueue a load job
+  // (the reference's 10s upload ticker, fused into rotation)
+  val sink = new NdjsonSink(s"$root/sink", onRotate = cf => {
+    val key = s"${cf.database}/${cf.table}/${cf.path.getFileName}"
+    blob.upload(key, cf.path)
+    queue.enqueue(JobMessage.InsertFile(cf.database, cf.table, cf.path.toString))
+  })
+  private val ingest = new Ingest(sink)
+
+  // ---- auth (A20): sha256(api_key) → database; admin keys pick the
+  // database via ?destination_id= --------------------------------------
+  private val keys = new ConcurrentHashMap[String, String]()
+  private val adminKeys = ConcurrentHashMap.newKeySet[String]()
+
+  def hash(key: String): String =
+    MessageDigest.getInstance("SHA-256").digest(key.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  def addApiKey(key: String, database: String): Unit = keys.put(hash(key), database)
+  def addAdminKey(key: String): Unit = { adminKeys.add(hash(key)); () }
+
+  // ---- share links (A15) ------------------------------------------
+  private case class Share(database: String, query: String, name: String, expiresAtMs: Long)
+  private val shares = new ConcurrentHashMap[String, Share]()
+
+  private var server: HttpServer = _
+
+  /** Start on the given port (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    workers.start()
+    sink.start()
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
+    server.createContext("/", handle _)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) server.stop(0)
+    sink.stop()
+    workers.stop()
+  }
+
+  /** Flush the sink and wait for all queued loads (tests/shutdown). */
+  def drain(): Boolean = { sink.flushAll(); workers.drain() }
+
+  // ---- routing ----------------------------------------------------
+  private def handle(ex: HttpExchange): Unit = try {
+    val path = ex.getRequestURI.getPath
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
+      case (_, p) if p.startsWith("/share/") => handleShareData(ex, p)
+      case (_, p) if p.startsWith("/api/") => authed(ex) { db => route(ex, db, p) }
+      case _ => respond(ex, 404, "not found", "text/plain")
+    }
+  } catch {
+    case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}", "text/plain")
+  } finally ex.close()
+
+  private def route(ex: HttpExchange, db: String, path: String): Unit = {
+    val method = ex.getRequestMethod
+    (method, path) match {
+      case ("POST", p) if p.startsWith("/api/data/insert/") =>
+        handleInsert(ex, db, p.stripPrefix("/api/data/insert/"))
+      case ("GET" | "POST", "/api/data/query") => handleQuery(ex, db)
+      case ("POST", "/api/data/copy") => handleCopy(ex, db)
+      case ("POST", "/api/data/query/share") => handleCreateShare(ex, db)
+      case ("GET", "/api/tables") =>
+        val names = catalog.listTables(db).map(n => "\"" + n + "\"")
+        respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
+      case ("GET", p) if p.startsWith("/api/tables/") && p.endsWith("/columns") =>
+        val table = p.stripPrefix("/api/tables/").stripSuffix("/columns")
+        if (!catalog.tableExists(db, table)) respond(ex, 404, "table not found", "text/plain")
+        else {
+          val cols = catalog.columns(db, table)
+            .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
+          respond(ex, 200, cols.mkString("[", ",", "]"), "application/json")
+        }
+      case _ => respond(ex, 404, "not found", "text/plain")
+    }
+  }
+
+  // ---- handlers ---------------------------------------------------
+  private def authed(ex: HttpExchange)(f: String => Unit): Unit = {
+    val params = queryParams(ex)
+    val hashed = hash(params.getOrElse("api_key", ""))
+    if (adminKeys.contains(hashed)) {
+      f(params.getOrElse("destination_id", "default"))
+    } else {
+      keys.get(hashed) match {
+        case null => respond(ex, 401, "Unauthorized", "text/plain")
+        case db   => f(db)
+      }
+    }
+  }
+
+  private def handleInsert(ex: HttpExchange, db: String, table: String): Unit = {
+    if (table.isEmpty) { respond(ex, 400, "table required", "text/plain"); return }
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val mode = Ingest.FlattenMode.fromParam(queryParams(ex).getOrElse("flatten", ""))
+    val r = ingest.insert(db, table, body, mode)
+    if (r.fullySucceeded) respond(ex, 200, s"""{"inserted":${r.inserted}}""", "application/json")
+    else if (r.inserted > 0)
+      respond(ex, 400, s"Partially inserted data: ${r.errors.mkString("; ")}", "text/plain")
+    else respond(ex, 400, r.errors.mkString("; "), "text/plain")
+  }
+
+  private def handleQuery(ex: HttpExchange, db: String): Unit = {
+    val params = queryParams(ex)
+    val fromBody =
+      if (ex.getRequestMethod == "POST")
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    val query = if (fromBody.nonEmpty) fromBody else params.getOrElse("query", "")
+    if (query.trim.isEmpty) { respond(ex, 400, "Query cannot be blank", "text/plain"); return }
+    streamQuery(ex, db, query, params.getOrElse("format", "json"))
+  }
+
+  private def streamQuery(ex: HttpExchange, db: String, query: String, format: String): Unit = {
+    catalog.registerViews(db)
+    val df = QueryService.query(spark, query)
+    val contentType = format.toLowerCase match {
+      case "csv"    => "text/csv"
+      case "ndjson" => "text/plain"
+      case _        => "application/json"
+    }
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, 0) // chunked: stream rows as they come
+    val w = new OutputStreamWriter(ex.getResponseBody, StandardCharsets.UTF_8)
+    format.toLowerCase match {
+      case "csv"    => QueryService.writeCsv(df, w)
+      case "ndjson" => QueryService.writeNdjson(df, w)
+      case _        => QueryService.writeJson(df, w)
+    }
+    w.flush()
+  }
+
+  private def handleCopy(ex: HttpExchange, db: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = try JValue.parseObject(body) catch {
+      case e: Exception => respond(ex, 400, s"bad body: ${e.getMessage}", "text/plain"); return
+    }
+    val query = obj.get("query").collect { case JStr(s) => s }.getOrElse("")
+    val destDb = obj.get("destination_id").collect {
+      case JStr(s) => s
+      case JNum(raw) => raw
+    }.getOrElse("")
+    val destTable = obj.get("destination_table").collect { case JStr(s) => s }.getOrElse("")
+    if (query.isEmpty || destDb.isEmpty || destTable.isEmpty) {
+      respond(ex, 400, "query, destination_id, destination_table required", "text/plain"); return
+    }
+    val id = queue.enqueue(JobMessage.CopyData(db, query, destDb, destTable))
+    respond(ex, 200, s"""{"job_id":$id}""", "application/json")
+  }
+
+  private def handleCreateShare(ex: HttpExchange, db: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = try JValue.parseObject(body) catch {
+      case _: Exception => respond(ex, 400, "Invalid request body", "text/plain"); return
+    }
+    val query = obj.get("query").collect { case JStr(s) => s }.getOrElse("")
+    val name = obj.get("name").collect { case JStr(s) => s }.getOrElse("")
+    val duration = obj.get("duration").collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
+    if (query.isEmpty) { respond(ex, 400, "Query cannot be empty", "text/plain"); return }
+    if (name.isEmpty) { respond(ex, 400, "Name cannot be empty", "text/plain"); return }
+    val id = UUID.randomUUID().toString
+    shares.put(id, Share(db, query, name,
+      System.currentTimeMillis() + duration * 1000))
+    respond(ex, 200, s"""{"id":"$id"}""", "application/json")
+  }
+
+  private def handleShareData(ex: HttpExchange, path: String): Unit = {
+    // /share/{uuid}/data.{format}
+    val parts = path.stripPrefix("/share/").split("/")
+    if (parts.length != 2 || !parts(1).startsWith("data.")) {
+      respond(ex, 400, "bad share path", "text/plain"); return
+    }
+    val (uuid, format) = (parts(0), parts(1).stripPrefix("data."))
+    val share = shares.get(uuid)
+    if (share == null || share.expiresAtMs < System.currentTimeMillis()) {
+      respond(ex, 404, "Query not found", "text/plain"); return
+    }
+    streamQuery(ex, share.database, share.query, format)
+  }
+
+  // ---- plumbing ---------------------------------------------------
+  private def queryParams(ex: HttpExchange): Map[String, String] = {
+    val q = ex.getRequestURI.getRawQuery
+    if (q == null) Map.empty
+    else q.split("&").toSeq.flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(java.net.URLDecoder.decode(k, "UTF-8") ->
+          java.net.URLDecoder.decode(v, "UTF-8"))
+        case Array(k) => Some(java.net.URLDecoder.decode(k, "UTF-8") -> "")
+        case _ => None
+      }
+    }.toMap
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String, contentType: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.control
+
+import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Control-plane job messages (the reference's queue payloads:
+  * /root/reference/pkg/storage/queue/models/models.go and
+  * pkg/storage/database/models/models.go:70-91). */
+sealed trait JobMessage
+object JobMessage {
+  /** A rotated NDJSON batch file ready to bulk-load (INSERT_DATA). */
+  final case class InsertFile(database: String, table: String, path: String) extends JobMessage
+  /** Cross-table ETL: run query on source, append into dest (COPY_DATA). */
+  final case class CopyData(sourceDb: String, query: String,
+                            destDb: String, destTable: String) extends JobMessage
+}
+
+/** At-least-once job queue (the reference backs this with a DB table +
+  * FOR UPDATE SKIP LOCKED — pkg/storage/database/gorm/queue.go:15-91;
+  * the semantics here are identical: claim on dequeue, remove on ack,
+  * redeliver on nack, duplicates possible, loss impossible). */
+final class JobQueue {
+  private val idGen = new AtomicLong(0)
+  private val pending = new LinkedBlockingQueue[(Long, JobMessage)]()
+  private val inFlight = new ConcurrentHashMap[Long, JobMessage]()
+
+  def enqueue(msg: JobMessage): Long = {
+    val id = idGen.incrementAndGet()
+    pending.put((id, msg))
+    id
+  }
+
+  /** Claim the next message (blocking up to timeoutMs); ack or nack it. */
+  def dequeue(timeoutMs: Long): Option[(Long, JobMessage)] = {
+    val item = pending.poll(timeoutMs, TimeUnit.MILLISECONDS)
+    if (item == null) None
+    else { inFlight.put(item._1, item._2); Some(item) }
+  }
+
+  def ack(id: Long): Unit = inFlight.remove(id)
+
+  def nack(id: Long): Unit = {
+    val msg = inFlight.remove(id)
+    if (msg != null) pending.put((id, msg))
+  }
+
+  def isEmpty: Boolean = pending.isEmpty && inFlight.isEmpty
+  def size: Int = pending.size() + inFlight.size()
+}

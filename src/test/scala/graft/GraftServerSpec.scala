@@ -1,0 +1,121 @@
+package graft
+
+import graft.api.GraftServer
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+/** Full-stack HTTP tests: the reference's own quickstart flow
+  * (readme.md:36-48) against the Spark-backed server — insert JSON over
+  * HTTP, query it back in every format, copy, share, introspect. */
+class GraftServerSpec extends SparkTestBase {
+
+  private lazy val http = HttpClient.newHttpClient()
+
+  private def newServer() = {
+    val tmp = Files.createTempDirectory("graft-srv").toString
+    val srv = new GraftServer(spark, tmp)
+    srv.addApiKey("localkey", "default")
+    srv.addAdminKey("adminkey")
+    val port = srv.start()
+    (srv, s"http://localhost:$port")
+  }
+
+  private def get(url: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(url)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(url: String, body: String): HttpResponse[String] =
+    http.send(HttpRequest.newBuilder(URI.create(url))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("quickstart: insert events over HTTP, query them back") {
+    val (srv, base) = newServer()
+    try {
+      assert(get(s"$base/healthcheck").statusCode() == 200)
+
+      val ins = post(s"$base/api/data/insert/events_http?api_key=localkey",
+        """{"user": "alice", "event": "click"}""")
+      assert(ins.statusCode() == 200, ins.body())
+      post(s"$base/api/data/insert/events_http?api_key=localkey",
+        """[{"user": "bob", "event": "click"}, {"user": "alice", "event": "view"}]""")
+      assert(srv.drain(), "ingest jobs should drain")
+
+      val q = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select user, count(*) as n from events_http group by 1 order by 1", "UTF-8"))
+      assert(q.statusCode() == 200)
+      assert(q.headers().firstValue("Content-Type").get.startsWith("application/json"))
+      assert(q.body() == """[{"user":"alice","n":2},{"user":"bob","n":1}]""")
+
+      // POST body is the query; ndjson + csv formats
+      val nd = post(s"$base/api/data/query?api_key=localkey&format=ndjson",
+        "select user from events_http order by user")
+      assert(nd.body() == "{\"user\":\"alice\"}\n{\"user\":\"alice\"}\n{\"user\":\"bob\"}\n")
+      val csv = post(s"$base/api/data/query?api_key=localkey&format=csv",
+        "select user, event from events_http order by user, event")
+      assert(csv.body() == "user,event\nalice,click\nalice,view\nbob,click\n", csv.body())
+
+      // introspection
+      val tables = get(s"$base/api/tables?api_key=localkey")
+      assert(tables.body() == """["events_http"]""")
+      val cols = get(s"$base/api/tables/events_http/columns?api_key=localkey")
+      assert(cols.body().contains(""""name":"__row_id","type":"int""""))
+      assert(cols.body().contains(""""name":"user","type":"string""""))
+    } finally srv.stop()
+  }
+
+  test("auth: bad key 401; admin key routes via destination_id") {
+    val (srv, base) = newServer()
+    try {
+      assert(get(s"$base/api/tables?api_key=wrong").statusCode() == 401)
+      assert(get(s"$base/api/tables").statusCode() == 401)
+      val r = post(s"$base/api/data/insert/t?api_key=adminkey&destination_id=dbX",
+        """{"x": 1}""")
+      assert(r.statusCode() == 200)
+      srv.drain()
+      assert(get(s"$base/api/tables?api_key=adminkey&destination_id=dbX").body() == """["t"]""")
+    } finally srv.stop()
+  }
+
+  test("blank query 400; copy job; share links with expiry") {
+    val (srv, base) = newServer()
+    try {
+      assert(post(s"$base/api/data/query?api_key=localkey", "  ").statusCode() == 400)
+
+      post(s"$base/api/data/insert/src_t?api_key=localkey", """{"v": 10}""")
+      post(s"$base/api/data/insert/src_t?api_key=localkey", """{"v": 32}""")
+      srv.drain()
+
+      // copy: query result → new table in another database
+      val cp = post(s"$base/api/data/copy?api_key=localkey",
+        """{"query": "select v, v * 2 as v2 from src_t", "destination_id": "otherdb", "destination_table": "copied"}""")
+      assert(cp.statusCode() == 200 && cp.body().startsWith("""{"job_id":"""), cp.body())
+      assert(srv.drain(), "copy job should drain")
+      val copied = get(s"$base/api/data/query?api_key=adminkey&destination_id=otherdb&query=" +
+        java.net.URLEncoder.encode("select v, v2 from copied order by v", "UTF-8"))
+      assert(copied.body() == """[{"v":10,"v2":20},{"v":32,"v2":64}]""", copied.body())
+
+      // share: create, fetch without auth, expired → 404
+      val sh = post(s"$base/api/data/query/share?api_key=localkey",
+        """{"query": "select sum(v) as total from src_t", "duration": 3600, "name": "totals"}""")
+      assert(sh.statusCode() == 200, sh.body())
+      val id = sh.body().split("\"")(3)
+      val shared = get(s"$base/share/$id/data.json")
+      assert(shared.body() == """[{"total":42}]""", shared.body())
+
+      val expired = post(s"$base/api/data/query/share?api_key=localkey",
+        """{"query": "select 1", "duration": 0, "name": "dead"}""")
+      val deadId = expired.body().split("\"")(3)
+      Thread.sleep(50)
+      assert(get(s"$base/share/$deadId/data.json").statusCode() == 404)
+
+      // share validation mirrors reference: empty name/query → 400
+      assert(post(s"$base/api/data/query/share?api_key=localkey",
+        """{"query": "", "duration": 5, "name": "x"}""").statusCode() == 400)
+      assert(post(s"$base/api/data/query/share?api_key=localkey",
+        """{"query": "select 1", "duration": 5, "name": ""}""").statusCode() == 400)
+    } finally srv.stop()
+  }
+}
