@@ -62,6 +62,17 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   private case class Share(database: String, query: String, name: String, expiresAtMs: Long)
   private val shares = new ConcurrentHashMap[String, Share]()
 
+  // ---- destination pooling (A22): one child SparkSession per
+  // database, so temp views of different databases never collide —
+  // the reference's lazily-opened per-destination pool
+  // (pkg/destinations/destinations.go:89-133) -----------------------
+  private val sessions = new ConcurrentHashMap[String, (SparkSession, GraftCatalog)]()
+  private def catalogFor(db: String): GraftCatalog =
+    sessions.computeIfAbsent(db, _ => {
+      val s = spark.newSession()
+      (s, new GraftCatalog(s, s"$root/warehouse"))
+    })._2
+
   private var server: HttpServer = _
 
   /** Start on the given port (0 = ephemeral); returns the bound port. */
@@ -158,8 +169,9 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   }
 
   private def streamQuery(ex: HttpExchange, db: String, query: String, format: String): Unit = {
-    catalog.registerViews(db)
-    val df = QueryService.query(spark, query)
+    val dbCatalog = catalogFor(db)
+    dbCatalog.registerViews(db)
+    val df = QueryService.query(dbCatalog.spark, query)
     val contentType = format.toLowerCase match {
       case "csv"    => "text/csv"
       case "ndjson" => "text/plain"

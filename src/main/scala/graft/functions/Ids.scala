@@ -33,11 +33,12 @@ final class Snowflake(nodeId: Long) {
 
 object Snowflake {
   /** Node id from hashed hostname, as the reference does. */
-  lazy val default: Snowflake = {
+  lazy val defaultNodeId: Int = {
     val host = try java.net.InetAddress.getLocalHost.getHostName
     catch { case _: Exception => "localhost" }
-    new Snowflake(math.abs(host.hashCode.toLong) % 1024)
+    (math.abs(host.hashCode.toLong) % 1024).toInt
   }
+  lazy val default: Snowflake = new Snowflake(defaultNodeId)
 }
 
 /** ULIDs (Crockford base32, 26 chars: 48-bit ms time + 80-bit random),

@@ -145,6 +145,21 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
+    * 10-bit node | 12-bit sequence — time-ordered and unique across
+    * runs, unlike monotonically_increasing_id. The partition index is
+    * folded into the node id, so executors never collide. */
+  case class SnowflakeId(baseNode: Int) extends LeafExpression
+      with Nondeterministic with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    @transient private var gen: Snowflake = _
+    override protected def initializeInternal(partitionIndex: Int): Unit =
+      gen = new Snowflake((baseNode + partitionIndex) % 1024)
+    override protected def evalInternal(input: InternalRow): Any = gen.next()
+    override def prettyName: String = "snowflake_id"
+  }
+
   // ---- Column wrappers --------------------------------------------
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -155,4 +170,6 @@ object NativeExpressions {
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes, seed))
   def signature_agreement(a: Column, b: Column): Column =
     ExpressionUtils.column(SignatureAgreement(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def snowflake_id(baseNode: Int = Snowflake.defaultNodeId): Column =
+    ExpressionUtils.column(SnowflakeId(baseNode))
 }

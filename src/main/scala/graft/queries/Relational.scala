@@ -355,6 +355,17 @@ object Relational {
     },
 
     QueryDef(
+      "q_union_distinct",
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+        .unionByName(t(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+        .distinct()
+    },
+
+    QueryDef(
       "q_intersect",
       """SELECT c_nationkey AS nk FROM customer
         |INTERSECT

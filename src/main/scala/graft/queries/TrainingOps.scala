@@ -159,7 +159,30 @@ object TrainingOps {
         TextFunctions.subTokenCountExpr("text").as("sub_tokens"))
     },
 
-    QueryDef.noOracle("text_langid") { (s, dir) =>
+    QueryDef(
+      "text_langid",
+      """WITH scored AS (
+        |  SELECT doc_id, lang AS lang_label,
+        |    list_distinct(string_split_regex(lower(text), '\s+')) AS toks
+        |  FROM documents
+        |), s2 AS (
+        |  SELECT doc_id, lang_label,
+        |    len(list_intersect(toks, ['the','a','an','of','and','to','in','is','it','that','for','on','with','as','was','at','by','be','this','are'])) AS s_en,
+        |    len(list_intersect(toks, ['der','die','das','und','ist','ich','nicht','mit','ein','eine','zu','den','von','im','auf','für','dem','sich','auch','es'])) AS s_de,
+        |    len(list_intersect(toks, ['el','la','de','que','y','en','un','una','es','no','los','las','por','con','para','su','al','lo','como','más'])) AS s_es,
+        |    len(list_intersect(toks, ['le','la','les','de','et','un','une','est','en','que','qui','dans','pour','pas','sur','au','avec','ne','ce','il'])) AS s_fr,
+        |    len(list_intersect(toks, ['il','la','di','che','e','un','una','è','in','per','non','con','del','della','si','da','al','le','dei','come'])) AS s_it
+        |  FROM scored
+        |)
+        |SELECT doc_id, lang_label,
+        |  CASE WHEN greatest(s_en,s_de,s_es,s_fr,s_it) <= 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'en'
+        |       WHEN s_de = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'de'
+        |       WHEN s_es = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'es'
+        |       WHEN s_fr = greatest(s_en,s_de,s_es,s_fr,s_it) THEN 'fr'
+        |       ELSE 'it' END AS lang_pred
+        |FROM s2
+        |""".stripMargin) { (s, dir) =>
       docs(s, dir).select(col("doc_id"), col("lang").as("lang_label"),
         TextFunctions.langId(col("text")).as("lang_pred"))
     },

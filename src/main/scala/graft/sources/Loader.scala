@@ -35,7 +35,15 @@ final class Loader(catalog: GraftCatalog, distributedInferenceBytes: Long = 256L
     val batchStruct = org.apache.spark.sql.types.StructType(
       catalog.structOf(database, table).fields.filter(f => types.contains(f.name) ||
         f.name == catalog.RowIdColumn))
-    val df = spark.read.schema(batchStruct).json(file.toString)
+    val df0 = spark.read.schema(batchStruct).json(file.toString)
+    // distributed __row_id backfill: HTTP ingest stamps ids before the
+    // sink, but files loaded from elsewhere may lack them — the
+    // snowflake expression folds the partition index into the node id,
+    // so executors can't collide (SnowflakeId in NativeExpressions)
+    val df =
+      if (types.contains(catalog.RowIdColumn)) df0
+      else df0.withColumn(catalog.RowIdColumn,
+        graft.functions.NativeExpressions.snowflake_id())
     catalog.append(database, table, df)
     df.count()
   }

@@ -66,6 +66,21 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("destination isolation: same table name in two databases never collides") {
+    val (srv, base) = newServer()
+    try {
+      srv.addApiKey("keyA", "dbA")
+      srv.addApiKey("keyB", "dbB")
+      post(s"$base/api/data/insert/t?api_key=keyA", """{"v": "from_a"}""")
+      post(s"$base/api/data/insert/t?api_key=keyB", """{"v": "from_b"}""")
+      srv.drain()
+      val a = post(s"$base/api/data/query?api_key=keyA", "select v from t")
+      val b = post(s"$base/api/data/query?api_key=keyB", "select v from t")
+      assert(a.body() == """[{"v":"from_a"}]""", a.body())
+      assert(b.body() == """[{"v":"from_b"}]""", b.body())
+    } finally srv.stop()
+  }
+
   test("auth: bad key 401; admin key routes via destination_id") {
     val (srv, base) = newServer()
     try {

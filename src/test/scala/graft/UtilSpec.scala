@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.{NativeExpressions, Snowflake, Ulid}
+import graft.query.QueryService
+import graft.util.Sql
+
+/** SQL quoting (reference stringbuffer_test.go cases), id generators,
+  * and the distributed snowflake expression. */
+class UtilSpec extends SparkTestBase {
+
+  test("Sql.ident quotes iff required (reference test vectors)") {
+    assert(Sql.ident("col") == "col")
+    assert(Sql.ident("tbl.col") == "\"tbl.col\"")
+    assert(Sql.ident("c\"l") == "\"c\"\"l\"")
+    assert(Sql.ident("_x") == "\"_x\"") // must start with a letter
+    assert(Sql.ident("a1_b") == "a1_b")
+  }
+
+  test("Sql.string single-quotes with '' escaping") {
+    assert(Sql.string("str") == "'str'")
+    assert(Sql.string("s'r") == "'s''r'")
+  }
+
+  test("cleanQuery trims whitespace and one trailing semicolon") {
+    assert(QueryService.cleanQuery("  select 1 ;  ") == "select 1")
+    assert(QueryService.cleanQuery("select 1;;") == "select 1;")
+  }
+
+  test("snowflake generator: unique, increasing, node id embedded") {
+    val gen = new Snowflake(5)
+    val ids = (1 to 5000).map(_ => gen.next())
+    assert(ids.distinct.size == ids.size)
+    assert(ids == ids.sorted)
+    assert(ids.forall(id => ((id >> 12) & 0x3ff) == 5))
+  }
+
+  test("ulid: 26 chars, time-ordered prefix, deterministic with fixed input") {
+    val u = Ulid.make()
+    assert(u.length == 26)
+    assert(u.matches("[0-9A-HJKMNP-TV-Z]{26}"))
+    val fixed = Ulid.make(1000000L, Array.fill[Byte](10)(0))
+    assert(fixed == Ulid.make(1000000L, Array.fill[Byte](10)(0)))
+    assert(Ulid.make(1L, Array.fill[Byte](10)(0)) <
+      Ulid.make(2L, Array.fill[Byte](10)(0)))
+  }
+
+  test("snowflake_id expression: unique across partitions and rows") {
+    val df = spark.range(0, 20000, 1, 8)
+      .withColumn("id2", NativeExpressions.snowflake_id())
+    val ids = df.select("id2").collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length, "distributed ids must be unique")
+  }
+}
