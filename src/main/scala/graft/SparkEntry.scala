@@ -14,6 +14,7 @@ object SparkEntry {
   /** All query packs, concatenated. Order matters only for docs. */
   def allDefs: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
+      _root_.graft.queries.Relational2.defs ++
       _root_.graft.queries.IngestPack.defs ++
       _root_.graft.queries.TrainingOps.defs ++
       _root_.graft.queries.AdvancedOps.defs

@@ -1,0 +1,113 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.Flatten
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second relational pack: percentiles, analytic-window extras, pivot,
+  * ordered string aggregation, distributed flattening. */
+object Relational2 {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // quantile_cont — both exact, unlike the approx sketches)
+    QueryDef(
+      "q_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
+        |FROM lineitem GROUP BY l_returnflag
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"))
+    },
+
+    QueryDef(
+      "q_window_analytic",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist()    OVER w, 6) AS cume,
+        |  nth_value(l_quantity, 2) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_qty,
+        |  last_value(l_quantity) OVER
+        |    (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS max_qty
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |""".stripMargin) { (s, dir) =>
+      val order = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("l_quantity"), 2).over(wRun).as("second_qty"),
+        last(col("l_quantity")).over(wAll).as("max_qty"))
+    },
+
+    // pivot: Spark-side relational pivot; oracle as portable
+    // conditional aggregation
+    QueryDef(
+      "q_pivot",
+      """SELECT l_linestatus,
+        |  round(coalesce(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 0), 2) AS A,
+        |  round(coalesce(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 0), 2) AS N,
+        |  round(coalesce(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 0), 2) AS R
+        |FROM lineitem GROUP BY l_linestatus
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum("l_quantity"))
+        .select(col("l_linestatus"),
+          round(coalesce(col("A"), lit(0)), 2).as("A"),
+          round(coalesce(col("N"), lit(0)), 2).as("N"),
+          round(coalesce(col("R"), lit(0)), 2).as("R"))
+    },
+
+    // deterministic ordered string aggregation (sorted collect_list —
+    // order-insensitive across partitions, unlike raw listagg)
+    QueryDef(
+      "q_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "nation").groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+    },
+
+    // the horizontal flattener running DISTRIBUTED (flatMap over a
+    // Dataset of JSON strings) against raw event props
+    QueryDef(
+      "q_flatten_distributed",
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      t(s, dir, "events")
+        .select(col("event_id"), col("props"))
+        .as[(Long, String)]
+        .flatMap { case (id, props) =>
+          Flatten.horizontal("t", props).map { r =>
+            val k = r.row.get("k").collect {
+              case graft.functions.JValue.JNum(raw) => raw.toLong
+            }
+            (id, k)
+          }
+        }
+        .toDF("event_id", "k")
+        .select(col("event_id"), col("k"))
+    })
+}
