@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+import java.nio.charset.StandardCharsets
 
 /** Native Catalyst expressions for the hot inner loops of the
   * training-data operators. Spark's higher-order functions (zip_with /
@@ -145,6 +146,122 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Distinct k-word shingles from an array<string> of tokens — the
+    * native form of the transform+slice+concat_ws+array_distinct HOF
+    * chain (which interprets per element). Short inputs fall back to
+    * one whole-doc shingle. */
+  case class WordShingles(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val out = new java.util.LinkedHashSet[String]()
+      if (n >= k) {
+        val sb = new java.lang.StringBuilder()
+        var s = 0
+        while (s <= n - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+          out.add(sb.toString)
+          s += 1
+        }
+      } else out.add(toks.mkString(" "))
+      val res = new Array[AnyRef](out.size)
+      val it = out.iterator(); var r = 0
+      while (it.hasNext) { res(r) = UTF8String.fromString(it.next()); r += 1 }
+      new GenericArrayData(res)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature straight from tokens: shingling, hashing, and
+    * the per-hash minima fused into one loop — no intermediate shingle
+    * array, no distinct pass (duplicate shingles can't change minima). */
+  case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    private val P = 2147483647L
+    @transient private lazy val params: Array[(Long, Long)] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+        rnd.nextInt(Int.MaxValue).toLong))
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      val sb = new java.lang.StringBuilder()
+      def update(shingle: String): Unit = {
+        val h0 = xxhash64(UTF8String.fromString(shingle))
+        val h = ((h0 % P) + P) % P
+        var x = 0
+        while (x < numHashes) {
+          val v2 = (params(x)._1 * h + params(x)._2) % P
+          if (v2 < sig(x)) sig(x) = v2
+          x += 1
+        }
+      }
+      if (n >= k) {
+        var s = 0
+        while (s <= n - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+          update(sb.toString)
+          s += 1
+        }
+      } else update(toks.mkString(" "))
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Rolling md5 fingerprint: lexicographic min of md5-hex over every
+    * k-char window of the text (same algorithm as the SQL
+    * transform+array_min form, one digest loop per row instead of 2M
+    * interpreted lambda calls per corpus). */
+  case class RollingFingerprint(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = "0123456789abcdef"
+      var best: String = null
+      val n = math.max(text.length - (k - 1), 1)
+      var i = 0
+      while (i < n) {
+        md.reset()
+        val window = text.substring(i, math.min(i + k, text.length))
+        val digest = md.digest(window.getBytes(StandardCharsets.UTF_8))
+        val sb = new java.lang.StringBuilder(32)
+        var j = 0
+        while (j < 16) {
+          sb.append(hex((digest(j) >> 4) & 0xf)); sb.append(hex(digest(j) & 0xf)); j += 1
+        }
+        val h = sb.toString
+        if (best == null || h < best) best = h
+        i += 1
+      }
+      UTF8String.fromString(best)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
@@ -172,4 +289,55 @@ object NativeExpressions {
     ExpressionUtils.column(SignatureAgreement(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def snowflake_id(baseNode: Int = Snowflake.defaultNodeId): Column =
     ExpressionUtils.column(SnowflakeId(baseNode))
+  def rolling_fingerprint(text: Column, k: Int = 16): Column =
+    ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
+  def word_shingles(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
+  def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
+    ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed))
+
+  /** Register every graft function for SQL passthrough use
+    * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the
+    * same registrations ride a SparkSessionExtensions (GraftExtensions). */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      es => CosineSimilarity(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64",
+      es => SimHash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_signature",
+      es => MinHashSignature(es.head, 128, 42L), "scala_udf")
+    reg.createOrReplaceTempFunction("signature_agreement",
+      es => SignatureAgreement(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("snowflake_id",
+      _ => SnowflakeId(Snowflake.defaultNodeId), "scala_udf")
+    reg.createOrReplaceTempFunction("rolling_fingerprint",
+      es => RollingFingerprint(es.head, 16), "scala_udf")
+  }
+}
+
+/** SparkSessionExtensions hook: `--conf spark.sql.extensions=
+  * graft.functions.GraftExtensions` registers the native functions in
+  * every session of a cluster deployment. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+  import NativeExpressions._
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    def info(name: String) = new ExpressionInfo("graft", name)
+    e.injectFunction((FunctionIdentifier("cosine_sim"), info("cosine_sim"),
+      es => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"), info("dot_product"),
+      es => DotProduct(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
+      es => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("signature_agreement"), info("signature_agreement"),
+      es => SignatureAgreement(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("snowflake_id"), info("snowflake_id"),
+      _ => SnowflakeId(Snowflake.defaultNodeId)))
+    e.injectFunction((FunctionIdentifier("rolling_fingerprint"), info("rolling_fingerprint"),
+      es => RollingFingerprint(es.head, 16)))
+  }
 }

@@ -80,8 +80,7 @@ object TextFunctions {
     * the column NAME (substring with a lambda-var start position is
     * only reachable through SQL text). */
   def fingerprintExpr(textCol: String, k: Int = 16): Column =
-    expr(s"array_min(transform(sequence(1, greatest(length($textCol) - ${k - 1}, 1)), " +
-      s"i -> md5(substring($textCol, i, $k))))")
+    NativeExpressions.rolling_fingerprint(col(textCol), k)
 }
 
 /** Minimal public stopword profiles (top function words per language). */

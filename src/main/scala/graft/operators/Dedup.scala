@@ -22,12 +22,10 @@ object Dedup {
   def tokens(text: Column): Column = split(lower(text), "\\s+")
 
   /** k-word shingles (distinct); short docs fall back to the whole doc
-    * as a single shingle so they still participate. */
+    * as a single shingle so they still participate. Native expression —
+    * one loop per row (the HOF chain interprets per element). */
   def wordShingles(toks: Column, k: Int): Column =
-    when(size(toks) >= k,
-      array_distinct(transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k))))))
-      .otherwise(array(concat_ws(" ", toks)))
+    graft.functions.NativeExpressions.word_shingles(toks, k)
 
   // ---- exact -------------------------------------------------------
 
@@ -60,11 +58,12 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
                         seed: Long = 42L): DataFrame =
-    df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleK).as("__sh"))
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         graft.functions.NativeExpressions
-          .minhash_signature(col("__sh"), numHashes, seed).as("signature"),
-        size(col("__sh")).cast("long").as("n_shingles"))
+          .minhash_from_tokens(col("__t"), shingleK, numHashes, seed).as("signature"),
+        size(graft.functions.NativeExpressions.word_shingles(col("__t"), shingleK))
+          .cast("long").as("n_shingles"))
 
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * bands must divide numHashes; a pair is a candidate iff some band
@@ -160,19 +159,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, threshold: Double = 0.5,
                         maxShingleFreq: Int = 100): DataFrame = {
+    // set_size rides along with each exploded shingle (row-local, the
+    // shingle array is already distinct), so pair rows carry both set
+    // sizes out of the self-join — no separate size joins at all
+    // join key is the shingle's 64-bit hash, not the string: smaller
+    // shuffle, faster compares (collision odds ~|shingles|²/2⁶⁴)
     val sh = df.select(col(idCol).as("doc"),
-      explode(wordShingles(tokens(col(textCol)), shingleK)).as("s"))
-    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("set_size"))
+      wordShingles(tokens(col(textCol)), shingleK).as("__sh"))
+      .select(col("doc"), size(col("__sh")).cast("long").as("set_size"),
+        explode(col("__sh")).as("__s"))
+      .select(col("doc"), col("set_size"), xxhash64(col("__s")).as("s"))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("__f"))
       .filter(col("__f") <= maxShingleFreq).select("s")
     val blocked = sh.join(rare, "s")
-    val inter = blocked.select(col("s"), col("doc").as("doc_a"))
-      .join(blocked.select(col("s"), col("doc").as("doc_b")), "s")
+    val inter = blocked
+      .select(col("s"), col("doc").as("doc_a"), col("set_size").as("size_a"))
+      .join(blocked.select(col("s"), col("doc").as("doc_b"), col("set_size").as("size_b")), "s")
       .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      .groupBy("doc_a", "doc_b", "size_a", "size_b").agg(count(lit(1)).as("n_common"))
     inter
-      .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("size_a") + col("size_b") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)

@@ -44,6 +44,23 @@ class UtilSpec extends SparkTestBase {
       Ulid.make(2L, Array.fill[Byte](10)(0)))
   }
 
+  test("registered SQL functions: cosine_sim / simhash64 / rolling_fingerprint") {
+    NativeExpressions.registerAll(spark)
+    val cos = spark.sql(
+      "select cosine_sim(array(1.0D, 0.0D, 1.0D), array(1.0D, 1.0D, 0.0D)) as c")
+      .collect().head.getDouble(0)
+    assert(math.abs(cos - 0.5) < 1e-12)
+    val sh = spark.sql("select simhash64(array('a','b','c')) as s").collect().head.getLong(0)
+    assert(sh == spark.sql("select simhash64(array('a','b','c')) as s").collect().head.getLong(0))
+    // native fingerprint must equal the SQL transform+array_min form
+    val sqlForm = spark.sql(
+      "select array_min(transform(sequence(1, greatest(length('hello world hello spark') - 15, 1)), " +
+        "i -> md5(substring('hello world hello spark', i, 16)))) as fp").collect().head.getString(0)
+    val native = spark.sql("select rolling_fingerprint('hello world hello spark') as fp")
+      .collect().head.getString(0)
+    assert(native == sqlForm)
+  }
+
   test("snowflake_id expression: unique across partitions and rows") {
     val df = spark.range(0, 20000, 1, 8)
       .withColumn("id2", NativeExpressions.snowflake_id())
