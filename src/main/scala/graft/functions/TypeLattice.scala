@@ -86,6 +86,15 @@ object TypeLattice {
     case _     => StringType
   }
 
+  /** Fold any Spark type back onto the lattice (copy/CSV ingest paths
+    * must stay re-ingestable, like the reference's re-inference). */
+  def fromSparkType(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Int
+    case FloatType | DoubleType | _: DecimalType       => Float
+    case BooleanType                                   => Bool
+    case _                                             => String
+  }
+
   def toStructType(types: Map[String, String]): StructType =
     StructType(types.toSeq.sortBy(_._1).map { case (n, t) =>
       StructField(n, toSparkType(t), nullable = true)

@@ -13,20 +13,11 @@ import org.apache.spark.sql.types._
   */
 final class Copier(catalog: GraftCatalog) {
 
-  /** Spark type → lattice column type (result columns must remain
-    * re-ingestable, mirroring the reference's re-inference of its
-    * NDJSON stream). */
-  private def latticeTypeOf(dt: DataType): String = dt match {
-    case ByteType | ShortType | IntegerType | LongType => TypeLattice.Int
-    case FloatType | DoubleType | _: DecimalType       => TypeLattice.Float
-    case BooleanType                                   => TypeLattice.Bool
-    case _                                             => TypeLattice.String
-  }
-
   def copy(sourceDb: String, query: String, destDb: String, destTable: String): Long = {
     catalog.registerViews(sourceDb)
     val df = QueryService.query(catalog.spark, query)
-    val types = df.schema.fields.map(f => f.name -> latticeTypeOf(f.dataType)).toMap
+    val types = df.schema.fields
+      .map(f => f.name -> TypeLattice.fromSparkType(f.dataType)).toMap
     catalog.ensureTable(destDb, destTable)
     catalog.addColumns(destDb, destTable, types)
     catalog.append(destDb, destTable, df)
