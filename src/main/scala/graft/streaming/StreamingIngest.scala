@@ -53,6 +53,15 @@ object StreamingIngest {
       .select((col("window.start").as("window_start") +:
         col("window.end").as("window_end") +: keyCols.map(col)) :+ col("n"): _*)
 
+  /** Streaming exact dedup: drop re-deliveries of the same key within
+    * the watermark horizon (bounded state). This is how at-least-once
+    * ingest (the queue redelivers on failure) becomes effectively-once
+    * in the streamed tables. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+                  keyCols: String*): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Session windows (gap-based) — the sessionization the reference's
     * users run in SQL, as a native stateful streaming op. */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,

@@ -2,7 +2,7 @@ package graft
 
 import graft.functions.TypeLattice
 import graft.sources.GraftCatalog
-import graft.streaming.StreamingIngest
+import graft.streaming.{SessionTracker, StreamingIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
@@ -71,6 +71,46 @@ class StreamingIngestSpec extends SparkTestBase {
     // and NO update with count 3 afterwards
     val aRows = out.filter(r => r._2 == "a")
     assert(aRows.map(_._3).max == 2, s"late row leaked into state: ${aRows.toSeq}")
+  }
+
+  test("streaming dedup drops redelivered rows within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingIngest.dedupStream(
+      mem.toDF().toDF("ts", "id", "v"), "ts", "10 minutes", "id")
+    val q = deduped.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    def t(s: String) = Timestamp.valueOf(s)
+    mem.addData((t("2024-01-01 10:00:00"), 1L, "a"), (t("2024-01-01 10:00:30"), 2L, "b"))
+    q.processAllAvailable()
+    // exact redelivery of id=1 (same ts) plus a fresh row
+    mem.addData((t("2024-01-01 10:00:00"), 1L, "a"), (t("2024-01-01 10:01:00"), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), s"got ${ids.toSeq}")
+  }
+
+  test("flatMapGroupsWithState session tracker closes sessions on gap") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[SessionTracker.Event]
+    val q = SessionTracker.track(mem.toDS(), gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    def e(u: Long, ts: String, k: String) =
+      SessionTracker.Event(u, Timestamp.valueOf(ts), k)
+    mem.addData(
+      e(1, "2024-01-01 10:00:00", "view"), e(1, "2024-01-01 10:02:00", "click"),
+      e(1, "2024-01-01 10:30:00", "view"), // > 5 min gap → closes first session
+      e(2, "2024-01-01 10:00:00", "view"))
+    q.processAllAvailable()
+    q.stop()
+    val closed = spark.table("sessions_out")
+      .filter(col("closed")).select("userId", "nEvents")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(closed.toSeq == Seq((1L, 2)), s"got ${closed.toSeq}")
   }
 
   test("session windows merge events within the gap") {
