@@ -49,6 +49,27 @@ object AdvancedOps {
         count(lit(1)).over(w).as("n_within_1k"))
     },
 
+    // Range join: event values banded into price tiers. The bucketized
+    // operator (operators/RangeJoin) replaces the nested-loop theta
+    // join with an equi-join + residual filter.
+    QueryDef(
+      "q_range_join",
+      """WITH bands(band, lo, hi) AS (
+        |  SELECT * FROM (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0),
+        |                        ('high', 120.0, 1000.0)) v
+        |)
+        |SELECT e.event_id, b.band, e.value
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1000.0))
+        .toDF("band", "lo", "hi")
+      graft.operators.RangeJoin.bucketed(
+        Tables.load(s, dir, "events").select("event_id", "value"), "value",
+        bands, "lo", "hi", step = 50.0)
+        .select("event_id", "band", "value")
+    },
+
     // HLL sketch distinct. Estimates differ engine-to-engine, so the
     // query reports both approx and exact; the spec asserts the error
     // bound, the driver records rows.
