@@ -88,6 +88,40 @@ object Relational2 {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
     },
 
+    // correlated scalar subquery — exercised through spark.sql so
+    // Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into
+    // an aggregate + left outer join
+    QueryDef(
+      "q_corr_scalar",
+      """SELECT c_custkey, c_name,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_order
+        |FROM customer c
+        |""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT c_custkey, c_name,
+          |  (SELECT round(max(o_totalprice), 2) FROM orders o
+          |   WHERE o.o_custkey = c.c_custkey) AS max_order
+          |FROM customer c
+          |""".stripMargin)
+    },
+
+    // struct construction + field access
+    QueryDef(
+      "q_struct_ops",
+      """SELECT o_orderkey,
+        |  struct_pack(status := o_orderstatus, price := o_totalprice).status AS s_status,
+        |  struct_pack(status := o_orderstatus, price := o_totalprice).price  AS s_price
+        |FROM orders
+        |""".stripMargin) { (s, dir) =>
+      val st = struct(col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      Tables.load(s, dir, "orders").select(
+        col("o_orderkey"),
+        st.getField("status").as("s_status"),
+        st.getField("price").as("s_price"))
+    },
+
     // the horizontal flattener running DISTRIBUTED (flatMap over a
     // Dataset of JSON strings) against raw event props
     QueryDef(
