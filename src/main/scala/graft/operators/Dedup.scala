@@ -87,11 +87,13 @@ object Dedup {
         .as(Seq("band", "bucket")))
       .select(col("doc"), col("band"), col("bucket"))
 
-    // cap pathological buckets (identical boilerplate at scale)
-    val withSize = banded
-      .withColumn("__bs", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")))
-      .filter(col("__bs") <= maxBucketSize).drop("__bs")
+    // cap pathological buckets (identical boilerplate at scale): the
+    // oversized-bucket list is tiny by construction, so a broadcast
+    // anti-join beats a full window sort over every banded row
+    val oversized = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
+      .select("band", "bucket")
+    val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
 
     val a = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
     val b = withSize.select(col("band"), col("bucket"), col("doc").as("doc_b"))

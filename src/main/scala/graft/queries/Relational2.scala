@@ -88,6 +88,40 @@ object Relational2 {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
     },
 
+    // gap-based sessionization in pure SQL (lag + running sum of
+    // session breaks) — the batch form of the streaming session window
+    QueryDef(
+      "q_sessionize_gap",
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), numbered AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end
+        |FROM numbered GROUP BY user_id, session_id
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      Tables.load(s, dir, "events")
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w))) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+    },
+
     // correlated scalar subquery — exercised through spark.sql so
     // Catalyst's RewriteCorrelatedScalarSubquery decorrelates it into
     // an aggregate + left outer join
