@@ -122,6 +122,32 @@ class FlattenSpec extends AnyFunSuite {
     byTable("numbers").foreach(n => assert(fieldsOf(n.row)("t_id") == tId))
   }
 
+  test("property: vertical row count = product of sibling array lengths (randomized)") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 50).foreach { _ =>
+      // random flat doc of scalars + top-level non-empty arrays of scalars
+      val nArrays = 1 + rnd.nextInt(3)
+      val arrays = (1 to nArrays).map(i => s"arr$i" -> (1 to (1 + rnd.nextInt(4)))
+        .map(j => rnd.nextInt(100)).toVector)
+      val scalars = (1 to rnd.nextInt(3)).map(i => s"s$i" -> rnd.nextInt(100))
+      val json = (scalars.map { case (k, v) => s""""$k": $v""" } ++
+        arrays.map { case (k, vs) => s""""$k": [${vs.mkString(",")}]""" })
+        .mkString("{", ",", "}")
+      val rows = Flatten.vertical("t", json, "D")
+      val expect = arrays.map(_._2.size.toLong).product
+      assert(rows.size == expect, s"doc=$json")
+      // every row has every array's order column within range
+      rows.foreach { r =>
+        val m = fieldsOf(r.row)
+        arrays.foreach { case (k, vs) =>
+          val ord = m(s"__order_$k").asInstanceOf[JNum].raw.toInt
+          assert(ord >= 0 && ord < vs.size)
+          assert(m(k) == JNum(vs(ord).toString), s"value/order mismatch in $json")
+        }
+      }
+    }
+  }
+
   test("horizontal roundtrip renders valid compact JSON") {
     val rows = Flatten.horizontal("t", """{"a":{"b":"x \" y"},"n":[1.5,true,null]}""")
     val rendered = rows.head.rendered
