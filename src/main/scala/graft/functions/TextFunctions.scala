@@ -81,6 +81,22 @@ object TextFunctions {
     * only reachable through SQL text). */
   def fingerprintExpr(textCol: String, k: Int = 16): Column =
     NativeExpressions.rolling_fingerprint(col(textCol), k)
+
+  // ---- dataset splitting ------------------------------------------
+
+  /** Deterministic train/val/test assignment from a stable id hash:
+    * bucket = first 24 bits of md5(id) mod 100. Engine- and
+    * run-independent (same doc lands in the same split everywhere),
+    * which is what training pipelines need for leak-free splits. */
+  def splitBucket(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 100
+
+  def datasetSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val b = splitBucket(id)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
 }
 
 /** Minimal public stopword profiles (top function words per language). */

@@ -198,6 +198,20 @@ object TrainingOps {
         TextFunctions.fingerprintExpr("text", 16).as("fp"))
     },
 
+    QueryDef(
+      "text_dataset_split",
+      """SELECT doc_id,
+        |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS bucket,
+        |  CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 80 THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextFunctions.splitBucket(col("doc_id")).as("bucket"),
+        TextFunctions.datasetSplit(col("doc_id")).as("split"))
+    },
+
     // ---- multimodal plumbing --------------------------------------
     QueryDef(
       "mm_decode",
