@@ -61,6 +61,28 @@ object Similarity {
     corpus.filter(pmod(col(idCol), lit(stride)) === 0)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
+  /** Deterministic Lloyd refinement of the seed centroids: iters
+    * rounds of assign → element-wise mean. Each round is one shuffle
+    * of (cell, position, value) triples — O(|corpus|·dim) rows with
+    * map-side partial sums, the standard distributed k-means step. */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      stride: Int, iters: Int): DataFrame = {
+    var centroids = seedCentroids(corpus, idCol, vecCol, stride)
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(vecs, idCol, "__v", centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .groupBy("cell", "__pos").agg(avg("__x").as("__m"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"))
+        .select(col("cell").as("centroid_id"),
+          transform(col("__pm"), p => p.getField("__m")).as("centroid_vec"))
+      centroids = means
+    }
+    centroids
+  }
+
   /** Assign each corpus vector to its nearest centroid (one broadcast
     * pass). This materialization is the "index build": at scale, write
     * it partitioned by cell so probes prune partitions. */
@@ -97,6 +119,56 @@ object Similarity {
       Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
       .filter(col("rnk") <= k)
       .select("query_id", "neighbor_id", "cos_sim", "rnk")
+  }
+
+  /** Sign-of-hyperplane LSH bucket id (random-projection LSH for
+    * cosine): nPlanes pseudo-random hyperplanes, one sign bit each.
+    * Planes are derived from hashed (plane, dim) pairs — deterministic,
+    * no driver-side randomness to ship. */
+  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
+    val v = vec.cast("array<double>")
+    val bits = (0 until nPlanes).map { p =>
+      // plane weight w[p][j] in [-1, 1): folded xxhash64 of (seed, p, j)
+      val dot = (0 until dim).map { j =>
+        val w = {
+          val h = scala.util.hashing.MurmurHash3.productHash((seed, p, j))
+          (h % 1000) / 1000.0
+        }
+        element_at(v, j + 1) * lit(w)
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Near-dup pairs via hyperplane LSH — the 100 TB path (the
+    * all-pairs variant below is the correctness baseline). AND-OR
+    * construction: nPlanes sign bits per bucket (precision), nTables
+    * independent plane sets unioned (recall: a pair is a candidate if
+    * ANY table buckets it together). Verification is identical exact
+    * cosine. */
+  def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, dim: Int,
+                               nPlanes: Int = 8, nTables: Int = 4,
+                               seed: Long = 42L): DataFrame = {
+    val bucketed = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), col("__v"),
+        posexplode(array((0 until nTables).map(t =>
+          hyperplaneBucket(col("__v"), dim, nPlanes, seed + t)): _*))
+          .as(Seq("__table", "__bucket")))
+    val a = bucketed.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_a"), col("__v").as("va"))
+    val b = bucketed.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__table", "__bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos_sim",
+        round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold. Exact

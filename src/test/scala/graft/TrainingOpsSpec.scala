@@ -85,6 +85,45 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(ivf.size == brute.size, "IVF must still return k rows per query")
   }
 
+  test("k-means refinement keeps IVF exact-per-cell and high recall") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "qid", "qvec", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val centroids = Similarity.kmeansCentroids(e, "vec_id", "embedding",
+      stride = 50, iters = 2)
+    assert(centroids.count() == 10)
+    val assigned = Similarity.ivfAssign(
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+      "vec_id", "embedding", centroids)
+    val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+      q, "qid", "qvec", 10, nProbe = 3)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.size == brute.size)
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"k-means IVF recall $recall")
+  }
+
+  test("hyperplane LSH near-dup finds planted duplicates, skips orthogonal vectors") {
+    val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
+    val nearDup = base.clone(); nearDup(3) = nearDup(3) + 0.001f
+    val orthogonal = Array.tabulate(16)(i => if (i == 0) 1.0f else 0.0f)
+    val df = Seq((1L, base), (2L, nearDup), (3L, orthogonal))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairsLsh(df, "vec_id", "embedding",
+      threshold = 0.95, dim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+    // and LSH finds a subset of (here: exactly) what brute force finds
+    val bruteP = Similarity.embeddingNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.toSet.subsetOf(bruteP) && bruteP == pairs.toSet)
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
