@@ -198,6 +198,16 @@ object TrainingOps {
         TextFunctions.fingerprintExpr("text", 16).as("fp"))
     },
 
+    // custom TypedImperativeAggregate: with capacity > #distinct the
+    // Misra-Gries sketch is exact, so the plain GROUP BY is its oracle
+    QueryDef(
+      "agg_heavy_hitters",
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type") { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .agg(graft.functions.HeavyHitters.heavy_hitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as(Seq("event_type", "n")))
+    },
+
     QueryDef(
       "text_dataset_split",
       """SELECT doc_id,

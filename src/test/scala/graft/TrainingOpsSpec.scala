@@ -124,6 +124,29 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(pairs.toSet.subsetOf(bruteP) && bruteP == pairs.toSet)
   }
 
+  test("heavy hitters sketch: exact when capacity suffices, hitter guaranteed under skew") {
+    import graft.functions.HeavyHitters.heavy_hitters
+    // exact mode: 3 distinct keys, capacity 8
+    val small = Seq("a", "a", "b", "a", "c", "b").toDF("k")
+    val exact = small.agg(heavy_hitters(col("k"), 8).as("hh"))
+      .select(explode(col("hh"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+
+    // skew mode: 10k rows, one key at 40%, capacity 4 — the hitter
+    // must survive with count within n/(k+1) of truth
+    val rnd = new scala.util.Random(5)
+    val skewed = (1 to 10000).map(_ =>
+      if (rnd.nextDouble() < 0.4) "HOT" else s"cold${rnd.nextInt(500)}")
+      .toDF("k").repartition(8)
+    val hh = skewed.agg(heavy_hitters(col("k"), 4).as("hh"))
+      .select(explode(col("hh"))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.contains("HOT"), s"hitter lost: $hh")
+    val trueHot = skewed.filter(col("k") === "HOT").count()
+    assert(hh("HOT") <= trueHot && hh("HOT") >= trueHot - 10000 / 5)
+  }
+
   test("cosine matches a hand-computed value") {
     val df = Seq((Array(1.0f, 0.0f, 1.0f), Array(1.0f, 1.0f, 0.0f))).toDF("a", "b")
     val c = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
