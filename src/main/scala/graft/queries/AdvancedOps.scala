@@ -70,6 +70,37 @@ object AdvancedOps {
         .select("event_id", "band", "value")
     },
 
+    // native window() in batch mode: tumbling hourly buckets
+    QueryDef(
+      "q_tumbling_window",
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("window_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
+    // sliding windows (1h window, 30min slide → every event in 2
+    // windows); oracle re-derives the window starts with epoch math
+    QueryDef(
+      "q_sliding_window",
+      """WITH w AS (
+        |  SELECT TIMESTAMP '1970-01-01 00:00:00'
+        |           + CAST(floor(epoch(ts) / 1800) * 1800 - off AS BIGINT) * INTERVAL '1 second'
+        |           AS window_start, value
+        |  FROM events, unnest([0, 1800]) AS t(off)
+        |)
+        |SELECT window_start, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes")
+          .getField("start").as("window_start"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+    },
+
     // HLL sketch distinct. Estimates differ engine-to-engine, so the
     // query reports both approx and exact; the spec asserts the error
     // bound, the driver records rows.

@@ -18,8 +18,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         if df[c].dtype == np.float64 or df[c].dtype == np.float32:
             df[c] = df[c].round(6)
-        # normalize timestamps to us
+        # normalize timestamps to tz-naive us
         if str(df[c].dtype).startswith("datetime64"):
+            if getattr(df[c].dtype, "tz", None) is not None:
+                df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
             df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
