@@ -36,30 +36,71 @@ object AsOfJoin {
     */
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightCols, "backward", Long.MaxValue)
+
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String,
+              rightCols: Seq[String]): DataFrame =
+    asof(left, right, keys, leftTs, rightTs, rightCols, "forward", Long.MaxValue)
+
+  /** @param direction   "backward" (latest right ≤ left) or "forward"
+    *                    (earliest right ≥ left), both inclusive
+    * @param toleranceMs max |leftTs − matched rightTs| in milliseconds;
+    *                    matches farther away become NULL (left join
+    *                    semantics preserved)
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           direction: String, toleranceMs: Long): DataFrame = {
     require(rightCols.nonEmpty, "need at least one right payload column")
+    require(direction == "backward" || direction == "forward", s"bad direction $direction")
     val leftCols = left.columns.toSeq
+    val matchedTs = "__matched_ts"
 
     val taggedRight = right.select(
       keys.map(col) ++
-        Seq(col(rightTs).as("__ts"), lit(0).as("__tag")) ++
+        Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
+          col(rightTs).as(matchedTs)) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
         rightCols.map(col): _*)
     val taggedLeft = left.select(
       keys.map(col) ++
-        Seq(col(leftTs).as("__ts"), lit(1).as("__tag")) ++
+        Seq(col(leftTs).as("__ts"), lit(1).as("__tag"),
+          lit(null).cast(right.schema(rightTs).dataType).as(matchedTs)) ++
         leftCols.filterNot(keys.contains).map(col) ++
         rightCols.map(c => lit(null).as(c)): _*)
 
+    // forward direction is backward over the reversed timeline; the
+    // tag keeps equal timestamps inclusive in both directions
+    val order =
+      if (direction == "backward") Seq(col("__ts").asc, col("__tag").asc)
+      else Seq(col("__ts").desc, col("__tag").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__tag"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+    val carried = (rightCols :+ matchedTs).foldLeft(taggedRight.unionByName(taggedLeft)) {
       (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
 
-    carried.filter(col("__tag") === 1)
+    val withinTolerance =
+      if (toleranceMs == Long.MaxValue) carried
+      else {
+        // timestamp columns: tolerance in ms; numeric ordering columns:
+        // tolerance in the column's own unit
+        val isTimestamp = right.schema(rightTs).dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        val gap =
+          if (isTimestamp)
+            abs(col("__ts").cast("double") - col(matchedTs).cast("double")) * 1000.0
+          else abs(col("__ts").cast("double") - col(matchedTs).cast("double"))
+        rightCols.foldLeft(carried) { (df, c) =>
+          df.withColumn(c, when(gap <= toleranceMs.toDouble, col(c)))
+        }
+      }
+
+    withinTolerance.filter(col("__tag") === 1)
       .select(leftCols.map(col) ++ rightCols.map(col): _*)
   }
 }

@@ -32,6 +32,27 @@ object AdvancedOps {
         Seq("click_id", "click_ts"))
     },
 
+    // As-of with a 1-hour match tolerance: DuckDB has no native
+    // tolerance, so the oracle nulls out stale matches with CASE.
+    QueryDef(
+      "q_asof_tolerance",
+      """SELECT p.user_id, p.event_id, p.ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.event_id END AS click_id,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin.asof(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_ts"), "backward", toleranceMs = 60 * 60 * 1000)
+    },
+
     // RANGE frame over a numeric ordering: peers within a value window.
     QueryDef(
       "q_window_range",

@@ -30,6 +30,28 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map("p0" -> null, "p1" -> "c2", "p2" -> "c3", "p3" -> "c4"))
   }
 
+  test("forward as-of join: earliest right ≥ left, inclusive") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 12:00:00"), "p2")).toDF("user_id", "ts", "pid")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "c0"), // equal ts → inclusive
+      (1L, ts("2024-01-01 11:00:00"), "c1")).toDF("user_id", "ts", "cid")
+    val out = AsOfJoin.forward(left, right, Seq("user_id"), "ts", "ts", Seq("cid"))
+      .select("pid", "cid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("p1" -> "c0", "p2" -> null))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 18:00:00"), "p2")).toDF("user_id", "ts", "pid")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), "c1")).toDF("user_id", "ts", "cid")
+    val out = AsOfJoin.asof(left, right, Seq("user_id"), "ts", "ts", Seq("cid"),
+      "backward", toleranceMs = 60 * 60 * 1000)
+      .select("pid", "cid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // p1 is 30 min after c1 (within 1h); p2 is 8.5h after (beyond)
+    assert(out == Map("p1" -> "c1", "p2" -> null))
+  }
+
   test("as-of join matches a window-free reference computation") {
     // randomized cross-check against an O(n^2) driver-side reference
     val rnd = new scala.util.Random(7)
