@@ -50,6 +50,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   // database via ?destination_id= --------------------------------------
   private val keys = new ConcurrentHashMap[String, String]()
   private val adminKeys = ConcurrentHashMap.newKeySet[String]()
+  /** Destination registry (A16/A22 admin surface). */
+  private val destinations = new ConcurrentHashMap[String, java.lang.Boolean]()
 
   def hash(key: String): String =
     MessageDigest.getInstance("SHA-256").digest(key.getBytes(StandardCharsets.UTF_8))
@@ -117,6 +119,25 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
       case ("GET" | "POST", "/api/data/query") => handleQuery(ex, db)
       case ("POST", "/api/data/copy") => handleCopy(ex, db)
       case ("POST", "/api/data/query/share") => handleCreateShare(ex, db)
+      case ("GET", "/api/destinations") =>
+        val names = destinations.keySet().toArray.map(n => "\"" + n + "\"").sorted
+        respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
+      case ("POST", "/api/destinations") =>
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val name = (try JValue.parseObject(body).get("name") catch { case _: Exception => None })
+          .collect { case JStr(s) => s }.getOrElse("")
+        if (name.isEmpty) respond(ex, 400, "name required", "text/plain")
+        else { destinations.put(name, java.lang.Boolean.TRUE)
+          respond(ex, 200, s"""{"name":"$name"}""", "application/json") }
+      case ("POST", p) if p.startsWith("/api/destinations/") && p.endsWith("/keys") =>
+        val dest = p.stripPrefix("/api/destinations/").stripSuffix("/keys")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val key = (try JValue.parseObject(body).get("api_key") catch { case _: Exception => None })
+          .collect { case JStr(s) => s }.getOrElse("")
+        if (key.isEmpty) respond(ex, 400, "api_key required", "text/plain")
+        else if (!destinations.containsKey(dest))
+          respond(ex, 404, "unknown destination", "text/plain")
+        else { addApiKey(key, dest); respond(ex, 200, """{"ok":true}""", "application/json") }
       case ("GET", "/api/tables") =>
         val names = catalog.listTables(db).map(n => "\"" + n + "\"")
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")

@@ -81,6 +81,36 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("destinations admin API: create, list, add key, use key") {
+    val (srv, base) = newServer()
+    try {
+      assert(post(s"$base/api/destinations?api_key=adminkey",
+        """{"name": "analytics"}""").statusCode() == 200)
+      assert(get(s"$base/api/destinations?api_key=adminkey").body() == """["analytics"]""")
+      assert(post(s"$base/api/destinations/analytics/keys?api_key=adminkey",
+        """{"api_key": "newkey"}""").statusCode() == 200)
+      assert(post(s"$base/api/destinations/nope/keys?api_key=adminkey",
+        """{"api_key": "k2"}""").statusCode() == 404)
+      // the fresh key routes to the new destination
+      val r = post(s"$base/api/data/insert/t1?api_key=newkey", """{"z": 9}""")
+      assert(r.statusCode() == 200)
+      srv.drain()
+      assert(get(s"$base/api/tables?api_key=newkey").body() == """["t1"]""")
+    } finally srv.stop()
+  }
+
+  test("SQL passthrough reads files directly (read_ndjson_auto parity)") {
+    val (srv, base) = newServer()
+    try {
+      val f = java.nio.file.Files.createTempFile("graft-scan", ".ndjson")
+      java.nio.file.Files.writeString(f, "{\"a\": 1}\n{\"a\": 2}\n")
+      val q = post(s"$base/api/data/query?api_key=localkey",
+        s"select sum(a) as s from json.`${f.toAbsolutePath}`")
+      assert(q.statusCode() == 200)
+      assert(q.body() == """[{"s":3}]""", q.body())
+    } finally srv.stop()
+  }
+
   test("auth: bad key 401; admin key routes via destination_id") {
     val (srv, base) = newServer()
     try {
