@@ -88,6 +88,77 @@ object Relational2 {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
     },
 
+    // TPC-H Q7 shape: shipping volume between two nation pairs by year
+    QueryDef(
+      "q_nation_volume",
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders   ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |) shipping
+        |GROUP BY supp_nation, cust_nation, l_year
+        |""".stripMargin) { (s, dir) =>
+      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+
+    // TPC-H Q14 shape: conditional-aggregate ratio (promo revenue share)
+    QueryDef(
+      "q_promo_share",
+      """SELECT round(
+        |  100.0 * sum(CASE WHEN p_type LIKE 'type_1%'
+        |                   THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |  / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |""".stripMargin) { (s, dir) =>
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type").like("type_1%"), rev).otherwise(0)) / sum(rev), 6)
+          .as("promo_share"))
+    },
+
+    // TPC-H Q18 shape: large orders via an aggregated IN-subquery
+    QueryDef(
+      "q_big_orders",
+      """SELECT c_name, o_orderkey, o_totalprice, round(sum(l_quantity), 2) AS total_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        |GROUP BY c_name, o_orderkey, o_totalprice
+        |""".stripMargin) { (s, dir) =>
+      val big = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("__q")).filter(col("__q") > 150)
+        .select(col("l_orderkey").as("__big_key"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("__big_key"), "left_semi")
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+    },
+
     // gap-based sessionization in pure SQL (lag + running sum of
     // session breaks) — the batch form of the streaming session window
     QueryDef(
