@@ -88,6 +88,52 @@ object Relational2 {
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
     },
 
+    QueryDef(
+      "q_regex_filter",
+      """SELECT p_partkey, p_name,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+        |FROM part WHERE regexp_matches(p_name, 'red|blue')
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .filter(col("p_name").rlike("red|blue"))
+        .select(col("p_partkey"), col("p_name"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+    },
+
+    QueryDef(
+      "q_null_funcs",
+      """SELECT
+        |  count(*) AS n_rows,
+        |  count(click_ref) AS n_nonnull,
+        |  count(coalesce(click_ref, 'none')) AS n_coalesced,
+        |  count(DISTINCT nullif(event_type, 'click')) AS n_types_minus_click
+        |FROM (SELECT event_type,
+        |        CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS click_ref
+        |      FROM events) t
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          when(col("event_type") === "click", lit(null)).otherwise(col("event_type"))
+            .as("click_ref"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("click_ref")).as("n_nonnull"),
+          count(coalesce(col("click_ref"), lit("none"))).as("n_coalesced"),
+          countDistinct(nullif(col("event_type"), lit("click"))).as("n_types_minus_click"))
+    },
+
+    // DISTINCT ON: first row per group under an ordering (DuckDB
+    // native; Spark expresses it as row_number = 1)
+    QueryDef(
+      "q_distinct_on",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    },
+
     // TPC-H Q7 shape: shipping volume between two nation pairs by year
     QueryDef(
       "q_nation_volume",
