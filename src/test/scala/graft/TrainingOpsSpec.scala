@@ -124,6 +124,24 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(pairs.toSet.subsetOf(bruteP) && bruteP == pairs.toSet)
   }
 
+  test("stratified sampling balances classes deterministically") {
+    val dir = "/root/testdata/sf0.01"
+    val docs = Tables.load(spark, dir, "documents")
+    val bySrc = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // downsample the largest class to ~30%, keep the rest
+    val biggest = bySrc.maxBy(_._2)._1
+    val fractions = bySrc.keys.map(k => k -> (if (k == biggest) 0.3 else 1.0)).toMap
+    val sampled = docs.stat.sampleBy("source", fractions, seed = 42L)
+    val after = sampled.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after(biggest) < bySrc(biggest) * 0.6, s"downsample ineffective: $after vs $bySrc")
+    bySrc.keys.filterNot(_ == biggest).foreach(k => assert(after(k) == bySrc(k)))
+    // deterministic under the same seed
+    val again = docs.stat.sampleBy("source", fractions, seed = 42L).count()
+    assert(again == sampled.count())
+  }
+
   test("heavy hitters sketch: exact when capacity suffices, hitter guaranteed under skew") {
     import graft.functions.HeavyHitters.heavy_hitters
     // exact mode: 3 distinct keys, capacity 8
