@@ -47,15 +47,24 @@ object Relational {
 
     QueryDef(
       "q_projection",
+      // Money math in exact DECIMAL on both sides: rounding a raw double
+      // product ties differently between engines (DuckDB nearbyint vs
+      // Spark BigDecimal HALF_UP); decimal arithmetic is exact and the
+      // 4-digit round is then engine-independent.  Cast back to DOUBLE
+      // so the output schema stays a plain double column.
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 4) AS charged,
+        |  CAST(round(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))
+        |             * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2)), 4) AS DOUBLE) AS charged,
         |  CAST(l_quantity AS BIGINT) AS qty_int
         |FROM lineitem
         |""".stripMargin) { (s, dir) =>
       t(s, dir, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")), 4).as("charged"),
+        round(col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)") *
+          (lit(1) + col("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)"), 4)
+          .cast("double").as("charged"),
         col("l_quantity").cast("long").as("qty_int"))
     },
 
@@ -157,8 +166,11 @@ object Relational {
     // ---- joins -----------------------------------------------------
     QueryDef(
       "q_join_inner",
+      // sum(double) is summation-order-dependent; summing exact DECIMAL
+      // products makes per-group revenue identical across engines.
       """SELECT o_orderkey, o_orderdate,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                 * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'F'
@@ -170,7 +182,9 @@ object Relational {
         .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,2)") *
+            (lit(1) - col("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")), 2)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
     },
 
