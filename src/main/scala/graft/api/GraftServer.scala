@@ -34,7 +34,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   private val blob = new LocalBlobStore(s"$root/blob")
   val queue = new JobQueue
   private val loader = new Loader(catalog)
-  private val copier = new Copier(catalog)
+  private val copier = new Copier(catalogFor _)
   private val workers = new Workers(queue, loader, copier, workerCount)
 
   // rotated sink files: upload to the blob store, enqueue a load job
@@ -56,6 +56,14 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   def hash(key: String): String =
     MessageDigest.getInstance("SHA-256").digest(key.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
+
+  /** Database/table names flow into filesystem paths (NdjsonSink,
+    * GraftCatalog.tableDir); restrict them to a safe charset so a
+    * request like `insert/..%2F..%2Fx` can never escape the warehouse
+    * root (the JDK server decodes %2F but does not normalize `..`). */
+  private def validIdent(s: String): Boolean =
+    s.nonEmpty && s.length <= 128 && s.forall(c =>
+      c.isLetterOrDigit && c < 128 || c == '_')
 
   def addApiKey(key: String, database: String): Unit = keys.put(hash(key), database)
   def addAdminKey(key: String): Unit = { adminKeys.add(hash(key)); () }
@@ -104,21 +112,28 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     (method, path) match {
       case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
       case (_, p) if p.startsWith("/share/") => handleShareData(ex, p)
-      case (_, p) if p.startsWith("/api/") => authed(ex) { db => route(ex, db, p) }
+      case (_, p) if p.startsWith("/api/") =>
+        authed(ex) { (db, isAdmin) => route(ex, db, isAdmin, p) }
       case _ => respond(ex, 404, "not found", "text/plain")
     }
   } catch {
     case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}", "text/plain")
   } finally ex.close()
 
-  private def route(ex: HttpExchange, db: String, path: String): Unit = {
+  private def route(ex: HttpExchange, db: String, isAdmin: Boolean, path: String): Unit = {
     val method = ex.getRequestMethod
     (method, path) match {
       case ("POST", p) if p.startsWith("/api/data/insert/") =>
         handleInsert(ex, db, p.stripPrefix("/api/data/insert/"))
       case ("GET" | "POST", "/api/data/query") => handleQuery(ex, db)
-      case ("POST", "/api/data/copy") => handleCopy(ex, db)
+      case ("POST", "/api/data/copy") => handleCopy(ex, db, isAdmin)
       case ("POST", "/api/data/query/share") => handleCreateShare(ex, db)
+      // Destination management is an admin surface: the reference binds
+      // destination creation to a logged-in user and key creation to the
+      // caller's own destination (pkg/api/router.go:74-88); a tenant key
+      // must never mint keys for other tenants' databases.
+      case (_, p) if p.startsWith("/api/destinations") && !isAdmin =>
+        respond(ex, 403, "admin key required", "text/plain")
       case ("GET", "/api/destinations") =>
         val names = destinations.keySet().toArray.map(n => "\"" + n + "\"").sorted
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
@@ -126,7 +141,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val name = (try JValue.parseObject(body).get("name") catch { case _: Exception => None })
           .collect { case JStr(s) => s }.getOrElse("")
-        if (name.isEmpty) respond(ex, 400, "name required", "text/plain")
+        if (!validIdent(name)) respond(ex, 400, "valid name required", "text/plain")
         else { destinations.put(name, java.lang.Boolean.TRUE)
           respond(ex, 200, s"""{"name":"$name"}""", "application/json") }
       case ("POST", p) if p.startsWith("/api/destinations/") && p.endsWith("/keys") =>
@@ -143,7 +158,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
       case ("GET", p) if p.startsWith("/api/tables/") && p.endsWith("/columns") =>
         val table = p.stripPrefix("/api/tables/").stripSuffix("/columns")
-        if (!catalog.tableExists(db, table)) respond(ex, 404, "table not found", "text/plain")
+        if (!validIdent(table) || !catalog.tableExists(db, table))
+          respond(ex, 404, "table not found", "text/plain")
         else {
           val cols = catalog.columns(db, table)
             .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
@@ -154,21 +170,23 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   }
 
   // ---- handlers ---------------------------------------------------
-  private def authed(ex: HttpExchange)(f: String => Unit): Unit = {
+  private def authed(ex: HttpExchange)(f: (String, Boolean) => Unit): Unit = {
     val params = queryParams(ex)
     val hashed = hash(params.getOrElse("api_key", ""))
     if (adminKeys.contains(hashed)) {
-      f(params.getOrElse("destination_id", "default"))
+      val db = params.getOrElse("destination_id", "default")
+      if (!validIdent(db)) respond(ex, 400, "invalid destination_id", "text/plain")
+      else f(db, true)
     } else {
       keys.get(hashed) match {
         case null => respond(ex, 401, "Unauthorized", "text/plain")
-        case db   => f(db)
+        case db   => f(db, false)
       }
     }
   }
 
   private def handleInsert(ex: HttpExchange, db: String, table: String): Unit = {
-    if (table.isEmpty) { respond(ex, 400, "table required", "text/plain"); return }
+    if (!validIdent(table)) { respond(ex, 400, "valid table name required", "text/plain"); return }
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val mode = Ingest.FlattenMode.fromParam(queryParams(ex).getOrElse("flatten", ""))
     val r = ingest.insert(db, table, body, mode)
@@ -209,7 +227,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     w.flush()
   }
 
-  private def handleCopy(ex: HttpExchange, db: String): Unit = {
+  private def handleCopy(ex: HttpExchange, db: String, isAdmin: Boolean): Unit = {
     val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
     val obj = try JValue.parseObject(body) catch {
       case e: Exception => respond(ex, 400, s"bad body: ${e.getMessage}", "text/plain"); return
@@ -222,6 +240,16 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     val destTable = obj.get("destination_table").collect { case JStr(s) => s }.getOrElse("")
     if (query.isEmpty || destDb.isEmpty || destTable.isEmpty) {
       respond(ex, 400, "query, destination_id, destination_table required", "text/plain"); return
+    }
+    if (!validIdent(destDb) || !validIdent(destTable)) {
+      respond(ex, 400, "invalid destination identifier", "text/plain"); return
+    }
+    // Ownership: a tenant may only copy into its own database (the
+    // reference verifies the destination belongs to the caller's team,
+    // pkg/api/data.go Copy → GetDestination(teamId, id)); only admin
+    // keys may target arbitrary databases.
+    if (!isAdmin && destDb != db) {
+      respond(ex, 403, "destination not owned by caller", "text/plain"); return
     }
     val id = queue.enqueue(JobMessage.CopyData(db, query, destDb, destTable))
     respond(ex, 200, s"""{"job_id":$id}""", "application/json")

@@ -80,27 +80,33 @@ object AsOfJoin {
       .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = (rightCols :+ matchedTs).foldLeft(taggedRight.unionByName(taggedLeft)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // Carry the matched right row as ONE struct: per-column
+    // last(ignoreNulls) would skip a NULL payload value and substitute
+    // it from an OLDER right row, mixing columns of different matches.
+    // The struct itself is non-null for every right row, so last() picks
+    // whole rows and NULL payload values survive — DuckDB ASOF semantics.
+    val payload = when(col("__tag") === 0,
+      struct((rightCols :+ matchedTs).map(col): _*))
+    val carried = taggedRight.unionByName(taggedLeft)
+      .withColumn("__payload", last(payload, ignoreNulls = true).over(w))
 
-    val withinTolerance =
-      if (toleranceMs == Long.MaxValue) carried
+    // timestamp columns: tolerance in ms; numeric ordering columns:
+    // tolerance in the column's own unit
+    val matched = col("__payload").getField(matchedTs)
+    val gapOk: Column =
+      if (toleranceMs == Long.MaxValue) matched.isNotNull
       else {
-        // timestamp columns: tolerance in ms; numeric ordering columns:
-        // tolerance in the column's own unit
         val isTimestamp = right.schema(rightTs).dataType
           .isInstanceOf[org.apache.spark.sql.types.TimestampType]
         val gap =
           if (isTimestamp)
-            abs(col("__ts").cast("double") - col(matchedTs).cast("double")) * 1000.0
-          else abs(col("__ts").cast("double") - col(matchedTs).cast("double"))
-        rightCols.foldLeft(carried) { (df, c) =>
-          df.withColumn(c, when(gap <= toleranceMs.toDouble, col(c)))
-        }
+            abs(col("__ts").cast("double") - matched.cast("double")) * 1000.0
+          else abs(col("__ts").cast("double") - matched.cast("double"))
+        gap <= toleranceMs.toDouble
       }
 
-    withinTolerance.filter(col("__tag") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(col): _*)
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => when(gapOk, col("__payload").getField(c)).as(c)): _*)
   }
 }

@@ -11,16 +11,21 @@ import org.apache.spark.sql.types._
   * backends load files; one distributed `df.write` replaces the whole
   * chunk pipeline — no intermediate files at any scale.
   */
-final class Copier(catalog: GraftCatalog) {
+/** @param catalogFor per-source-database catalog resolver (the server's
+  * session pool): copies for different source dbs run in different
+  * SparkSessions, so their same-named temp views can never collide when
+  * multiple copy jobs run concurrently on the worker pool. */
+final class Copier(catalogFor: String => GraftCatalog) {
 
   def copy(sourceDb: String, query: String, destDb: String, destTable: String): Long = {
-    catalog.registerViews(sourceDb)
-    val df = QueryService.query(catalog.spark, query)
+    val cat = catalogFor(sourceDb)
+    cat.registerViews(sourceDb)
+    val df = QueryService.query(cat.spark, query)
     val types = df.schema.fields
       .map(f => f.name -> TypeLattice.fromSparkType(f.dataType)).toMap
-    catalog.ensureTable(destDb, destTable)
-    catalog.addColumns(destDb, destTable, types)
-    catalog.append(destDb, destTable, df)
-    catalog.read(destDb, destTable).count()
+    cat.ensureTable(destDb, destTable)
+    cat.addColumns(destDb, destTable, types)
+    cat.append(destDb, destTable, df)
+    cat.read(destDb, destTable).count()
   }
 }

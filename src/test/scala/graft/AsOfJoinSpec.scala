@@ -52,6 +52,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out == Map("p1" -> "c1", "p2" -> null))
   }
 
+  test("NULL payload values come from the matched row, never an older one") {
+    // the matched right row has price=NULL; a per-column carry would
+    // backfill 1.0 from the older row and mix columns across matches
+    val left = Seq((1L, 100L, "p1")).toDF("k", "t", "pid")
+    val right = Seq(
+      (1L, 10L, Some(1.0), "old"),
+      (1L, 90L, None: Option[Double], "new")
+    ).toDF("k", "t", "price", "tag")
+    val out = AsOfJoin.backward(left, right, Seq("k"), "t", "t", Seq("price", "tag"))
+      .select("pid", "price", "tag").collect().head
+    assert(out.getString(0) == "p1")
+    assert(out.isNullAt(1), s"price must stay NULL from matched row, got ${out.get(1)}")
+    assert(out.getString(2) == "new")
+  }
+
   test("as-of join matches a window-free reference computation") {
     // randomized cross-check against an O(n^2) driver-side reference
     val rnd = new scala.util.Random(7)

@@ -99,6 +99,37 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("destinations routes are admin-only; tenant keys get 403") {
+    val (srv, base) = newServer()
+    try {
+      assert(post(s"$base/api/destinations?api_key=localkey",
+        """{"name": "sneaky"}""").statusCode() == 403)
+      assert(get(s"$base/api/destinations?api_key=localkey").statusCode() == 403)
+      // a tenant must not be able to mint keys for another tenant's db
+      assert(post(s"$base/api/destinations?api_key=adminkey",
+        """{"name": "victim"}""").statusCode() == 200)
+      assert(post(s"$base/api/destinations/victim/keys?api_key=localkey",
+        """{"api_key": "stolen"}""").statusCode() == 403)
+    } finally srv.stop()
+  }
+
+  test("path-traversal identifiers are rejected at the API boundary") {
+    val (srv, base) = newServer()
+    try {
+      // JDK HttpServer decodes %2F, so this arrives as `../../x`
+      val r = post(s"$base/api/data/insert/..%2F..%2Fescape?api_key=localkey",
+        """{"x": 1}""")
+      assert(r.statusCode() == 400, s"${r.statusCode()} ${r.body()}")
+      assert(post(s"$base/api/destinations?api_key=adminkey",
+        """{"name": "../evil"}""").statusCode() == 400)
+      assert(get(s"$base/api/tables?api_key=adminkey&destination_id=..%2Fup")
+        .statusCode() == 400)
+      val cp = post(s"$base/api/data/copy?api_key=adminkey",
+        """{"query": "select 1", "destination_id": "ok_db", "destination_table": "../../t"}""")
+      assert(cp.statusCode() == 400, cp.body())
+    } finally srv.stop()
+  }
+
   test("SQL passthrough reads files directly (read_ndjson_auto parity)") {
     val (srv, base) = newServer()
     try {
@@ -133,11 +164,22 @@ class GraftServerSpec extends SparkTestBase {
       post(s"$base/api/data/insert/src_t?api_key=localkey", """{"v": 32}""")
       srv.drain()
 
-      // copy: query result → new table in another database
-      val cp = post(s"$base/api/data/copy?api_key=localkey",
+      // copy: tenant keys may only copy within their own database;
+      // cross-database copy is an admin operation (reference checks
+      // destination ownership in pkg/api/data.go Copy)
+      val denied = post(s"$base/api/data/copy?api_key=localkey",
+        """{"query": "select v from src_t", "destination_id": "otherdb", "destination_table": "stolen"}""")
+      assert(denied.statusCode() == 403, denied.body())
+      val own = post(s"$base/api/data/copy?api_key=localkey",
+        """{"query": "select v, v * 2 as v2 from src_t", "destination_id": "default", "destination_table": "copied_own"}""")
+      assert(own.statusCode() == 200 && own.body().startsWith("""{"job_id":"""), own.body())
+      val cp = post(s"$base/api/data/copy?api_key=adminkey",
         """{"query": "select v, v * 2 as v2 from src_t", "destination_id": "otherdb", "destination_table": "copied"}""")
       assert(cp.statusCode() == 200 && cp.body().startsWith("""{"job_id":"""), cp.body())
-      assert(srv.drain(), "copy job should drain")
+      assert(srv.drain(), "copy jobs should drain")
+      val ownRows = post(s"$base/api/data/query?api_key=localkey",
+        "select v, v2 from copied_own order by v")
+      assert(ownRows.body() == """[{"v":10,"v2":20},{"v":32,"v2":64}]""", ownRows.body())
       val copied = get(s"$base/api/data/query?api_key=adminkey&destination_id=otherdb&query=" +
         java.net.URLEncoder.encode("select v, v2 from copied order by v", "UTF-8"))
       assert(copied.body() == """[{"v":10,"v2":20},{"v":32,"v2":64}]""", copied.body())
