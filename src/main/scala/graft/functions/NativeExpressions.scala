@@ -262,6 +262,59 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-table hyperplane LSH bucket ids (random-projection LSH for
+    * cosine similarity) in ONE pass over the vector: nTables × nPlanes
+    * signed projections, each sign contributing one bit of that table's
+    * bucket id. Plane weights derive from md5("lsh{seed}_{t}_{p}_{j}")
+    * — deterministic with no driver-side randomness to ship, and
+    * reproducible in ANY engine with md5, so the DuckDB oracle can
+    * replicate the whole pipeline value-for-value. Replaces the old
+    * dim×nPlanes×nTables nested-Column construction (~2k expression
+    * nodes at 64d; ~33k at 1024d) with a single expression whose
+    * analysis cost is O(1) in dim. */
+  case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int,
+      nTables: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val weights: Array[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nTables * nPlanes) { tp =>
+        val t = tp / nPlanes; val p = tp % nPlanes
+        Array.tabulate(dim) { j =>
+          md.reset()
+          val digest = md.digest(
+            s"lsh${seed}_${t}_${p}_${j}".getBytes(StandardCharsets.UTF_8))
+          // first 8 hex chars of the digest, folded into [-1.0, 1.0]
+          var x = 0L
+          var b = 0
+          while (b < 4) { x = (x << 8) | (digest(b) & 0xffL); b += 1 }
+          (x % 2001 - 1000) / 1000.0
+        }
+      }
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val a = toDoubles(v.asInstanceOf[ArrayData])
+      val n = math.min(a.length, dim)
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var bucket = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val w = weights(t * nPlanes + p)
+          var dot = 0.0; var j = 0
+          while (j < n) { dot += w(j) * a(j); j += 1 }
+          if (dot >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
@@ -295,6 +348,10 @@ object NativeExpressions {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed))
+  def hyperplane_buckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
+      seed: Int = 42): Column =
+    ExpressionUtils.column(HyperplaneBuckets(
+      ExpressionUtils.expression(vec), dim, nPlanes, nTables, seed))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the

@@ -121,41 +121,29 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rnk")
   }
 
-  /** Sign-of-hyperplane LSH bucket id (random-projection LSH for
-    * cosine): nPlanes pseudo-random hyperplanes, one sign bit each.
-    * Planes are derived from hashed (plane, dim) pairs — deterministic,
-    * no driver-side randomness to ship. */
-  def hyperplaneBucket(vec: Column, dim: Int, nPlanes: Int, seed: Long = 42L): Column = {
-    val v = vec.cast("array<double>")
-    val bits = (0 until nPlanes).map { p =>
-      // plane weight w[p][j] in [-1, 1): folded xxhash64 of (seed, p, j)
-      val dot = (0 until dim).map { j =>
-        val w = {
-          val h = scala.util.hashing.MurmurHash3.productHash((seed, p, j))
-          (h % 1000) / 1000.0
-        }
-        element_at(v, j + 1) * lit(w)
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  /** All nTables sign-of-hyperplane LSH bucket ids for a vector as one
+    * `array<long>` — a single native expression pass (see
+    * NativeExpressions.HyperplaneBuckets); plan size is O(1) in dim. */
+  def hyperplaneBuckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
+                        seed: Int = 42): Column =
+    graft.functions.NativeExpressions.hyperplane_buckets(
+      vec.cast("array<double>"), dim, nPlanes, nTables, seed)
 
   /** Near-dup pairs via hyperplane LSH — the 100 TB path (the
     * all-pairs variant below is the correctness baseline). AND-OR
     * construction: nPlanes sign bits per bucket (precision), nTables
     * independent plane sets unioned (recall: a pair is a candidate if
     * ANY table buckets it together). Verification is identical exact
-    * cosine. */
+    * cosine. One shuffle of nTables·|corpus| bucket rows; no cross
+    * join anywhere in the plan. */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
-                               seed: Long = 42L): DataFrame = {
+                               seed: Int = 42): DataFrame = {
     val bucketed = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
       .select(col(idCol), col("__v"),
-        posexplode(array((0 until nTables).map(t =>
-          hyperplaneBucket(col("__v"), dim, nPlanes, seed + t)): _*))
+        posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
     val a = bucketed.select(col("__table"), col("__bucket"),
       col(idCol).as("id_a"), col("__v").as("va"))
@@ -171,10 +159,11 @@ object Similarity {
       .select("id_a", "id_b", "cos_sim")
   }
 
-  /** Embedding near-duplicate pairs above a cosine threshold. Exact
-    * all-pairs within blocks: corpus is range-blocked by id to bound
-    * the cross-join width; at scale swap the blocker for LSH buckets
-    * (random hyperplane signs) — same downstream verification. */
+  /** Embedding near-duplicate pairs above a cosine threshold — EXACT
+    * all-pairs (O(n²) cross join). This is the correctness baseline and
+    * recall yardstick only; it does not scale past ~10^5 vectors. The
+    * production path is embeddingNearDupPairsLsh above (bucket-blocked
+    * equi-join, same exact-cosine verification). */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
     val normed = corpus.select(col(idCol),

@@ -94,6 +94,39 @@ object TrainingOps {
       Similarity.embeddingNearDupPairs(embs(s, dir), "vec_id", "embedding", 0.35)
     },
 
+    // The scale path: same near-dup semantics via hyperplane LSH —
+    // bucket-blocked equi-join, no cross join in the plan. The oracle
+    // replicates the ENTIRE pipeline (md5-derived planes, sign-bit
+    // buckets, band join, exact-cosine verify) in DuckDB SQL, so the
+    // two independent implementations must agree value-for-value.
+    QueryDef(
+      "dedup_embedding_lsh",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), planes AS (
+        |  SELECT r1.t, r2.p,
+        |    list_transform(range(0, 64), j ->
+        |      (CAST('0x' || substr(md5('lsh42_' || r1.t || '_' || r2.p || '_' || j), 1, 8) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+        |  FROM range(0, 4) r1(t), range(0, 8) r2(p)
+        |), bucketed AS (
+        |  SELECT e.vec_id, pl.t,
+        |    CAST(sum(CASE WHEN list_inner_product(pl.w, e.v) >= 0 THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM e, planes pl
+        |  GROUP BY e.vec_id, pl.t
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bucketed a JOIN bucketed b
+        |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |)
+        |SELECT c.id_a, c.id_b,
+        |  round(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+        |FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+        |WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
+        |""".stripMargin) { (s, dir) =>
+      Similarity.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
+        threshold = 0.35, dim = 64, nPlanes = 8, nTables = 4, seed = 42)
+    },
+
     // ---- similarity search ----------------------------------------
     QueryDef(
       "ann_brute_topk",

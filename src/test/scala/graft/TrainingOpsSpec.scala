@@ -124,6 +124,15 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(pairs.toSet.subsetOf(bruteP) && bruteP == pairs.toSet)
   }
 
+  test("LSH near-dup plan is bucket-blocked — no cartesian product anywhere") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val plan = Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+      threshold = 0.35, dim = 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH plan must not contain a cross join:\n$plan")
+  }
+
   test("stratified sampling balances classes deterministically") {
     val dir = "/root/testdata/sf0.01"
     val docs = Tables.load(spark, dir, "documents")
