@@ -294,5 +294,45 @@ object Relational2 {
         }
         .toDF("event_id", "k")
         .select(col("event_id"), col("k"))
+    },
+
+    QueryDef(
+      "q_join_right",
+      """SELECT n_name, s_suppkey, s_name
+        |FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"), "right_outer")
+        .select("n_name", "s_suppkey", "s_name")
+    },
+
+    // MapType: build a per-customer status→count map in the engine,
+    // then read it back out with element_at / map_keys / cardinality
+    QueryDef(
+      "q_map_ops",
+      """WITH per AS (
+        |  SELECT o_custkey, o_orderstatus AS st, count(*) AS c
+        |  FROM orders GROUP BY 1, 2
+        |), m AS (
+        |  SELECT o_custkey, map(list(st ORDER BY st), list(c ORDER BY st)) AS mm
+        |  FROM per GROUP BY 1
+        |)
+        |SELECT o_custkey,
+        |  map_extract(mm, 'O')[1] AS n_open,
+        |  map_extract(mm, 'F')[1] AS n_filled,
+        |  array_to_string(list_sort(map_keys(mm)), ',') AS statuses,
+        |  CAST(cardinality(mm) AS BIGINT) AS n_statuses
+        |FROM m
+        |""".stripMargin) { (s, dir) =>
+      val m = t(s, dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus").count()
+        .groupBy("o_custkey")
+        .agg(map_from_entries(
+          array_sort(collect_list(struct(col("o_orderstatus"), col("count"))))).as("mm"))
+      m.select(col("o_custkey"),
+        element_at(col("mm"), "O").as("n_open"),
+        element_at(col("mm"), "F").as("n_filled"),
+        array_join(array_sort(map_keys(col("mm"))), ",").as("statuses"),
+        size(col("mm")).cast("long").as("n_statuses"))
     })
 }
