@@ -152,6 +152,77 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  // ---- transitive closure of dup pairs ----------------------------
+
+  /** Connected components over an undirected pair list — the
+    * transitive-closure step that collapses A~B~C chains into one dup
+    * group (the single-pass dedups above only look one hop out).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): each round re-points edges
+    * at per-neighborhood minima, contracting every component into a
+    * star rooted at its global min in O(log²) rounds. Each half-round
+    * is one groupBy + one self-join over the EDGE list (not the corpus)
+    * — no driver-side graph state, so it scales to any pair count; the
+    * driver loop only orchestrates and checks the fixpoint.
+    *
+    * Returns (node, component) for every node that appears in a pair;
+    * component = min node id reachable. Callers left-join this onto the
+    * corpus and coalesce to doc_id for singleton docs. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    // canonical edge = (max, min), deduped, self-loops dropped
+    def canon(e: DataFrame): DataFrame =
+      e.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    def undirected(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
+      col(bCol).cast("long").as("v"))).localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: connect every strictly-larger neighbor to
+      // m(u) = min(Γ(u) ∪ {u})
+      val nbr = undirected(edges)
+      val mins = nbr.groupBy("u").agg(min("v").as("__mv"))
+        .select(col("u"), least(col("u"), col("__mv")).as("__m"))
+      val large = canon(nbr.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("__m").as("v"))).localCheckpoint()
+
+      // small-star: connect every smaller neighbor (and u itself) to
+      // the min of u's smaller neighborhood
+      val le = undirected(large).filter(col("v") < col("u"))
+      val mins2 = le.groupBy("u").agg(min("v").as("__m"))
+      val small = canon(
+        le.join(mins2, "u").filter(col("v") =!= col("__m"))
+          .select(col("v").as("u"), col("__m").as("v"))
+          .union(mins2.select(col("u"), col("__m").as("v")))).localCheckpoint()
+
+      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      edges = small
+      it += 1
+    }
+    edges.select(col("u").as("node"), col("v").as("component"))
+  }
+
+  /** Per-doc dup group with FULL transitive closure: connected
+    * components over the MinHash-LSH pair graph, so chains of near-dups
+    * collapse to one group (cf. minhashDedup, which is one hop). */
+  def minhashDedupGroups(df: DataFrame, idCol: String, textCol: String,
+                         shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
+                         threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", idCol)
+    df.select(col(idCol))
+      .join(comp, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("dup_group"))
+  }
+
   // ---- exact n-gram Jaccard ---------------------------------------
 
   /** Exact Jaccard similarity over k-word shingle sets. Candidates are

@@ -127,6 +127,51 @@ object TrainingOps {
         threshold = 0.35, dim = 64, nPlanes = 8, nTables = 4, seed = 42)
     },
 
+    // Transitive closure of the dup-pair graph: A~B~C chains collapse
+    // to one component (min reachable doc_id). Spark side iterates
+    // large-star/small-star to a fixpoint; the oracle closes the same
+    // pair graph with a recursive CTE. sf0.01 contains a genuine
+    // 3-chain (component 45), so transitivity is exercised, not vacuous.
+    QueryDef(
+      "dedup_components",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        |), blocked AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+        |), comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+        |)
+        |SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      d.select(col("doc_id")).join(comp, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+    },
+
     // ---- similarity search ----------------------------------------
     QueryDef(
       "ann_brute_topk",

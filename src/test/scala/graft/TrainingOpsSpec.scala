@@ -37,6 +37,31 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(groups == Map(10L -> 10L, 20L -> 10L, 30L -> 30L))
   }
 
+  test("connected components collapse chains, stars and cycles to the min id") {
+    // chain 1-2-3 (1~2 and 2~3 near-dup, 1~3 NOT directly similar),
+    // star 10-(11,12), cycle 20-21-22-20, isolated pair 30-31
+    val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L), (12L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(2L -> 1L, 3L -> 1L, 11L -> 10L, 12L -> 10L,
+      21L -> 20L, 22L -> 20L, 31L -> 30L)
+    assert(comp == expected, s"got $comp")
+  }
+
+  test("minhashDedupGroups closes transitive near-dup chains") {
+    // A~B (edit at 15), B~C (edits at 15 and 45): A and C share only
+    // ~half their shingles, so the single-pass verdict would split them
+    val mk = (edits: Set[Int]) => (0 until 60)
+      .map(i => if (edits(i)) s"ED$i" else s"tok$i").mkString(" ")
+    val df = docsDf(1L -> mk(Set.empty), 2L -> mk(Set(15)), 3L -> mk(Set(15, 45)),
+      9L -> (0 until 60).map(i => s"zzz$i").mkString(" "))
+    val groups = Dedup.minhashDedupGroups(df, "doc_id", "text",
+      shingleK = 5, numHashes = 128, bands = 64, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), s"got $groups")
+  }
+
   test("minhash est_jaccard approximates exact shingle jaccard") {
     val base = (0 until 100).map(i => s"w$i").mkString(" ")
     val mod = ((0 until 50).map(i => s"w$i") ++ (0 until 50).map(i => s"x$i")).mkString(" ")
