@@ -66,10 +66,38 @@ object NativeExpressions {
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       s, StringType, 42L)
 
-  /** 64-bit SimHash over array<string> tokens: per token, xxhash64
-    * supplies 64 bits; each bit position accumulates +1/-1; the sign
-    * vector is the fingerprint. Row-local, zero shuffle. */
-  case class SimHash64(child: Expression)
+  // md5-derived hashes for the cross-engine-verifiable ("md5" family)
+  // variants: any engine with md5 — the DuckDB oracle included — can
+  // reproduce them bit-for-bit, so the WHOLE sketch pipeline gets a
+  // value oracle instead of a rows-only check. xxhash64 stays the
+  // throughput default.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** First 15 hex chars (60 bits) of md5 — always non-negative, so
+    * signed/unsigned `%` agree across engines. */
+  private def md5Hex60(s: String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var x = 0L; var i = 0
+    while (i < 7) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    (x << 4) | ((d(7) >> 4) & 0xfL)
+  }
+  /** First 16 hex chars (64 bits) of md5 as a raw bit pattern. */
+  private def md5Bits64(s: String): Long = {
+    val md = md5Local.get(); md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var x = 0L; var i = 0
+    while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    x
+  }
+
+  /** 64-bit SimHash over array<string> tokens: per token, a 64-bit
+    * hash (xxhash64, or md5's first 64 bits when useMd5 — the
+    * oracle-replicable family); each bit position accumulates +1/-1;
+    * the sign vector is the fingerprint. Row-local, zero shuffle. */
+  case class SimHash64(child: Expression, useMd5: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
@@ -78,7 +106,8 @@ object NativeExpressions {
       var t = 0
       while (t < arr.numElements()) {
         if (!arr.isNullAt(t)) {
-          val h = xxhash64(arr.getUTF8String(t))
+          val u = arr.getUTF8String(t)
+          val h = if (useMd5) md5Bits64(u.toString) else xxhash64(u)
           var i = 0
           while (i < 64) {
             if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
@@ -184,15 +213,23 @@ object NativeExpressions {
 
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
-    * array, no distinct pass (duplicate shingles can't change minima). */
-  case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int, seed: Long)
+    * array, no distinct pass (duplicate shingles can't change minima).
+    * useMd5 switches both the shingle hash and the (a, b) hash-family
+    * parameters to md5-derived values that the DuckDB oracle reproduces
+    * exactly (seed is ignored in that mode — the family is fixed). */
+  case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int,
+      seed: Long, useMd5: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     private val P = 2147483647L
-    @transient private lazy val params: Array[(Long, Long)] = {
-      val rnd = new scala.util.Random(seed)
-      Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-        rnd.nextInt(Int.MaxValue).toLong))
-    }
+    @transient private lazy val params: Array[(Long, Long)] =
+      if (useMd5)
+        Array.tabulate(numHashes)(i =>
+          (1L + md5Hex60(s"mh_a_$i") % (P - 1), md5Hex60(s"mh_b_$i") % P))
+      else {
+        val rnd = new scala.util.Random(seed)
+        Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+          rnd.nextInt(Int.MaxValue).toLong))
+      }
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -206,8 +243,12 @@ object NativeExpressions {
       val sig = Array.fill(numHashes)(Long.MaxValue)
       val sb = new java.lang.StringBuilder()
       def update(shingle: String): Unit = {
-        val h0 = xxhash64(UTF8String.fromString(shingle))
-        val h = ((h0 % P) + P) % P
+        val h =
+          if (useMd5) md5Hex60(shingle) % P
+          else {
+            val h0 = xxhash64(UTF8String.fromString(shingle))
+            ((h0 % P) + P) % P
+          }
         var x = 0
         while (x < numHashes) {
           val v2 = (params(x)._1 * h + params(x)._2) % P
@@ -335,7 +376,8 @@ object NativeExpressions {
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def dot_product(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
-  def simhash64(tokens: Column): Column = ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens)))
+  def simhash64(tokens: Column, useMd5: Boolean = false): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(tokens), useMd5))
   def minhash_signature(shingles: Column, numHashes: Int, seed: Long = 42L): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(shingles), numHashes, seed))
   def signature_agreement(a: Column, b: Column): Column =
@@ -346,8 +388,9 @@ object NativeExpressions {
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
   def word_shingles(tokens: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
-  def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L): Column =
-    ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed))
+  def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
+      useMd5: Boolean = false): Column =
+    ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))
   def hyperplane_buckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
       seed: Int = 42): Column =
     ExpressionUtils.column(HyperplaneBuckets(

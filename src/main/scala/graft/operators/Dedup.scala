@@ -57,11 +57,11 @@ object Dedup {
     * shingle explode, no shuffle at all in the signature stage. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
-                        seed: Long = 42L): DataFrame =
+                        seed: Long = 42L, useMd5: Boolean = false): DataFrame =
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol),
         graft.functions.NativeExpressions
-          .minhash_from_tokens(col("__t"), shingleK, numHashes, seed).as("signature"),
+          .minhash_from_tokens(col("__t"), shingleK, numHashes, seed, useMd5).as("signature"),
         size(graft.functions.NativeExpressions.word_shingles(col("__t"), shingleK))
           .cast("long").as("n_shingles"))
 
@@ -72,18 +72,22 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
-                   maxBucketSize: Int = 10000): DataFrame = {
+                   maxBucketSize: Int = 10000, useMd5: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed)
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5)
 
     // banding carries only (doc, band, bucket) — 24 B/row — through the
     // shuffle; the fat signature arrays are joined back just for the
-    // (few) candidate pairs.
+    // (few) candidate pairs. In md5 (oracle-replicable) mode the bucket
+    // key is the band slice itself, exactly as the DuckDB oracle joins.
+    val bucketOf: Column => Column =
+      if (useMd5) identity
+      else sl => xxhash64(sl, lit(0))
     val banded = sigs.select(
       col(idCol).as("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("signature"), b * rows + 1, lit(rows)), b)))
+        b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
         .as(Seq("band", "bucket")))
       .select(col("doc"), col("band"), col("bucket"))
 
@@ -115,8 +119,9 @@ object Dedup {
     * (Single LSH pass — transitive closure would iterate this plan.) */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+                   threshold: Double = 0.7, useMd5: Boolean = false): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
+      threshold, useMd5 = useMd5)
     val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
       .agg(min("doc_a").as("__nb"))
     df.select(col(idCol))
@@ -130,14 +135,18 @@ object Dedup {
     * per token, xxhash64 supplies 64 bits; each bit position accumulates
     * +1/-1; the sign vector becomes the fingerprint. Native Catalyst
     * expression — one tight loop per row. */
-  def simhash(toks: Column): Column =
-    graft.functions.NativeExpressions.simhash64(toks)
+  def simhash(toks: Column, useMd5: Boolean = false): Column =
+    graft.functions.NativeExpressions.simhash64(toks, useMd5)
 
   /** SimHash near-dup pairs: 4×16-bit band buckets generate candidates;
-    * verification = Hamming distance over the 64-bit fingerprints. */
+    * verification = Hamming distance over the 64-bit fingerprints.
+    * Recall is EXACT for maxHamming ≤ 3: three differing bits can touch
+    * at most three of the four bands, so one band always collides —
+    * which is why an all-pairs Hamming oracle can verify this plan. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), simhash(tokens(col(textCol))).as("sh"))
+                   maxHamming: Int = 3, useMd5: Boolean = false): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"),
+      simhash(tokens(col(textCol)), useMd5).as("sh"))
     val banded = sigs.select(col("doc"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))

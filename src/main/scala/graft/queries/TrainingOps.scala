@@ -34,21 +34,86 @@ object TrainingOps {
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
     },
 
-    QueryDef.noOracle("dedup_minhash") { (s, dir) =>
-      // per-doc verdict: dup_group == doc_id unless an LSH-candidate
-      // neighbor with est-Jaccard ≥ 0.7 has a smaller id
+    // MinHash+LSH dedup with a FULL value oracle: the md5 hash family
+    // lets DuckDB reproduce the signatures, the band join, and the
+    // est-Jaccard verdict bit-for-bit. (xxhash64 stays the throughput
+    // default for pipelines; same algorithm, different hash family.)
+    QueryDef(
+      "dedup_minhash",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), hs AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh
+        |), params AS (
+        |  SELECT i,
+        |    1 + CAST('0x' || substr(md5('mh_a_' || i), 1, 15) AS BIGINT) % 2147483646 AS a,
+        |    CAST('0x' || substr(md5('mh_b_' || i), 1, 15) AS BIGINT) % 2147483647 AS b
+        |  FROM range(0, 128) r(i)
+        |), sigc AS (
+        |  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS c
+        |  FROM hs, params p GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, list(c ORDER BY i) AS sig FROM sigc GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS bucket
+        |  FROM sig, range(0, 32) b(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    list_sum(list_transform(range(1, 129),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 128.0 AS ej
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+        |), nb AS (
+        |  SELECT doc_b AS doc_id, min(doc_a) AS mn FROM est WHERE ej >= 0.7 GROUP BY 1
+        |)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(nb.mn, d.doc_id)) AS dup_group
+        |FROM documents d LEFT JOIN nb USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
       Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
-        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7)
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
     },
 
-    QueryDef.noOracle("dedup_simhash") { (s, dir) =>
+    // SimHash dedup, also fully oracled: banded candidates have exact
+    // recall at hamming ≤ 3 (pigeonhole over 4×16-bit bands), so the
+    // all-pairs Hamming closure DuckDB computes is the same answer.
+    QueryDef(
+      "dedup_simhash",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 16) AS UBIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b.i,
+        |    sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, range(0, 64) b(i) GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN cnt > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS UBIGINT) AS sh
+        |  FROM bits GROUP BY 1
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |), nb AS (
+        |  SELECT doc_b AS doc_id, min(doc_a) AS mn FROM pairs GROUP BY 1
+        |)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(nb.mn, d.doc_id)) AS dup_group
+        |FROM documents d LEFT JOIN nb USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val sigs = d.select(col("doc_id"),
-        Dedup.simhash(Dedup.tokens(col("text"))).as("simhash"))
-      val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3)
+      val pairs = Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 3, useMd5 = true)
       val nb = pairs.groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("__nb"))
-      sigs.join(nb, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("simhash"),
+      d.select(col("doc_id")).join(nb, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
           least(col("doc_id"), coalesce(col("__nb"), col("doc_id"))).as("dup_group"))
     },
 
@@ -195,7 +260,41 @@ object TrainingOps {
         "query_vec_id", "query_embedding", k = 10)
     },
 
-    QueryDef.noOracle("ann_ivf_topk") { (s, dir) =>
+    // IVF is deterministic end-to-end (seeded centroids, tie-broken
+    // assignment/probing), so DuckDB can replicate the whole index:
+    // same cells, same probes, same top-k — a value oracle for the
+    // approximate path, not just a recall bound.
+    QueryDef(
+      "ann_ivf_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |qcells AS (
+        |  SELECT query_id, qv, centroid_id AS cell FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+        |    FROM q, cent c) t WHERE r <= 3
+        |),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(a.v, qc.qv), 6) AS cos_sim
+        |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |  WHERE qc.query_id <> a.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |      FROM cand) t
+        |WHERE rnk <= 10
+        |""".stripMargin) { (s, dir) =>
       val e = embs(s, dir)
       val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
       val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
