@@ -18,7 +18,11 @@ object Tables {
     // DuckDB does internally, so oracle comparisons line up).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
+    // Only convert when ts actually came in as nanos-long — scaled
+    // bench copies (graft.tools.ScaleData) are written with proper
+    // TIMESTAMP(MICROS) and need no conversion.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer `div`, NOT `/`: double division loses precision on
       // epoch-nanos (> 2^53) and shifts timestamps by up to ~128 ns
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -32,7 +32,12 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
 
   val catalog = new GraftCatalog(spark, s"$root/warehouse")
   private val blob = new LocalBlobStore(s"$root/blob")
-  val queue = new JobQueue
+  /** Durable control plane: keys/destinations/shares/queue live in an
+    * embedded Derby DB under the server root, so a restart loses
+    * nothing (the reference persists the same set in its GORM DB —
+    * pkg/storage/database/gorm/gorm.go:101-136,258-261). */
+  val meta = new MetaStore(s"$root/meta")
+  val queue: JobQueue = meta
   private val loader = new Loader(catalog)
   private val copier = new Copier(catalogFor _)
   private val workers = new Workers(queue, loader, copier, workerCount)
@@ -47,12 +52,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   private val ingest = new Ingest(sink)
 
   // ---- auth (A20): sha256(api_key) → database; admin keys pick the
-  // database via ?destination_id= --------------------------------------
-  private val keys = new ConcurrentHashMap[String, String]()
-  private val adminKeys = ConcurrentHashMap.newKeySet[String]()
-  /** Destination registry (A16/A22 admin surface). */
-  private val destinations = new ConcurrentHashMap[String, java.lang.Boolean]()
-
+  // database via ?destination_id=; backed by the MetaStore -----------
   def hash(key: String): String =
     MessageDigest.getInstance("SHA-256").digest(key.getBytes(StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString
@@ -65,12 +65,9 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     s.nonEmpty && s.length <= 128 && s.forall(c =>
       c.isLetterOrDigit && c < 128 || c == '_')
 
-  def addApiKey(key: String, database: String): Unit = keys.put(hash(key), database)
-  def addAdminKey(key: String): Unit = { adminKeys.add(hash(key)); () }
-
-  // ---- share links (A15) ------------------------------------------
-  private case class Share(database: String, query: String, name: String, expiresAtMs: Long)
-  private val shares = new ConcurrentHashMap[String, Share]()
+  def addApiKey(key: String, database: String): Unit =
+    meta.putKey(hash(key), database, isAdmin = false)
+  def addAdminKey(key: String): Unit = meta.putKey(hash(key), "", isAdmin = true)
 
   // ---- destination pooling (A22): one child SparkSession per
   // database, so temp views of different databases never collide —
@@ -100,6 +97,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     if (server != null) server.stop(0)
     sink.stop()
     workers.stop()
+    meta.close()
   }
 
   /** Flush the sink and wait for all queued loads (tests/shutdown). */
@@ -135,14 +133,14 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
       case (_, p) if p.startsWith("/api/destinations") && !isAdmin =>
         respond(ex, 403, "admin key required", "text/plain")
       case ("GET", "/api/destinations") =>
-        val names = destinations.keySet().toArray.map(n => "\"" + n + "\"").sorted
+        val names = meta.listDestinations().map(n => "\"" + n + "\"")
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
       case ("POST", "/api/destinations") =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val name = (try JValue.parseObject(body).get("name") catch { case _: Exception => None })
           .collect { case JStr(s) => s }.getOrElse("")
         if (!validIdent(name)) respond(ex, 400, "valid name required", "text/plain")
-        else { destinations.put(name, java.lang.Boolean.TRUE)
+        else { meta.addDestination(name)
           respond(ex, 200, s"""{"name":"$name"}""", "application/json") }
       case ("POST", p) if p.startsWith("/api/destinations/") && p.endsWith("/keys") =>
         val dest = p.stripPrefix("/api/destinations/").stripSuffix("/keys")
@@ -150,7 +148,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
         val key = (try JValue.parseObject(body).get("api_key") catch { case _: Exception => None })
           .collect { case JStr(s) => s }.getOrElse("")
         if (key.isEmpty) respond(ex, 400, "api_key required", "text/plain")
-        else if (!destinations.containsKey(dest))
+        else if (!meta.hasDestination(dest))
           respond(ex, 404, "unknown destination", "text/plain")
         else { addApiKey(key, dest); respond(ex, 200, """{"ok":true}""", "application/json") }
       case ("GET", "/api/tables") =>
@@ -173,15 +171,13 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
   private def authed(ex: HttpExchange)(f: (String, Boolean) => Unit): Unit = {
     val params = queryParams(ex)
     val hashed = hash(params.getOrElse("api_key", ""))
-    if (adminKeys.contains(hashed)) {
-      val db = params.getOrElse("destination_id", "default")
-      if (!validIdent(db)) respond(ex, 400, "invalid destination_id", "text/plain")
-      else f(db, true)
-    } else {
-      keys.get(hashed) match {
-        case null => respond(ex, 401, "Unauthorized", "text/plain")
-        case db   => f(db, false)
-      }
+    meta.lookupKey(hashed) match {
+      case Some((_, true)) =>
+        val db = params.getOrElse("destination_id", "default")
+        if (!validIdent(db)) respond(ex, 400, "invalid destination_id", "text/plain")
+        else f(db, true)
+      case Some((db, false)) => f(db, false)
+      case None => respond(ex, 401, "Unauthorized", "text/plain")
     }
   }
 
@@ -266,8 +262,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
     if (query.isEmpty) { respond(ex, 400, "Query cannot be empty", "text/plain"); return }
     if (name.isEmpty) { respond(ex, 400, "Name cannot be empty", "text/plain"); return }
     val id = UUID.randomUUID().toString
-    shares.put(id, Share(db, query, name,
-      System.currentTimeMillis() + duration * 1000))
+    meta.putShare(id, db, query, name,
+      System.currentTimeMillis() + duration * 1000)
     respond(ex, 200, s"""{"id":"$id"}""", "application/json")
   }
 
@@ -278,11 +274,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2)
       respond(ex, 400, "bad share path", "text/plain"); return
     }
     val (uuid, format) = (parts(0), parts(1).stripPrefix("data."))
-    val share = shares.get(uuid)
-    if (share == null || share.expiresAtMs < System.currentTimeMillis()) {
-      respond(ex, 404, "Query not found", "text/plain"); return
+    meta.getShare(uuid, System.currentTimeMillis()) match {
+      case None => respond(ex, 404, "Query not found", "text/plain")
+      case Some((db, query, _)) => streamQuery(ex, db, query, format)
     }
-    streamQuery(ex, share.database, share.query, format)
   }
 
   // ---- plumbing ---------------------------------------------------

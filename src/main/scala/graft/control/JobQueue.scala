@@ -15,11 +15,23 @@ object JobMessage {
                             destDb: String, destTable: String) extends JobMessage
 }
 
-/** At-least-once job queue (the reference backs this with a DB table +
-  * FOR UPDATE SKIP LOCKED — pkg/storage/database/gorm/queue.go:15-91;
-  * the semantics here are identical: claim on dequeue, remove on ack,
-  * redeliver on nack, duplicates possible, loss impossible). */
-final class JobQueue {
+/** At-least-once job queue contract (the reference backs this with a
+  * DB table + FOR UPDATE SKIP LOCKED —
+  * pkg/storage/database/gorm/queue.go:15-91): claim on dequeue, remove
+  * on ack, redeliver on nack, duplicates possible, loss impossible.
+  * Implementations: [[InMemoryJobQueue]] (tests/ephemeral) and
+  * [[MetaStore]] (Derby-backed, survives restarts). */
+trait JobQueue {
+  def enqueue(msg: JobMessage): Long
+  def dequeue(timeoutMs: Long): Option[(Long, JobMessage)]
+  def ack(id: Long): Unit
+  def nack(id: Long): Unit
+  def isEmpty: Boolean
+  def size: Int
+}
+
+/** Lock-free in-memory queue — same semantics, no persistence. */
+final class InMemoryJobQueue extends JobQueue {
   private val idGen = new AtomicLong(0)
   private val pending = new LinkedBlockingQueue[(Long, JobMessage)]()
   private val inFlight = new ConcurrentHashMap[Long, JobMessage]()

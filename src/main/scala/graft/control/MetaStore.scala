@@ -1,0 +1,231 @@
+package graft.control
+
+import graft.functions.JValue
+import graft.functions.JValue._
+import java.sql.{Connection, DriverManager, SQLException}
+
+/** Persistent control-plane store: API keys, destinations, share links
+  * and the job queue live in an embedded Derby database (ships with
+  * Spark — zero new dependencies), mirroring the reference's GORM
+  * metadata DB (/root/reference/pkg/storage/database/gorm/gorm.go:
+  * 101-136 hashed-key lookup, 258-261 share expiry) and its DB-backed
+  * queue (pkg/storage/database/gorm/queue.go:15-91 — claim via
+  * FOR UPDATE SKIP LOCKED, delete on ack, redeliver on nack). Derby
+  * lacks SKIP LOCKED; the claim is an optimistic
+  * `UPDATE ... WHERE id=? AND status='pending'` whose update-count
+  * decides the winner — same at-least-once contract.
+  *
+  * A server restart (new MetaStore on the same dir) sees every key,
+  * destination, share and un-acked job: claimed-but-unacked jobs are
+  * reset to pending at boot (crash redelivery).
+  *
+  * Single shared connection, synchronized — the control plane is
+  * low-QPS by design (the data plane never touches this store).
+  */
+final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
+  MetaStore.quietDerby()
+  private val conn: Connection =
+    DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
+  conn.setAutoCommit(true)
+
+  private def exec(ddl: String): Unit = {
+    val st = conn.createStatement()
+    try st.executeUpdate(ddl)
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    finally st.close()
+  }
+
+  exec("""CREATE TABLE api_keys(
+           key_hash VARCHAR(64) PRIMARY KEY,
+           db VARCHAR(128),
+           is_admin BOOLEAN NOT NULL)""")
+  exec("CREATE TABLE destinations(name VARCHAR(128) PRIMARY KEY)")
+  exec("""CREATE TABLE shares(
+           id VARCHAR(36) PRIMARY KEY,
+           db VARCHAR(128) NOT NULL,
+           query CLOB NOT NULL,
+           name VARCHAR(256) NOT NULL,
+           expires_at_ms BIGINT NOT NULL)""")
+  exec("""CREATE TABLE queue(
+           id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           status VARCHAR(8) NOT NULL,
+           payload VARCHAR(30000) NOT NULL)""")
+  // crash recovery: jobs claimed by a dead process are redelivered
+  synchronized {
+    val st = conn.createStatement()
+    try st.executeUpdate("UPDATE queue SET status='pending' WHERE status='claimed'")
+    finally st.close()
+  }
+
+  // ---- api keys ----------------------------------------------------
+  def putKey(keyHash: String, database: String, isAdmin: Boolean): Unit = synchronized {
+    val del = conn.prepareStatement("DELETE FROM api_keys WHERE key_hash=?")
+    try { del.setString(1, keyHash); del.executeUpdate() } finally del.close()
+    val ps = conn.prepareStatement(
+      "INSERT INTO api_keys(key_hash, db, is_admin) VALUES(?,?,?)")
+    try {
+      ps.setString(1, keyHash); ps.setString(2, database); ps.setBoolean(3, isAdmin)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** sha256(key) -> (database, isAdmin), like the reference's
+    * GetAPIKeyDetails(hashedKey). */
+  def lookupKey(keyHash: String): Option[(String, Boolean)] = synchronized {
+    val ps = conn.prepareStatement("SELECT db, is_admin FROM api_keys WHERE key_hash=?")
+    try {
+      ps.setString(1, keyHash)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some((rs.getString(1), rs.getBoolean(2))) else None
+    } finally ps.close()
+  }
+
+  // ---- destinations -------------------------------------------------
+  def addDestination(name: String): Unit = synchronized {
+    val ps = conn.prepareStatement("INSERT INTO destinations(name) VALUES(?)")
+    try { ps.setString(1, name); ps.executeUpdate() }
+    catch { case e: SQLException if e.getSQLState == "23505" => () } // dup
+    finally ps.close()
+  }
+
+  def hasDestination(name: String): Boolean = synchronized {
+    val ps = conn.prepareStatement("SELECT 1 FROM destinations WHERE name=?")
+    try { ps.setString(1, name); ps.executeQuery().next() } finally ps.close()
+  }
+
+  def listDestinations(): Seq[String] = synchronized {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT name FROM destinations ORDER BY name")
+      val b = Seq.newBuilder[String]
+      while (rs.next()) b += rs.getString(1)
+      b.result()
+    } finally st.close()
+  }
+
+  // ---- shares --------------------------------------------------------
+  def putShare(id: String, db: String, query: String, name: String,
+               expiresAtMs: Long): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "INSERT INTO shares(id, db, query, name, expires_at_ms) VALUES(?,?,?,?,?)")
+    try {
+      ps.setString(1, id); ps.setString(2, db); ps.setString(3, query)
+      ps.setString(4, name); ps.setLong(5, expiresAtMs)
+      ps.executeUpdate()
+    } finally ps.close()
+  }
+
+  /** Live shares only; expired rows are reaped on read (the reference
+    * filters `expires_at > now()` in the lookup). */
+  def getShare(id: String, nowMs: Long): Option[(String, String, String)] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT db, query, name, expires_at_ms FROM shares WHERE id=?")
+    try {
+      ps.setString(1, id)
+      val rs = ps.executeQuery()
+      if (!rs.next()) None
+      else if (rs.getLong(4) < nowMs) {
+        val del = conn.prepareStatement("DELETE FROM shares WHERE id=?")
+        try { del.setString(1, id); del.executeUpdate() } finally del.close()
+        None
+      } else Some((rs.getString(1), rs.getString(2), rs.getString(3)))
+    } finally ps.close()
+  }
+
+  // ---- job queue (JobQueue impl) --------------------------------------
+  private def encode(msg: JobMessage): String = JValue.render(msg match {
+    case JobMessage.InsertFile(db, table, path) => JObj(Vector(
+      "type" -> JStr("insert_data"), "db" -> JStr(db),
+      "table" -> JStr(table), "path" -> JStr(path)))
+    case JobMessage.CopyData(srcDb, query, destDb, destTable) => JObj(Vector(
+      "type" -> JStr("copy_data"), "source_db" -> JStr(srcDb),
+      "query" -> JStr(query), "dest_db" -> JStr(destDb),
+      "dest_table" -> JStr(destTable)))
+  })
+
+  private def decode(s: String): JobMessage = {
+    val o = JValue.parseObject(s)
+    def str(k: String) = o.get(k).collect { case JStr(v) => v }.getOrElse("")
+    str("type") match {
+      case "insert_data" => JobMessage.InsertFile(str("db"), str("table"), str("path"))
+      case "copy_data" =>
+        JobMessage.CopyData(str("source_db"), str("query"), str("dest_db"), str("dest_table"))
+      case t => throw new IllegalArgumentException(s"unknown job type: $t")
+    }
+  }
+
+  override def enqueue(msg: JobMessage): Long = synchronized {
+    val ps = conn.prepareStatement(
+      "INSERT INTO queue(status, payload) VALUES('pending', ?)",
+      java.sql.Statement.RETURN_GENERATED_KEYS)
+    try {
+      ps.setString(1, encode(msg))
+      ps.executeUpdate()
+      val rs = ps.getGeneratedKeys
+      rs.next(); rs.getLong(1)
+    } finally ps.close()
+  }
+
+  /** One optimistic claim attempt; None when no pending row won. */
+  private def tryClaim(): Option[(Long, JobMessage)] = synchronized {
+    val st = conn.createStatement()
+    val candidate = try {
+      val rs = st.executeQuery(
+        "SELECT id, payload FROM queue WHERE status='pending' ORDER BY id " +
+          "FETCH FIRST 1 ROWS ONLY")
+      if (rs.next()) Some((rs.getLong(1), rs.getString(2))) else None
+    } finally st.close()
+    candidate.flatMap { case (id, payload) =>
+      val up = conn.prepareStatement(
+        "UPDATE queue SET status='claimed' WHERE id=? AND status='pending'")
+      val won = try { up.setLong(1, id); up.executeUpdate() == 1 } finally up.close()
+      if (won) Some((id, decode(payload))) else None
+    }
+  }
+
+  override def dequeue(timeoutMs: Long): Option[(Long, JobMessage)] = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var claimed = tryClaim()
+    while (claimed.isEmpty && System.currentTimeMillis() < deadline) {
+      Thread.sleep(20)
+      claimed = tryClaim()
+    }
+    claimed
+  }
+
+  override def ack(id: Long): Unit = synchronized {
+    val ps = conn.prepareStatement("DELETE FROM queue WHERE id=?")
+    try { ps.setLong(1, id); ps.executeUpdate() } finally ps.close()
+  }
+
+  override def nack(id: Long): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "UPDATE queue SET status='pending' WHERE id=? AND status='claimed'")
+    try { ps.setLong(1, id); ps.executeUpdate() } finally ps.close()
+  }
+
+  override def isEmpty: Boolean = size == 0
+
+  override def size: Int = synchronized {
+    val st = conn.createStatement()
+    try {
+      val rs = st.executeQuery("SELECT COUNT(*) FROM queue")
+      rs.next(); rs.getInt(1)
+    } finally st.close()
+  }
+
+  override def close(): Unit = synchronized {
+    try conn.close() catch { case _: SQLException => () }
+    // Derby per-database shutdown always signals via SQLState 08006.
+    try DriverManager.getConnection(s"jdbc:derby:$dir;shutdown=true")
+    catch { case e: SQLException if e.getSQLState == "08006" => () }
+  }
+}
+
+object MetaStore {
+  /** Keep Derby's boot log out of the repo root (derby.log). */
+  private def quietDerby(): Unit =
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file",
+        s"${System.getProperty("java.io.tmpdir")}/derby.log")
+}

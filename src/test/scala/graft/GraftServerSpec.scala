@@ -130,6 +130,34 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("control plane survives a server restart (keys, destinations, shares)") {
+    val root = Files.createTempDirectory("graft-restart").toString
+    val first = new GraftServer(spark, root)
+    first.addApiKey("persistkey", "default")
+    first.addAdminKey("bosskey")
+    val base1 = s"http://localhost:${first.start()}"
+    post(s"$base1/api/data/insert/t_persist?api_key=persistkey", """{"v": 7}""")
+    first.drain()
+    assert(post(s"$base1/api/destinations?api_key=bosskey",
+      """{"name": "durable"}""").statusCode() == 200)
+    val sh = post(s"$base1/api/data/query/share?api_key=persistkey",
+      """{"query": "select v from t_persist", "duration": 3600, "name": "keep"}""")
+    val shareId = sh.body().split("\"")(3)
+    first.stop()
+
+    // a brand-new server over the same root: nothing re-registered
+    val second = new GraftServer(spark, root)
+    val base2 = s"http://localhost:${second.start()}"
+    try {
+      val q = post(s"$base2/api/data/query?api_key=persistkey", "select v from t_persist")
+      assert(q.statusCode() == 200 && q.body() == """[{"v":7}]""", q.body())
+      assert(get(s"$base2/api/destinations?api_key=bosskey").body() == """["durable"]""")
+      val shared = get(s"$base2/share/$shareId/data.json")
+      assert(shared.body() == """[{"v":7}]""", shared.body())
+      assert(get(s"$base2/api/tables?api_key=wrong").statusCode() == 401)
+    } finally second.stop()
+  }
+
   test("SQL passthrough reads files directly (read_ndjson_auto parity)") {
     val (srv, base) = newServer()
     try {

@@ -1,0 +1,69 @@
+package graft
+
+import graft.control.{JobMessage, MetaStore}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Durable control-plane semantics: the reference's GORM store
+  * (hashed-key lookup, share expiry) and DB queue (claim / ack / nack /
+  * crash redelivery — pkg/storage/database/gorm/queue.go:15-91). */
+class MetaStoreSpec extends AnyFunSuite {
+
+  private def newDir() = Files.createTempDirectory("graft-meta").toString + "/db"
+
+  test("queue: enqueue/dequeue/ack/nack, at-least-once across reopen") {
+    val dir = newDir()
+    val m1 = new MetaStore(dir)
+    val job = JobMessage.InsertFile("db1", "t1", "/tmp/f1.ndjson")
+    val id = m1.enqueue(job)
+    assert(m1.size == 1 && !m1.isEmpty)
+
+    // claim but do NOT ack — simulates a worker dying mid-job
+    val claimed = m1.dequeue(1000)
+    assert(claimed.contains((id, job)))
+    assert(m1.dequeue(50).isEmpty, "claimed job must not be double-claimed")
+    m1.close()
+
+    // reopen: the claimed-but-unacked job is redelivered
+    val m2 = new MetaStore(dir)
+    val redelivered = m2.dequeue(1000)
+    assert(redelivered.contains((id, job)), "crash redelivery")
+    m2.ack(id)
+    assert(m2.isEmpty)
+
+    // nack puts a job back for another worker
+    val cp = JobMessage.CopyData("src", "select * from t \"quoted\"\nnewline", "dst", "t2")
+    val id2 = m2.enqueue(cp)
+    assert(m2.dequeue(1000).contains((id2, cp)), "payload round-trips exactly")
+    m2.nack(id2)
+    assert(m2.dequeue(1000).contains((id2, cp)))
+    m2.ack(id2)
+    m2.close()
+  }
+
+  test("keys, destinations, shares persist and expire") {
+    val dir = newDir()
+    val m1 = new MetaStore(dir)
+    m1.putKey("abc123", "tenant_db", isAdmin = false)
+    m1.putKey("admin99", "", isAdmin = true)
+    m1.putKey("abc123", "moved_db", isAdmin = false) // overwrite = move key
+    m1.addDestination("d1")
+    m1.addDestination("d1") // idempotent
+    m1.addDestination("d0")
+    m1.putShare("u-1", "tenant_db", "select 1", "live", expiresAtMs = Long.MaxValue)
+    m1.putShare("u-2", "tenant_db", "select 2", "dead", expiresAtMs = 0L)
+    m1.close()
+
+    val m2 = new MetaStore(dir)
+    assert(m2.lookupKey("abc123").contains(("moved_db", false)))
+    assert(m2.lookupKey("admin99").contains(("", true)))
+    assert(m2.lookupKey("nope").isEmpty)
+    assert(m2.listDestinations() == Seq("d0", "d1"))
+    assert(m2.hasDestination("d1") && !m2.hasDestination("dX"))
+    assert(m2.getShare("u-1", nowMs = 1000L)
+      .contains(("tenant_db", "select 1", "live")))
+    assert(m2.getShare("u-2", nowMs = 1000L).isEmpty, "expired shares are reaped")
+    assert(m2.getShare("u-2", nowMs = 0L).isEmpty, "reaped share stays gone")
+    m2.close()
+  }
+}
