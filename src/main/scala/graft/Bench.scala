@@ -39,7 +39,10 @@ object Bench {
     // warm-up: exercise scans + shuffle + codegen paths once
     Seq("q_agg_pricing", "q_join_multiway").foreach(materialize)
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args: bench only these queries (fast iteration).
+    val names =
+      if (args.nonEmpty) args.toSeq.sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

