@@ -11,8 +11,14 @@ import org.apache.spark.sql.types._
   * per partition, so the decoder library initializes once per task,
   * not once per row).
   *
-  * ── STUB BOUNDARY ────────────────────────────────────────────────
-  * No image/audio codecs exist in this container, so `decodeStub`
+  * IMAGE decode is REAL: `decodeImages` reads width/height/format from
+  * actual image bytes through `javax.imageio` (JDK built-in — PNG, BMP,
+  * GIF, JPEG), header-only: the reader reports dimensions without
+  * decoding the raster, so cost per image is O(header), not O(pixels) —
+  * the right contract for a 100 TB scan that only needs metadata.
+  *
+  * ── STUB BOUNDARY (audio/video only) ─────────────────────────────
+  * No audio/video codecs exist in this container, so `decodeStub`
   * derives deterministic fake features from the raw bytes (first two
   * bytes → fake width/height, byte count → fake frame count). The
   * Spark-side contract — schema, binary transport, per-partition
@@ -63,6 +69,78 @@ object Multimodal {
           md.reset()
           val hex = md.digest(payload).map("%02x".format(_)).mkString
           Row(id, kind, nBytes, width, height, nFrames, hex)
+        }
+      }(enc)
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("fmt", StringType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** REAL image decode: width/height/format from the payload bytes via
+    * javax.imageio, header-only (reader.getWidth(0) never touches the
+    * raster). Per-partition init (`setUseCache(false)`, reader reuse
+    * via the registry) follows the mapInPandas batch shape; rows whose
+    * bytes no installed reader recognizes come back with null
+    * fmt/width/height rather than failing the task. */
+  def decodeImages(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatureSchema)
+    binaryTable.select("media_id", "n_bytes", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no temp-file cache per task
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val nBytes = r.getAs[Long]("n_bytes")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val reader = readers.next()
+            try {
+              reader.setInput(iis)
+              Row(id, reader.getFormatName.toLowerCase,
+                reader.getWidth(0).toLong, reader.getHeight(0).toLong, nBytes)
+            } catch {
+              case _: java.io.IOException => Row(id, null, null, null, nBytes)
+            } finally reader.dispose()
+          } else Row(id, null, null, null, nBytes)
+        }
+      }(enc)
+  }
+
+  /** Encode one single-color PNG/BMP/GIF per row from (id, width,
+    * height) — the test-image generator for the decode round-trip (the
+    * container ships no image corpus). Deterministic dimensions; the
+    * pixel fill derives from the id so payloads differ. */
+  def encodeTestImages(df: DataFrame, idCol: String, widthCol: String,
+                       heightCol: String, format: String = "png"): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(widthCol).cast("int").as("__w"), col(heightCol).cast("int").as("__h"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val img = new java.awt.image.BufferedImage(
+            r.getAs[Int]("__w"), r.getAs[Int]("__h"),
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setColor(new java.awt.Color((id * 2654435761L).toInt & 0xffffff))
+          g.fillRect(0, 0, img.getWidth, img.getHeight)
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, format, out)
+          val bytes = out.toByteArray
+          Row(id, bytes, "image", bytes.length.toLong)
         }
       }(enc)
   }

@@ -414,6 +414,26 @@ object TrainingOps {
       Multimodal.decodeStub(s, bin)
     },
 
+    // REAL image decode round-trip: PNGs are encoded per document with
+    // dimensions derived from (doc_id, n_chars), then decodeImages
+    // reads width/height/format back from the actual bytes through
+    // javax.imageio. The oracle computes the same dimensions
+    // arithmetically — it can only match if the decode is genuine.
+    QueryDef(
+      "mm_decode_image",
+      """SELECT doc_id AS media_id, 'png' AS fmt,
+        |  CAST(8 + doc_id % 32 AS BIGINT) AS width,
+        |  CAST(8 + n_chars % 32 AS BIGINT) AS height
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(8) + pmod(col("doc_id"), lit(32))).as("__w"),
+        (lit(8) + pmod(col("n_chars"), lit(32))).as("__h"))
+      val images = Multimodal.encodeTestImages(d, "doc_id", "__w", "__h")
+      Multimodal.decodeImages(s, images)
+        .select(col("media_id"), col("fmt"), col("width"), col("height"))
+    },
+
     QueryDef(
       "mm_frame_sample",
       """SELECT doc_id AS media_id,

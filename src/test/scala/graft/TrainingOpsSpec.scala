@@ -258,4 +258,26 @@ class TrainingOpsSpec extends SparkTestBase {
       .select("frame_idx").collect().map(_.getLong(0)).toSeq.sorted
     assert(frames == (0L until (1 + 29 % 8)).by(2).toSeq)
   }
+
+  test("image decode is real: png/bmp/gif round-trip dims; garbage -> nulls") {
+    import spark.implicits._
+    val dims = Seq((1L, 13, 27), (2L, 64, 8), (3L, 100, 1))
+      .toDF("id", "w", "h")
+    Seq("png", "bmp", "gif").foreach { fmt =>
+      val images = Multimodal.encodeTestImages(dims, "id", "w", "h", fmt)
+      val out = Multimodal.decodeImages(spark, images)
+        .select("media_id", "fmt", "width", "height")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      assert(out.map(_._2).forall(_ == fmt), s"format detection: ${out.mkString(",")}")
+      assert(out.map(t => (t._1, t._3.toInt, t._4.toInt)).toSeq ==
+        dims.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq.sortBy(_._1),
+        s"$fmt dims round-trip")
+    }
+    // bytes no reader recognizes must not fail the task
+    val junk = Seq((9L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+      .withColumn("n_bytes", lit(5L)).withColumn("kind", lit("image"))
+    val r = Multimodal.decodeImages(spark, junk).collect().head
+    assert(r.isNullAt(r.fieldIndex("fmt")) && r.isNullAt(r.fieldIndex("width")))
+  }
 }
