@@ -28,10 +28,19 @@ import java.util.concurrent.ConcurrentHashMap
   *   GET  /api/tables/{table}/columns
   *   GET  /healthcheck
   */
-final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2) {
+final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
+                        blobRoot: Option[String] = None) {
 
   val catalog = new GraftCatalog(spark, s"$root/warehouse")
-  private val blob = new LocalBlobStore(s"$root/blob")
+  /** Rotated-batch staging area. A URI root (s3a://bucket/prefix, …)
+    * goes through the Hadoop FS client exactly as a cluster deployment
+    * would; the default is a plain local dir under the server root. */
+  private val blob: BlobStore = blobRoot match {
+    case Some(uri) if uri.contains("://") =>
+      new HadoopBlobStore(uri, spark.sparkContext.hadoopConfiguration)
+    case Some(dir) => new LocalBlobStore(dir)
+    case None => new LocalBlobStore(s"$root/blob")
+  }
   /** Durable control plane: keys/destinations/shares/queue live in an
     * embedded Derby DB under the server root, so a restart loses
     * nothing (the reference persists the same set in its GORM DB —

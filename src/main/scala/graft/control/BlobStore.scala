@@ -13,6 +13,38 @@ trait BlobStore {
   def delete(key: String): Unit
 }
 
+/** Hadoop-FS-backed blob store: the root is any URI Spark's Hadoop
+  * layer resolves — s3a://bucket/prefix, gs://, hdfs://, file:// —
+  * mirroring the reference's S3 store (pkg/storage/blobstore/s3/s3.go:
+  * Upload=PutObject, Download=GetObject, Delete=DeleteObject). The
+  * filesystem client is resolved once from the scheme and reused, the
+  * way an S3 client is held for the bucket's lifetime. */
+final class HadoopBlobStore(rootUri: String,
+                            conf: org.apache.hadoop.conf.Configuration)
+    extends BlobStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  private val root = new HPath(rootUri)
+  private val fs: FileSystem = root.getFileSystem(conf)
+  fs.mkdirs(root)
+
+  private def keyPath(key: String): HPath = {
+    require(!key.split("/").contains("..") && !key.startsWith("/"),
+      s"key escapes root: $key")
+    new HPath(root, key)
+  }
+
+  override def upload(key: String, localFile: Path): Unit =
+    fs.copyFromLocalFile(false /*delSrc*/, true /*overwrite*/,
+      new HPath(localFile.toUri), keyPath(key))
+
+  override def download(key: String, localFile: Path): Unit = {
+    Files.createDirectories(localFile.getParent)
+    fs.copyToLocalFile(false, keyPath(key), new HPath(localFile.toUri), true)
+  }
+
+  override def delete(key: String): Unit = { fs.delete(keyPath(key), false); () }
+}
+
 final class LocalBlobStore(root: String) extends BlobStore {
   Files.createDirectories(Paths.get(root))
 
