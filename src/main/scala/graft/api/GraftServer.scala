@@ -29,7 +29,8 @@ import java.util.concurrent.ConcurrentHashMap
   *   GET  /healthcheck
   */
 final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
-                        blobRoot: Option[String] = None) {
+                        blobRoot: Option[String] = None,
+                        sinkMaxAgeSeconds: Long = 10) {
 
   val catalog = new GraftCatalog(spark, s"$root/warehouse")
   /** Rotated-batch staging area. A URI root (s3a://bucket/prefix, …)
@@ -52,8 +53,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   private val workers = new Workers(queue, loader, copier, workerCount)
 
   // rotated sink files: upload to the blob store, enqueue a load job
-  // (the reference's 10s upload ticker, fused into rotation)
-  val sink = new NdjsonSink(s"$root/sink", onRotate = cf => {
+  // (the reference's 10s upload ticker, fused into rotation — the 10 s
+  // default age bounds insert-to-queryable latency the same way)
+  val sink = new NdjsonSink(s"$root/sink", maxAgeSeconds = sinkMaxAgeSeconds,
+    onRotate = cf => {
     val key = s"${cf.database}/${cf.table}/${cf.path.getFileName}"
     blob.upload(key, cf.path)
     queue.enqueue(JobMessage.InsertFile(cf.database, cf.table, cf.path.toString))
@@ -113,19 +116,49 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   def drain(): Boolean = { sink.flushAll(); workers.drain() }
 
   // ---- routing ----------------------------------------------------
-  private def handle(ex: HttpExchange): Unit = try {
+  val metrics = new Metrics
+
+  private def handle(ex: HttpExchange): Unit = {
+    val t0 = System.nanoTime()
     val path = ex.getRequestURI.getPath
     val method = ex.getRequestMethod
-    (method, path) match {
-      case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
-      case (_, p) if p.startsWith("/share/") => handleShareData(ex, p)
-      case (_, p) if p.startsWith("/api/") =>
-        authed(ex) { (db, isAdmin) => route(ex, db, isAdmin, p) }
-      case _ => respond(ex, 404, "not found", "text/plain")
+    // CORS (the reference mounts permissive CORS middleware on the
+    // router — pkg/api/router.go:65-72)
+    val h = ex.getResponseHeaders
+    h.set("Access-Control-Allow-Origin", "*")
+    h.set("Access-Control-Allow-Methods", "GET, POST, OPTIONS")
+    h.set("Access-Control-Allow-Headers", "Content-Type, Authorization")
+    try {
+      (method, path) match {
+        case ("OPTIONS", _) => ex.sendResponseHeaders(204, -1) // preflight
+        case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
+        case ("GET", "/metrics") =>
+          respond(ex, 200, metrics.render(), "text/plain; version=0.0.4")
+        case ("GET", "/dashboard") =>
+          respond(ex, 200, Dashboard.html, "text/html; charset=utf-8")
+        case (_, p) if p.startsWith("/share/") => handleShareData(ex, p)
+        // the one-time token IS the auth on the upsert leg (the
+        // reference's connection-request link works unauthenticated:
+        // pkg/connections/upsert.go)
+        case ("POST", p) if p.startsWith("/connections/upsert/") =>
+          handleConnUpsert(ex, p.stripPrefix("/connections/upsert/"))
+        case (_, p) if p.startsWith("/api/") =>
+          authed(ex) { (db, isAdmin) => route(ex, db, isAdmin, p) }
+        case _ => respond(ex, 404, "not found", "text/plain")
+      }
+    } catch {
+      case e: Exception =>
+        // If the failure hit mid-stream the chunked 200 headers are
+        // already on the wire — closing the exchange truncates the
+        // body, which is all that can be signalled at that point.
+        try respond(ex, 500, s"internal error: ${e.getMessage}", "text/plain")
+        catch { case _: Exception => () }
+    } finally {
+      metrics.record(Metrics.routeOf(path), ex.getResponseCode,
+        (System.nanoTime() - t0) / 1e9)
+      ex.close()
     }
-  } catch {
-    case e: Exception => respond(ex, 500, s"internal error: ${e.getMessage}", "text/plain")
-  } finally ex.close()
+  }
 
   private def route(ex: HttpExchange, db: String, isAdmin: Boolean, path: String): Unit = {
     val method = ex.getRequestMethod
@@ -160,6 +193,17 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         else if (!meta.hasDestination(dest))
           respond(ex, 404, "unknown destination", "text/plain")
         else { addApiKey(key, dest); respond(ex, 200, """{"ok":true}""", "application/json") }
+      // connection-request links are minted by admins (reference:
+      // pkg/connections/service.go — requests carry an expiry)
+      case ("POST", "/api/connections/request") if !isAdmin =>
+        respond(ex, 403, "admin key required", "text/plain")
+      case ("POST", "/api/connections/request") =>
+        val token = UUID.randomUUID().toString
+        val ttlMs = 60 * 60 * 1000L
+        meta.putConnRequest(token, System.currentTimeMillis() + ttlMs)
+        respond(ex, 200,
+          s"""{"token":"$token","upsert_url":"/connections/upsert/$token","expires_in_sec":3600}""",
+          "application/json")
       case ("GET", "/api/tables") =>
         val names = catalog.listTables(db).map(n => "\"" + n + "\"")
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
@@ -274,6 +318,30 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     meta.putShare(id, db, query, name,
       System.currentTimeMillis() + duration * 1000)
     respond(ex, 200, s"""{"id":"$id"}""", "application/json")
+  }
+
+  /** Typed destination upsert behind a one-time token (reference:
+    * pkg/connections/upsert.go:1-140 — validate the form, register the
+    * destination, mint its first API key, consume the request). The
+    * only destination type this engine hosts is `spark`. */
+  private def handleConnUpsert(ex: HttpExchange, token: String): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val obj = try JValue.parseObject(body) catch {
+      case _: Exception => respond(ex, 400, "Invalid request body", "text/plain"); return
+    }
+    def str(k: String) = obj.get(k).collect { case JStr(s) => s }.getOrElse("")
+    val (name, dtype, apiKey) = (str("name"), str("type"), str("api_key"))
+    if (!validIdent(name)) { respond(ex, 400, "valid name required", "text/plain"); return }
+    if (dtype != "spark") { respond(ex, 400, s"unknown destination type: $dtype", "text/plain"); return }
+    if (apiKey.length < 8) { respond(ex, 400, "api_key of 8+ chars required", "text/plain"); return }
+    // consume LAST, once the form is valid — a rejected form must not
+    // burn the one-time link
+    if (!meta.consumeConnRequest(token, System.currentTimeMillis())) {
+      respond(ex, 404, "connection request not found or expired", "text/plain"); return
+    }
+    meta.addDestination(name)
+    addApiKey(apiKey, name)
+    respond(ex, 200, s"""{"name":"$name","type":"spark"}""", "application/json")
   }
 
   private def handleShareData(ex: HttpExchange, path: String): Unit = {

@@ -46,6 +46,9 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
            query CLOB NOT NULL,
            name VARCHAR(256) NOT NULL,
            expires_at_ms BIGINT NOT NULL)""")
+  exec("""CREATE TABLE conn_requests(
+           token VARCHAR(36) PRIMARY KEY,
+           expires_at_ms BIGINT NOT NULL)""")
   exec("""CREATE TABLE queue(
            id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
            status VARCHAR(8) NOT NULL,
@@ -130,6 +133,26 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
         None
       } else Some((rs.getString(1), rs.getString(2), rs.getString(3)))
     } finally ps.close()
+  }
+
+  // ---- one-time connection requests ----------------------------------
+  // (reference: pkg/connections/service.go — an admin mints a link a
+  // teammate opens once to register a destination; expired or reused
+  // tokens are rejected)
+  def putConnRequest(token: String, expiresAtMs: Long): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "INSERT INTO conn_requests(token, expires_at_ms) VALUES(?,?)")
+    try { ps.setString(1, token); ps.setLong(2, expiresAtMs); ps.executeUpdate() }
+    finally ps.close()
+  }
+
+  /** Atomically consume the token: true exactly once, and only before
+    * expiry. The DELETE's update-count is the race arbiter. */
+  def consumeConnRequest(token: String, nowMs: Long): Boolean = synchronized {
+    val ps = conn.prepareStatement(
+      "DELETE FROM conn_requests WHERE token=? AND expires_at_ms >= ?")
+    try { ps.setString(1, token); ps.setLong(2, nowMs); ps.executeUpdate() == 1 }
+    finally ps.close()
   }
 
   // ---- job queue (JobQueue impl) --------------------------------------

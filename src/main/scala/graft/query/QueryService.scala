@@ -66,7 +66,16 @@ object QueryService {
   private def stringify(v: Any): String = v match {
     case null                => "null"
     case b: Array[Byte]      => java.util.Base64.getEncoder.encodeToString(b)
-    case s: Seq[_]           => s.map(stringify).mkString("[", " ", "]")
+    // list/struct/map cells render DuckDB-CSV-style: [a, b] / {x, y} /
+    // {k=v} — comma-separated, so the cell gets CSV-quoted as one value
+    // collection.Seq, not scala.Seq: Row.get hands back mutable
+    // ArraySeq, which the 2.13 immutable-Seq alias would miss
+    case s: collection.Seq[_] => s.map(stringify).mkString("[", ", ", "]")
+    case m: collection.Map[_, _] =>
+      m.map { case (k, x) => s"${stringify(k)}=${stringify(x)}" }
+        .mkString("{", ", ", "}")
+    case r: Row              =>
+      r.toSeq.map(stringify).mkString("{", ", ", "}")
     case other               => other.toString
   }
 

@@ -170,6 +170,67 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("dashboard, metrics, CORS, and CSV list-cell rendering") {
+    val (srv, base) = newServer()
+    try {
+      // dashboard serves the query console
+      val dash = get(s"$base/dashboard")
+      assert(dash.statusCode() == 200)
+      assert(dash.headers().firstValue("Content-Type").get.startsWith("text/html"))
+      assert(dash.body().contains("/api/data/query"))
+
+      // CORS headers on responses; OPTIONS preflight short-circuits
+      assert(dash.headers().firstValue("Access-Control-Allow-Origin").get == "*")
+      val pre = http.send(HttpRequest.newBuilder(URI.create(s"$base/api/data/query"))
+        .method("OPTIONS", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(pre.statusCode() == 204)
+
+      // CSV: array cells render [a, b], not space-joined
+      val csv = post(s"$base/api/data/query?api_key=localkey&format=csv",
+        "select array(1, 2, 3) as xs, named_struct('a', 7, 'b', 'z') as st")
+      assert(csv.body() == "xs,st\n\"[1, 2, 3]\",\"{7, z}\"\n", csv.body())
+
+      // metrics: counters + histogram in prometheus text format
+      val m = get(s"$base/metrics").body()
+      assert(m.contains("""graft_requests_total{route="query",code="200"}"""), m)
+      assert(m.contains("""graft_request_duration_seconds_bucket{route="dashboard",le="+Inf"} 1"""), m)
+    } finally srv.stop()
+  }
+
+  test("connection-request flow: one-time token registers a typed destination") {
+    val (srv, base) = newServer()
+    try {
+      // only admins mint links
+      assert(post(s"$base/api/connections/request?api_key=localkey", "")
+        .statusCode() == 403)
+      val req = post(s"$base/api/connections/request?api_key=adminkey", "")
+      assert(req.statusCode() == 200, req.body())
+      val token = req.body().split("\"")(3)
+
+      // bad forms don't burn the token
+      assert(post(s"$base/connections/upsert/$token",
+        """{"name": "x y", "type": "spark", "api_key": "longenough"}""").statusCode() == 400)
+      assert(post(s"$base/connections/upsert/$token",
+        """{"name": "teamdb", "type": "clickhouse", "api_key": "longenough"}""").statusCode() == 400)
+      assert(post(s"$base/connections/upsert/$token",
+        """{"name": "teamdb", "type": "spark", "api_key": "short"}""").statusCode() == 400)
+
+      // valid form: destination registered, key live, token consumed
+      val ok = post(s"$base/connections/upsert/$token",
+        """{"name": "teamdb", "type": "spark", "api_key": "teamkey-123"}""")
+      assert(ok.statusCode() == 200, ok.body())
+      assert(get(s"$base/api/destinations?api_key=adminkey").body().contains("teamdb"))
+      val ins = post(s"$base/api/data/insert/tc?api_key=teamkey-123", """{"n": 5}""")
+      assert(ins.statusCode() == 200)
+      assert(post(s"$base/connections/upsert/$token",
+        """{"name": "again", "type": "spark", "api_key": "another-key"}""").statusCode() == 404,
+        "token is one-time")
+      assert(post(s"$base/connections/upsert/bogus-token",
+        """{"name": "z", "type": "spark", "api_key": "whatever-1"}""").statusCode() == 404)
+    } finally srv.stop()
+  }
+
   test("auth: bad key 401; admin key routes via destination_id") {
     val (srv, base) = newServer()
     try {
