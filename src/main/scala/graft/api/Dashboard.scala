@@ -26,7 +26,7 @@ object Dashboard {
       |</style>
       |</head>
       |<body>
-      |<h1>graft</h1>
+      |<h1>graft <a href="/logout" style="font-size:0.8rem;float:right">logout</a></h1>
       |<div class="bar">
       |  <label>API key <input id="key" type="password" placeholder="api_key"></label>
       |  <select id="fmt"><option>json</option><option>ndjson</option><option>csv</option></select>

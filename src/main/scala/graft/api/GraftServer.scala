@@ -48,6 +48,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     * pkg/storage/database/gorm/gorm.go:101-136,258-261). */
   val meta = new MetaStore(s"$root/meta")
   val queue: JobQueue = meta
+  /** Browser sessions (HS256 JWT cookie). The signing secret persists
+    * in the MetaStore so a restart doesn't log everyone out. */
+  private val webSessions =
+    new Sessions(meta.getOrPutSetting("jwt_secret", Sessions.randomSecret()))
   private val loader = new Loader(catalog)
   private val copier = new Copier(catalogFor _)
   private val workers = new Workers(queue, loader, copier, workerCount)
@@ -134,8 +138,27 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
         case ("GET", "/metrics") =>
           respond(ex, 200, metrics.render(), "text/plain; version=0.0.4")
+        // Dashboard is session-gated like the reference's view routes
+        // (pkg/api/auth.go:92-135 Authenticator: no/invalid JWT or a
+        // deleted user → redirect to /login)
         case ("GET", "/dashboard") =>
-          respond(ex, 200, Dashboard.html, "text/html; charset=utf-8")
+          sessionUser(ex) match {
+            case Some(_) => respond(ex, 200, Dashboard.html, "text/html; charset=utf-8")
+            case None => redirect(ex, 307, "/login")
+          }
+        case ("GET", "/login") =>
+          respond(ex, 200, Sessions.loginHtml.replace("__FLASH__", ""),
+            "text/html; charset=utf-8")
+        case ("POST", "/login") => handleLogin(ex)
+        // same exchange behind the reference's callback route shape
+        // (GET /oauth/{provider}/callback — auth.go:146-193)
+        case ("GET", "/oauth/local/callback") => handleOauthCallback(ex)
+        case ("GET", "/logout") =>
+          // reference Logout (auth.go:137-144): expire every cookie,
+          // redirect to the login page
+          ex.getResponseHeaders.add("Set-Cookie",
+            "jwt=; HttpOnly; Path=/; Max-Age=0")
+          redirect(ex, 303, "/login")
         case (_, p) if p.startsWith("/share/") => handleShareData(ex, p)
         // the one-time token IS the auth on the upsert leg (the
         // reference's connection-request link works unauthenticated:
@@ -320,6 +343,54 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     respond(ex, 200, s"""{"id":"$id"}""", "application/json")
   }
 
+  // ---- login sessions ---------------------------------------------
+  /** Some(userId) iff the jwt cookie verifies AND the user still
+    * exists (the reference re-fetches the user on every request —
+    * auth.go:107-113). */
+  private def sessionUser(ex: HttpExchange): Option[Long] = {
+    val cookies = Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+    cookies.split(";").iterator.map(_.trim.split("=", 2))
+      .collectFirst { case Array("jwt", v) => v }
+      .flatMap(webSessions.verify(_, System.currentTimeMillis()))
+      .filter(uid => meta.getUser(uid).isDefined)
+  }
+
+  /** Local identity exchange: email + a valid API key for this server
+    * stands in for the reference's OAuth code↔email exchange (zero
+    * egress). Downstream is identical: get-or-create the user row,
+    * mint the 7-day user_id JWT, set the HttpOnly cookie, redirect
+    * to /dashboard (auth.go:146-193). */
+  private def loginWith(ex: HttpExchange, email: String, apiKey: String): Unit = {
+    val emailOk = email.nonEmpty && email.length <= 256 &&
+      email.contains("@") && !email.exists(c => c.isWhitespace || c.isControl)
+    if (!emailOk || meta.lookupKey(hash(apiKey)).isEmpty) {
+      respond(ex, 401,
+        Sessions.loginHtml.replace("__FLASH__", "Invalid email or API key."),
+        "text/html; charset=utf-8")
+      return
+    }
+    val uid = meta.createUser(email, "local", s"""{"email":"$email"}""")
+    val token = webSessions.mint(uid, System.currentTimeMillis())
+    ex.getResponseHeaders.add("Set-Cookie", s"jwt=$token; HttpOnly; Path=/")
+    redirect(ex, 303, "/dashboard")
+  }
+
+  private def handleLogin(ex: HttpExchange): Unit = {
+    val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+    val form = parseUrlEncoded(body)
+    loginWith(ex, form.getOrElse("email", ""), form.getOrElse("api_key", ""))
+  }
+
+  private def handleOauthCallback(ex: HttpExchange): Unit = {
+    val params = queryParams(ex)
+    loginWith(ex, params.getOrElse("email", ""), params.getOrElse("code", ""))
+  }
+
+  private def redirect(ex: HttpExchange, code: Int, to: String): Unit = {
+    ex.getResponseHeaders.set("Location", to)
+    ex.sendResponseHeaders(code, -1)
+  }
+
   /** Typed destination upsert behind a one-time token (reference:
     * pkg/connections/upsert.go:1-140 — validate the form, register the
     * destination, mint its first API key, consume the request). The
@@ -358,8 +429,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   }
 
   // ---- plumbing ---------------------------------------------------
-  private def queryParams(ex: HttpExchange): Map[String, String] = {
-    val q = ex.getRequestURI.getRawQuery
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    parseUrlEncoded(ex.getRequestURI.getRawQuery)
+
+  private def parseUrlEncoded(q: String): Map[String, String] = {
     if (q == null) Map.empty
     else q.split("&").toSeq.flatMap { kv =>
       kv.split("=", 2) match {

@@ -53,6 +53,15 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
            id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
            status VARCHAR(8) NOT NULL,
            payload VARCHAR(30000) NOT NULL)""")
+  exec("""CREATE TABLE users(
+           id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+           email VARCHAR(256) NOT NULL UNIQUE,
+           source VARCHAR(32) NOT NULL,
+           details VARCHAR(4000) NOT NULL,
+           created_ms BIGINT NOT NULL)""")
+  exec("""CREATE TABLE settings(
+           k VARCHAR(64) PRIMARY KEY,
+           v VARCHAR(256) NOT NULL)""")
   // crash recovery: jobs claimed by a dead process are redelivered
   synchronized {
     val st = conn.createStatement()
@@ -153,6 +162,63 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
       "DELETE FROM conn_requests WHERE token=? AND expires_at_ms >= ?")
     try { ps.setString(1, token); ps.setLong(2, nowMs); ps.executeUpdate() == 1 }
     finally ps.close()
+  }
+
+  // ---- users (login sessions) ----------------------------------------
+  // (reference: gorm.go CreateUser — get-or-create by email, the OAuth
+  //  callback calls it on every login; GetUser backs the session check)
+  def createUser(email: String, source: String, details: String): Long = synchronized {
+    getUserByEmail(email) match {
+      case Some((id, _)) => id
+      case None =>
+        val ps = conn.prepareStatement(
+          "INSERT INTO users(email, source, details, created_ms) VALUES(?,?,?,?)",
+          java.sql.Statement.RETURN_GENERATED_KEYS)
+        try {
+          ps.setString(1, email); ps.setString(2, source)
+          ps.setString(3, details.take(4000))
+          ps.setLong(4, System.currentTimeMillis())
+          ps.executeUpdate()
+          val rs = ps.getGeneratedKeys
+          rs.next(); rs.getLong(1)
+        } finally ps.close()
+    }
+  }
+
+  def getUser(id: Long): Option[(Long, String)] = synchronized {
+    val ps = conn.prepareStatement("SELECT id, email FROM users WHERE id=?")
+    try {
+      ps.setLong(1, id)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some((rs.getLong(1), rs.getString(2))) else None
+    } finally ps.close()
+  }
+
+  def getUserByEmail(email: String): Option[(Long, String)] = synchronized {
+    val ps = conn.prepareStatement("SELECT id, email FROM users WHERE email=?")
+    try {
+      ps.setString(1, email)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some((rs.getLong(1), rs.getString(2))) else None
+    } finally ps.close()
+  }
+
+  /** Settings k/v; the JWT signing secret lives here so sessions
+    * survive a server restart (the reference reads its JWT secret from
+    * durable config for the same reason). */
+  def getOrPutSetting(key: String, mint: => String): String = synchronized {
+    val get = conn.prepareStatement("SELECT v FROM settings WHERE k=?")
+    val existing = try {
+      get.setString(1, key)
+      val rs = get.executeQuery()
+      if (rs.next()) Some(rs.getString(1)) else None
+    } finally get.close()
+    existing.getOrElse {
+      val v = mint
+      val ps = conn.prepareStatement("INSERT INTO settings(k, v) VALUES(?,?)")
+      try { ps.setString(1, key); ps.setString(2, v); ps.executeUpdate(); v }
+      finally ps.close()
+    }
   }
 
   // ---- job queue (JobQueue impl) --------------------------------------

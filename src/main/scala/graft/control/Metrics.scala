@@ -74,6 +74,8 @@ object Metrics {
     if (path == "/healthcheck") "health"
     else if (path == "/metrics") "metrics"
     else if (path == "/dashboard") "dashboard"
+    else if (path == "/login" || path == "/logout" ||
+      path.startsWith("/oauth/")) "auth"
     else if (path.startsWith("/share/")) "share_data"
     else if (path.startsWith("/api/data/insert/")) "insert"
     else if (path == "/api/data/query") "query"

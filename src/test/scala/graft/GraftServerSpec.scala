@@ -173,8 +173,11 @@ class GraftServerSpec extends SparkTestBase {
   test("dashboard, metrics, CORS, and CSV list-cell rendering") {
     val (srv, base) = newServer()
     try {
-      // dashboard serves the query console
-      val dash = get(s"$base/dashboard")
+      // dashboard serves the query console (to a logged-in session)
+      val login = post(s"$base/login", "email=op%40example.com&api_key=localkey")
+      val jwt = login.headers().firstValue("Set-Cookie").get().split(";")(0)
+      val dash = http.send(HttpRequest.newBuilder(URI.create(s"$base/dashboard"))
+        .header("Cookie", jwt).GET().build(), HttpResponse.BodyHandlers.ofString())
       assert(dash.statusCode() == 200)
       assert(dash.headers().firstValue("Content-Type").get.startsWith("text/html"))
       assert(dash.body().contains("/api/data/query"))
@@ -196,6 +199,66 @@ class GraftServerSpec extends SparkTestBase {
       assert(m.contains("""graft_requests_total{route="query",code="200"}"""), m)
       assert(m.contains("""graft_request_duration_seconds_bucket{route="dashboard",le="+Inf"} 1"""), m)
     } finally srv.stop()
+  }
+
+  test("login sessions: JWT cookie gates the dashboard; logout clears it") {
+    val (srv, base) = newServer()
+    try {
+      def dashWith(cookie: String) =
+        http.send(HttpRequest.newBuilder(URI.create(s"$base/dashboard"))
+          .header("Cookie", cookie).GET().build(), HttpResponse.BodyHandlers.ofString())
+
+      // no session → redirect to /login (reference Authenticator)
+      val anon = get(s"$base/dashboard")
+      assert(anon.statusCode() == 307)
+      assert(anon.headers().firstValue("Location").get() == "/login")
+      assert(get(s"$base/login").body().contains("<form"))
+
+      // bad credential / malformed email → 401, no cookie
+      assert(post(s"$base/login", "email=a%40b.co&api_key=wrong").statusCode() == 401)
+      assert(post(s"$base/login", "email=not-an-email&api_key=localkey").statusCode() == 401)
+
+      // valid login → 303 to /dashboard with an HttpOnly jwt cookie
+      val ok = post(s"$base/login", "email=a%40b.co&api_key=localkey")
+      assert(ok.statusCode() == 303, ok.body())
+      assert(ok.headers().firstValue("Location").get() == "/dashboard")
+      val cookie = ok.headers().firstValue("Set-Cookie").get()
+      assert(cookie.startsWith("jwt=") && cookie.contains("HttpOnly"), cookie)
+      val jwt = cookie.split(";")(0)
+      assert(jwt.count(_ == '.') == 2, "three-part JWT")
+      assert(dashWith(jwt).statusCode() == 200)
+
+      // tampered signature → back to /login
+      assert(dashWith(jwt.dropRight(3) + "xxx").statusCode() == 307)
+
+      // the oauth-callback route shape performs the same exchange
+      val cb = get(s"$base/oauth/local/callback?code=localkey&email=cb%40x.io")
+      assert(cb.statusCode() == 303, cb.body())
+
+      // logout expires the cookie and bounces to /login
+      val out = get(s"$base/logout")
+      assert(out.statusCode() == 303)
+      assert(out.headers().firstValue("Location").get() == "/login")
+      assert(out.headers().firstValue("Set-Cookie").get().contains("Max-Age=0"))
+    } finally srv.stop()
+  }
+
+  test("login sessions survive a server restart (persisted secret + user)") {
+    val root = Files.createTempDirectory("graft-sess").toString
+    val first = new GraftServer(spark, root)
+    first.addApiKey("sesskey", "default")
+    val base1 = s"http://localhost:${first.start()}"
+    val jwt = post(s"$base1/login", "email=keep%40me.io&api_key=sesskey")
+      .headers().firstValue("Set-Cookie").get().split(";")(0)
+    first.stop()
+
+    val second = new GraftServer(spark, root)
+    val base2 = s"http://localhost:${second.start()}"
+    try {
+      val dash = http.send(HttpRequest.newBuilder(URI.create(s"$base2/dashboard"))
+        .header("Cookie", jwt).GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(dash.statusCode() == 200, "old session still valid after restart")
+    } finally second.stop()
   }
 
   test("connection-request flow: one-time token registers a typed destination") {
