@@ -356,6 +356,91 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Exact all-pairs near-dup block scan, fused: a CHUNK of probe
+    * rows packed as array<struct<id,vec>> against the WHOLE corpus
+    * packed the same way (collect_list + a 1-row broadcast); emits
+    * every (id_a from the chunk, id_b > id_a from the corpus) with
+    * raw cosine ≥ threshold. Chunking matters twice: the fat corpus
+    * column crosses the join/projection machinery once per CHUNK
+    * (not once per row — 20k × 10 MB row-serializations was the
+    * entire runtime of the row-per-pair form at sf1), and the O(n²)
+    * loop runs as one primitive dot-product kernel per chunk with
+    * the corpus unpacked once per task (ids, primitive vectors,
+    * norms cached; value guard re-unpacks if the column ever
+    * changes). Values are bit-identical to CosineSimilarity: same
+    * sequential dot/norm accumulation, sqrt(na)·sqrt(nb) in the
+    * same order. Like the all-pairs operator itself, this is the
+    * correctness baseline — the LSH path is the 100 TB plan. */
+  case class NearDupBlock(all: Expression, chunk: Expression, threshold: Double)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = all
+    override def right: Expression = chunk
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))), containsNull = false)
+
+    @transient private var ids: Array[Long] = _
+    @transient private var vecs: Array[Array[Double]] = _
+    @transient private var norms: Array[Double] = _
+
+    private def ensureUnpacked(a: ArrayData): Unit = {
+      val n = a.numElements()
+      if (ids != null && ids.length == n && (n == 0 ||
+        (ids(0) == a.getStruct(0, 2).getLong(0) &&
+         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      val idA = new Array[Long](n)
+      val vA = new Array[Array[Double]](n)
+      val nA = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = a.getStruct(i, 2)
+        idA(i) = row.getLong(0)
+        val v = row.getArray(1).toDoubleArray()
+        vA(i) = v
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * v(j); j += 1 }
+        nA(i) = math.sqrt(s)
+        i += 1
+      }
+      ids = idA; vecs = vA; norms = nA
+    }
+
+    override def nullSafeEval(allV: Any, chunkV: Any): Any = {
+      ensureUnpacked(allV.asInstanceOf[ArrayData])
+      val probes = chunkV.asInstanceOf[ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < probes.numElements()) {
+        val probe = probes.getStruct(p, 2)
+        val myId = probe.getLong(0)
+        val a = probe.getArray(1).toDoubleArray()
+        var na = 0.0; var j = 0
+        while (j < a.length) { na += a(j) * a(j); j += 1 }
+        val sna = math.sqrt(na)
+        if (sna != 0.0) {
+          var i = 0
+          while (i < ids.length) {
+            // zero-norm partners yield null cosine upstream → never pair
+            if (ids(i) > myId && norms(i) != 0.0) {
+              val b = vecs(i)
+              val n2 = math.min(a.length, b.length)
+              var dot = 0.0; var k = 0
+              while (k < n2) { dot += a(k) * b(k); k += 1 }
+              val cos = dot / (sna * norms(i))
+              if (cos >= threshold) out += InternalRow(myId, ids(i), cos)
+            }
+            i += 1
+          }
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(all = l, chunk = r)
+  }
+
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
@@ -395,6 +480,9 @@ object NativeExpressions {
       seed: Int = 42): Column =
     ExpressionUtils.column(HyperplaneBuckets(
       ExpressionUtils.expression(vec), dim, nPlanes, nTables, seed))
+  def near_dup_block(all: Column, chunk: Column, threshold: Double): Column =
+    ExpressionUtils.column(NearDupBlock(ExpressionUtils.expression(all),
+      ExpressionUtils.expression(chunk), threshold))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the

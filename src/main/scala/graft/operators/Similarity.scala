@@ -180,20 +180,37 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — EXACT
-    * all-pairs (O(n²) cross join). This is the correctness baseline and
-    * recall yardstick only; it does not scale past ~10^5 vectors. The
-    * production path is embeddingNearDupPairsLsh above (bucket-blocked
-    * equi-join, same exact-cosine verification). */
+    * all-pairs O(n²). This is the correctness baseline and recall
+    * yardstick only; it does not scale past ~10^5 vectors (the packed
+    * corpus must fit in one broadcast row). The production path is
+    * embeddingNearDupPairsLsh above (bucket-blocked equi-join, same
+    * exact-cosine verification).
+    *
+    * Plan: probes group into `par` packed chunk rows (deterministic
+    * pmod(id) blocking); the corpus collapses to ONE packed row that
+    * broadcasts against them; each chunk×corpus row runs the fused
+    * NearDupBlock kernel and explodes only SURVIVING pairs. Two
+    * things make this fast where the row-per-pair BroadcastNestedLoop
+    * form was not: no per-pair row machinery exists anywhere in the
+    * plan, and the 10 MB packed-corpus column is serialized through
+    * the join once per CHUNK, not once per probe row. The explicit
+    * repartition(par) pins parallelism — a small parquet input is one
+    * task otherwise, and AQE would coalesce the tiny-by-bytes chunk
+    * rows whose cost is CPU, not size. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val normed = corpus.select(col(idCol),
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val normed = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val a = normed.select(col(idCol).as("id_a"), col("__v").as("va"))
-    val b = normed.select(col(idCol).as("id_b"), col("__v").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
-      .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
+    val chunked = normed
+      .groupBy(pmod(col("__id"), lit(par)).as("__blk"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__probe"))
+      .repartition(par)
+    val packed = normed.agg(collect_list(struct(col("__id"), col("__v"))).as("__all"))
+    chunked.crossJoin(broadcast(packed))
+      .select(explode(graft.functions.NativeExpressions.near_dup_block(
+        col("__all"), col("__probe"), threshold)).as("__nd"))
+      .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
+        round(col("__nd.cos"), 6).as("cos_sim"))
   }
 }
