@@ -81,4 +81,36 @@ object Dashboard {
       |</body>
       |</html>
       |""".stripMargin
+
+  /** Public share-viewer page: renders the shared result set for a
+    * bare /share/{uuid} link (reference: pkg/view/router.go:43-76). */
+  def shareHtml(uuid: String, name: String): String = {
+    val esc = name.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    s"""<!doctype html>
+       |<html lang="en">
+       |<head><meta charset="utf-8"><title>$esc — graft share</title>
+       |<style>
+       | body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
+       | table { border-collapse: collapse; }
+       | td, th { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
+       |</style></head>
+       |<body>
+       |<h1>$esc</h1>
+       |<p><a href="/share/$uuid/data.json">json</a> ·
+       |   <a href="/share/$uuid/data.csv">csv</a> ·
+       |   <a href="/share/$uuid/data.ndjson">ndjson</a></p>
+       |<div id="out">loading…</div>
+       |<script>
+       |const esc = s => s.replace(/[&<>]/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
+       |fetch('/share/$uuid/data.json').then(r => r.json()).then(rows => {
+       |  if (!rows.length) { document.getElementById('out').textContent = '(0 rows)'; return; }
+       |  const cols = Object.keys(rows[0]);
+       |  let h = '<table><tr>' + cols.map(c => '<th>' + esc(c) + '</th>').join('') + '</tr>';
+       |  for (const r of rows) h += '<tr>' + cols.map(c => '<td>' + esc(String(r[c] ?? 'null')) + '</td>').join('') + '</tr>';
+       |  document.getElementById('out').innerHTML = h + '</table>';
+       |}).catch(e => { document.getElementById('out').textContent = String(e); });
+       |</script>
+       |</body></html>
+       |""".stripMargin
+  }
 }

@@ -136,6 +136,9 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
       (method, path) match {
         case ("OPTIONS", _) => ex.sendResponseHeaders(204, -1) // preflight
         case ("GET", "/healthcheck") => respond(ex, 200, "ok", "text/plain")
+        // reference: GET / permanently redirects to the dashboard
+        // (pkg/api/router.go:39-41)
+        case ("GET", "/") => redirect(ex, 301, "/dashboard")
         case ("GET", "/metrics") =>
           respond(ex, 200, metrics.render(), "text/plain; version=0.0.4")
         // Dashboard is session-gated like the reference's view routes
@@ -416,8 +419,19 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   }
 
   private def handleShareData(ex: HttpExchange, path: String): Unit = {
-    // /share/{uuid}/data.{format}
+    // /share/{uuid} (HTML viewer) or /share/{uuid}/data.{format}
     val parts = path.stripPrefix("/share/").split("/")
+    if (parts.length == 1 && parts(0).nonEmpty) {
+      // the reference serves an HTML page for a bare share link
+      // (pkg/view/router.go:43-76: name + expiry + the data URL)
+      meta.getShare(parts(0), System.currentTimeMillis()) match {
+        case None => respond(ex, 404, "Query not found", "text/plain")
+        case Some((_, _, name)) =>
+          respond(ex, 200, Dashboard.shareHtml(parts(0), name),
+            "text/html; charset=utf-8")
+      }
+      return
+    }
     if (parts.length != 2 || !parts(1).startsWith("data.")) {
       respond(ex, 400, "bad share path", "text/plain"); return
     }

@@ -97,6 +97,25 @@ object TextFunctions {
       .when(b < trainPct + valPct, "val")
       .otherwise("test")
   }
+
+  /** Deterministic stratified sampling: keep a row iff its md5-derived
+    * per-mille bucket falls under its stratum's rate. Unlike
+    * `df.stat.sampleBy` (seeded RNG, engine-specific), the hash makes
+    * the SAMPLE itself reproducible anywhere md5 exists — the DuckDB
+    * oracle draws the identical rows — and it is embarrassingly
+    * parallel: a pure per-row filter, no shuffle, pushed into the
+    * scan stage. Classic pipeline use: downsample the dominant
+    * language/source while keeping the tail intact. */
+  def stratifiedSampleKeep(id: Column, stratum: Column,
+                           ratesPerMille: Map[String, Int],
+                           defaultPerMille: Int): Column = {
+    val bucket =
+      conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 1000
+    val rate = ratesPerMille.foldLeft(lit(defaultPerMille)) {
+      case (acc, (k, v)) => when(stratum === k, lit(v)).otherwise(acc)
+    }
+    bucket < rate
+  }
 }
 
 /** Minimal public stopword profiles (top function words per language). */

@@ -399,6 +399,22 @@ object TrainingOps {
         TextFunctions.datasetSplit(col("doc_id")).as("split"))
     },
 
+    // Deterministic stratified sampling: downsample the dominant
+    // language, keep the tail. The md5 per-mille bucket makes the
+    // sample itself engine-reproducible (same rows in DuckDB), and
+    // the whole operator is a per-row filter in the scan stage —
+    // no shuffle, no RNG state, safe at any scale.
+    QueryDef(
+      "text_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 1000
+        |  < CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 600 ELSE 900 END
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir).filter(TextFunctions.stratifiedSampleKeep(
+          col("doc_id"), col("lang"), Map("en" -> 150, "zh" -> 600), 900))
+        .select(col("doc_id"), col("lang"))
+    },
+
     // ---- multimodal plumbing --------------------------------------
     QueryDef(
       "mm_decode",

@@ -344,6 +344,14 @@ class GraftServerSpec extends SparkTestBase {
       val shared = get(s"$base/share/$id/data.json")
       assert(shared.body() == """[{"total":42}]""", shared.body())
 
+      // bare /share/{uuid} serves the HTML viewer page; / redirects
+      // to the dashboard (reference router.go:39-41, view/router.go)
+      val page = get(s"$base/share/$id")
+      assert(page.statusCode() == 200 && page.body().contains("totals"), page.body().take(120))
+      val home = get(s"$base/")
+      assert(home.statusCode() == 301 &&
+        home.headers().firstValue("Location").get() == "/dashboard")
+
       val expired = post(s"$base/api/data/query/share?api_key=localkey",
         """{"query": "select 1", "duration": 0, "name": "dead"}""")
       val deadId = expired.body().split("\"")(3)
