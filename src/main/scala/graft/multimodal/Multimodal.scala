@@ -17,13 +17,17 @@ import org.apache.spark.sql.types._
   * decoding the raster, so cost per image is O(header), not O(pixels) —
   * the right contract for a 100 TB scan that only needs metadata.
   *
-  * ── STUB BOUNDARY (audio/video only) ─────────────────────────────
-  * No audio/video codecs exist in this container, so `decodeStub`
-  * derives deterministic fake features from the raw bytes (first two
-  * bytes → fake width/height, byte count → fake frame count). The
-  * Spark-side contract — schema, binary transport, per-partition
-  * batching, output row shape — is real and tested; swap `decodeStub`
-  * for a JNI/FFI codec call in production.
+  * AUDIO decode is REAL: `decodeAudio` parses container/rate/channels/
+  * bits/frames from actual RIFF-WAVE (or AIFF/AU) bytes through
+  * `javax.sound.sampled` — header-only, like the image path.
+  *
+  * ── STUB BOUNDARY (video only) ───────────────────────────────────
+  * No video codecs exist in this container, so `decodeStub` derives
+  * deterministic fake features from the raw bytes (first two bytes →
+  * fake width/height, byte count → fake frame count). The Spark-side
+  * contract — schema, binary transport, per-partition batching,
+  * output row shape — is real and tested; swap `decodeStub` for a
+  * JNI/FFI codec call in production.
   * ─────────────────────────────────────────────────────────────────
   */
 object Multimodal {
@@ -141,6 +145,91 @@ object Multimodal {
           javax.imageio.ImageIO.write(img, format, out)
           val bytes = out.toByteArray
           Row(id, bytes, "image", bytes.length.toLong)
+        }
+      }(enc)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("fmt", StringType),
+    StructField("sample_rate", LongType),
+    StructField("channels", LongType),
+    StructField("bits", LongType),
+    StructField("n_frames", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL audio decode: container format, sample rate, channels, bit
+    * depth and frame count parsed from the payload bytes via
+    * `javax.sound.sampled.AudioSystem` (JDK built-in — WAV/AIFF/AU),
+    * header-only: `getAudioFileFormat` never decodes samples, so cost
+    * per clip is O(header). duration_ms derives from frames/rate.
+    * Unrecognized payloads yield null features, not task failures. */
+  def decodeAudio(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    binaryTable.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(payload))
+            val f = aff.getFormat
+            val frames = aff.getFrameLength.toLong
+            val rate = f.getSampleRate.toLong
+            Row(id, aff.getType.toString.toLowerCase, rate,
+              f.getChannels.toLong, f.getSampleSizeInBits.toLong, frames,
+              if (rate > 0) frames * 1000L / rate else null)
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException =>
+              Row(id, null, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode one PCM-16 RIFF/WAVE clip per row from (id, rate,
+    * channels, frames) — the test-audio generator for the decode
+    * round-trip (the container ships no audio corpus). The 44-byte
+    * canonical header plus deterministic id-derived samples make a
+    * REAL wav file any decoder can read. */
+  def encodeTestWavs(df: DataFrame, idCol: String, rateCol: String,
+                     channelsCol: String, framesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(rateCol).cast("int").as("__rate"),
+      col(channelsCol).cast("int").as("__ch"),
+      col(framesCol).cast("int").as("__frames"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val rate = r.getAs[Int]("__rate")
+          val ch = r.getAs[Int]("__ch")
+          val frames = r.getAs[Int]("__frames")
+          val blockAlign = ch * 2
+          val dataSize = frames * blockAlign
+          val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1.toShort).putShort(ch.toShort) // PCM, channels
+            .putInt(rate).putInt(rate * blockAlign)
+            .putShort(blockAlign.toShort).putShort(16.toShort)
+            .put("data".getBytes("US-ASCII")).putInt(dataSize)
+          var i = 0
+          while (i < frames * ch) {
+            buf.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+            i += 1
+          }
+          val bytes = buf.array()
+          Row(id, bytes, "audio", bytes.length.toLong)
         }
       }(enc)
   }

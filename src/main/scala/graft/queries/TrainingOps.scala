@@ -450,6 +450,28 @@ object TrainingOps {
         .select(col("media_id"), col("fmt"), col("width"), col("height"))
     },
 
+    // Real WAV round-trip, same contract as mm_decode_image: Spark
+    // ENCODES genuine RIFF/PCM clips with id-derived parameters and
+    // DECODES them via javax.sound.sampled; the oracle recomputes the
+    // parameters arithmetically — a match proves the decode is real.
+    QueryDef(
+      "mm_decode_audio",
+      """SELECT doc_id AS media_id, 'wave' AS fmt,
+        |  CAST(8000 * (1 + doc_id % 4) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(64 + n_chars % 192 AS BIGINT) AS n_frames,
+        |  CAST((64 + n_chars % 192) * 1000 // (8000 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(8000) * (lit(1) + pmod(col("doc_id"), lit(4)))).as("__rate"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).as("__ch"),
+        (lit(64) + pmod(col("n_chars"), lit(192))).as("__frames"))
+      val wavs = Multimodal.encodeTestWavs(d, "doc_id", "__rate", "__ch", "__frames")
+      Multimodal.decodeAudio(s, wavs)
+    },
+
     QueryDef(
       "mm_frame_sample",
       """SELECT doc_id AS media_id,

@@ -280,4 +280,23 @@ class TrainingOpsSpec extends SparkTestBase {
     val r = Multimodal.decodeImages(spark, junk).collect().head
     assert(r.isNullAt(r.fieldIndex("fmt")) && r.isNullAt(r.fieldIndex("width")))
   }
+
+  test("audio decode is real: wav round-trip rate/channels/frames; garbage -> nulls") {
+    import spark.implicits._
+    val params = Seq((1L, 8000, 1, 120), (2L, 16000, 2, 77), (3L, 44100, 1, 441))
+      .toDF("id", "rate", "ch", "frames")
+    val wavs = Multimodal.encodeTestWavs(params, "id", "rate", "ch", "frames")
+    val out = Multimodal.decodeAudio(spark, wavs)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    assert(out.map(_._2).forall(_ == "wave"), out.mkString(","))
+    assert(out.map(t => (t._1, t._3.toInt, t._4.toInt, t._6.toInt)).toSeq ==
+      params.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getInt(3))).toSeq.sortBy(_._1), "rate/channels/frames round-trip")
+    assert(out.map(_._5).forall(_ == 16L), "PCM-16 bit depth")
+
+    val junk = Seq((9L, Array[Byte](82, 73, 70, 70, 0))).toDF("media_id", "payload")
+    val r = Multimodal.decodeAudio(spark, junk).collect().head
+    assert(r.isNullAt(r.fieldIndex("fmt")) && r.isNullAt(r.fieldIndex("sample_rate")))
+  }
 }
