@@ -98,6 +98,21 @@ object TextFunctions {
       .otherwise("test")
   }
 
+  /** PII scrubbing — the redaction pass every public training corpus
+    * runs (emails, IPv4s) as plain codegen'd regexp ops. Patterns stay
+    * within the RE2 ∩ java.util.regex dialect (no lookaround, no
+    * backrefs) so any engine applies the identical policy. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiEmailCount(text: Column): Column =
+    regexp_count(text, lit(emailPattern)).cast("long")
+  def piiIpCount(text: Column): Column =
+    regexp_count(text, lit(ipv4Pattern)).cast("long")
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "<EMAIL>"),
+      ipv4Pattern, "<IP>")
+
   /** Deterministic stratified sampling: keep a row iff its md5-derived
     * per-mille bucket falls under its stratum's rate. Unlike
     * `df.stat.sampleBy` (seeded RNG, engine-specific), the hash makes

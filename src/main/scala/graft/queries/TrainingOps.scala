@@ -415,6 +415,35 @@ object TrainingOps {
         .select(col("doc_id"), col("lang"))
     },
 
+    // PII redaction: the corpus ships no PII, so both engines first
+    // plant identical deterministic emails/IPs on every 7th doc, then
+    // count and redact them — policy applied identically (pattern
+    // dialect = RE2 ∩ java.util.regex).
+    QueryDef(
+      "text_pii_redact",
+      s"""WITH planted AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' contact user' || doc_id || '@example.com at 10.0.' || doc_id % 256 || '.1'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(regexp_extract_all(text, '${TextFunctions.emailPattern}')) AS BIGINT) AS n_emails,
+        |  CAST(length(regexp_extract_all(text, '${TextFunctions.ipv4Pattern}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(text, '${TextFunctions.emailPattern}', '<EMAIL>', 'g'), '${TextFunctions.ipv4Pattern}', '<IP>', 'g')) AS redacted_md5
+        |FROM planted
+        |""".stripMargin) { (s, dir) =>
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
+            pmod(col("doc_id"), lit(256)), lit(".1"))).otherwise(lit(""))).as("text"))
+      planted.select(col("doc_id"),
+        TextFunctions.piiEmailCount(col("text")).as("n_emails"),
+        TextFunctions.piiIpCount(col("text")).as("n_ips"),
+        md5(TextFunctions.piiRedact(col("text")).cast("binary")).as("redacted_md5"))
+    },
+
     // ---- multimodal plumbing --------------------------------------
     QueryDef(
       "mm_decode",

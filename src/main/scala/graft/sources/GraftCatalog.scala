@@ -88,6 +88,40 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
   }
 
+  /** Small-file compaction (maintenance op). The rotation-based ingest
+    * path writes one parquet part per NDJSON batch — at warehouse scale
+    * that accretes tiny files until scan PLANNING (listing + footer
+    * reads) dominates query time. One distributed job rewrites the
+    * data dir into ~targetFileBytes parts, then swaps directories via
+    * the Hadoop FS client (same code path on file://, s3a://, gs://).
+    *
+    * Not transactional, like the reference's backends: a reader racing
+    * the two renames can transiently miss the table; serialize
+    * compactions through the control-plane job queue in deployments.
+    * Returns (files before, files after). */
+  def compact(db: String, table: String,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dataPath = new HPath(dataDir(db, table).toString)
+    val fs = dataPath.getFileSystem(conf)
+    if (!fs.exists(dataPath)) return (0, 0)
+    def parquetParts(p: HPath) =
+      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    val parts = parquetParts(dataPath)
+    if (parts.length <= 1) return (parts.length, parts.length)
+    val totalBytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new HPath(tableDir(db, table).resolve("data.compacting").toString)
+    val old = new HPath(tableDir(db, table).resolve("data.old").toString)
+    fs.delete(tmp, true); fs.delete(old, true)
+    read(db, table).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    fs.rename(dataPath, old)
+    fs.rename(tmp, dataPath)
+    fs.delete(old, true)
+    (parts.length, parquetParts(dataPath).length)
+  }
+
   /** Register all tables of a db as temp views for SQL passthrough. */
   def registerViews(db: String): Unit =
     listTables(db).foreach(t => read(db, t).createOrReplaceTempView(t))

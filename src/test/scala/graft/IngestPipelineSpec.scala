@@ -125,6 +125,33 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(fk == pid)
   }
 
+  test("compaction: many tiny parts -> few, same rows, appends continue") {
+    val (catalog, loader, sink, ingest) = freshPipeline()
+    (1 to 12).foreach { i =>
+      ingest.insert("db", "tiny", s"""{"n": $i, "tag": "b$i"}""")
+      sink.flushAll().foreach(loader.consume) // one parquet part per batch
+    }
+    val before = catalog.read("db", "tiny")
+      .inputFiles.length
+    assert(before >= 12, s"expected one part per batch, saw $before")
+
+    val (was, now) = catalog.compact("db", "tiny")
+    assert(was == before && now == 1, s"$was -> $now")
+    val rows = catalog.read("db", "tiny")
+    assert(rows.count() == 12)
+    assert(rows.agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0) == 78)
+    assert(catalog.schemaOf("db", "tiny").contains("tag"), "sidecar schema intact")
+
+    // the compacted table is still a live append target
+    ingest.insert("db", "tiny", """{"n": 13, "tag": "b13"}""")
+    sink.flushAll().foreach(loader.consume)
+    assert(catalog.read("db", "tiny").count() == 13)
+
+    // compacting a single-part table is a no-op
+    assert(catalog.compact("db", "tiny")._1 <= 2)
+    assert(catalog.compact("db", "missing") == ((0, 0)))
+  }
+
   test("invalid bodies are rejected with per-item accounting") {
     val (_, _, _, ingest) = freshPipeline()
     assert(!ingest.insert("db", "t", """{"unterminated": """).fullySucceeded)
