@@ -265,4 +265,25 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
   }
+
+  /** Post-dedup representative selection: one kept doc per dup
+    * cluster (the C4/Dolma-style "keep the best, drop the rest"
+    * step). `components` is connectedComponents' (node, component)
+    * output; singletons — docs in no pair — form their own cluster.
+    * Keeps the row maximizing scoreCol, ties broken by smallest id.
+    * One window partitioned by component: cluster count ~ doc count,
+    * so partitions stay tiny at any scale. */
+  def keepBest(corpus: DataFrame, idCol: String, scoreCol: String,
+               components: DataFrame, nodeCol: String = "node",
+               compCol: String = "component"): DataFrame = {
+    val comp = components.select(col(nodeCol).as(idCol), col(compCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(compCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    corpus.join(comp, Seq(idCol), "left_outer")
+      .withColumn(compCol, coalesce(col(compCol), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(compCol), col(idCol), col(scoreCol))
+  }
 }

@@ -237,6 +237,56 @@ object TrainingOps {
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     },
 
+    // Representative selection after closure: keep the LONGEST doc of
+    // each dup cluster (ties -> smallest id), drop the rest — the
+    // post-dedup policy step of a C4/Dolma-style pipeline. Same pair
+    // graph + closure as dedup_components, so transitivity feeds the
+    // grouping here too.
+    QueryDef(
+      "dedup_keep_best",
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        |), blocked AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+        |), pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs
+        |), reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+        |), comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u
+        |), membered AS (
+        |  SELECT coalesce(c.component, d.doc_id) AS component, d.doc_id, d.n_chars
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)
+        |)
+        |SELECT component, doc_id, n_chars FROM (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY component ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM membered) t
+        |WHERE rn = 1
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      Dedup.keepBest(d.select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", comp)
+    },
+
     // ---- similarity search ----------------------------------------
     QueryDef(
       "ann_brute_topk",
