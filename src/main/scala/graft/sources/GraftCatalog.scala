@@ -27,6 +27,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   private def tableDir(db: String, table: String): Path = Paths.get(root, db, table)
   private def dataDir(db: String, table: String): Path = tableDir(db, table).resolve("data")
   private def schemaFile(db: String, table: String): Path = tableDir(db, table).resolve("schema.json")
+  private def partitionFile(db: String, table: String): Path = tableDir(db, table).resolve("partition.json")
 
   /** Seed column the reference creates every table with
     * (pkg/destinations/duckdb/insert.go:72-76). */
@@ -66,8 +67,35 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       StructField(n, TypeLattice.toSparkType(t), nullable = true)
     })
 
+  /** Hive-style directory partitioning for a table. Must be declared
+    * while the table is still empty — the layout is fixed after the
+    * first write (same rule as every warehouse). Partition columns
+    * must already exist in the schema. At 100 TB this is what turns
+    * `WHERE lang = 'en'` into a directory prune instead of a scan:
+    * Spark's partition discovery + PartitionFilters skip whole
+    * subtrees before any parquet footer is opened. */
+  def setPartitioning(db: String, table: String, cols: Seq[String]): Unit = synchronized {
+    ensureTable(db, table)
+    val have = readSchemaSeq(db, table).map(_._1).toSet
+    require(cols.forall(have.contains),
+      s"partition columns must exist in schema: ${cols.filterNot(have.contains)}")
+    require(!hasData(db, table), "cannot re-partition a non-empty table")
+    Files.writeString(partitionFile(db, table),
+      cols.map(quote).mkString("[", ",", "]"))
+  }
+
+  def partitioningOf(db: String, table: String): Seq[String] = {
+    import graft.functions.JValue, graft.functions.JValue._
+    if (!Files.exists(partitionFile(db, table))) Nil
+    else JValue.parse(Files.readString(partitionFile(db, table))) match {
+      case JArr(items) => items.collect { case JStr(s) => s }
+      case other => throw new IllegalStateException(s"bad partition sidecar: $other")
+    }
+  }
+
   /** Append a batch: project to catalog columns (missing → NULL), cast
-    * to catalog types, write parquet part-files. */
+    * to catalog types, write parquet part-files (Hive-layout when the
+    * table declares partitioning). */
   def append(db: String, table: String, df: DataFrame): Unit = {
     val target = structOf(db, table)
     val present = df.columns.toSet
@@ -75,16 +103,27 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    projected.write.mode("append").parquet(dataDir(db, table).toString)
+    val w = projected.write.mode("append")
+    val parts = partitioningOf(db, table)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(dataDir(db, table).toString)
   }
 
-  /** Read the table under its full sidecar schema. */
-  def read(db: String, table: String): DataFrame = {
+  private def hasData(db: String, table: String): Boolean = {
     val dir = dataDir(db, table)
+    Files.exists(dir) && {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+  }
+
+  /** Read the table under its full sidecar schema (partition columns
+    * resolve from the directory layout by name). */
+  def read(db: String, table: String): DataFrame = {
     val struct = structOf(db, table)
-    val hasData = Files.exists(dir) &&
-      Files.list(dir).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-    if (hasData) spark.read.schema(struct).parquet(dir.toString)
+    if (hasData(db, table))
+      spark.read.schema(struct).parquet(dataDir(db, table).toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
   }
 
@@ -106,8 +145,15 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val dataPath = new HPath(dataDir(db, table).toString)
     val fs = dataPath.getFileSystem(conf)
     if (!fs.exists(dataPath)) return (0, 0)
-    def parquetParts(p: HPath) =
-      fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+    def parquetParts(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+      val it = fs.listFiles(p, true) // recursive: partitioned layouts nest
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) out += st
+      }
+      out.result()
+    }
     val parts = parquetParts(dataPath)
     if (parts.length <= 1) return (parts.length, parts.length)
     val totalBytes = parts.map(_.getLen).sum
@@ -115,7 +161,15 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val tmp = new HPath(tableDir(db, table).resolve("data.compacting").toString)
     val old = new HPath(tableDir(db, table).resolve("data.old").toString)
     fs.delete(tmp, true); fs.delete(old, true)
-    read(db, table).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    val partCols = partitioningOf(db, table)
+    val rewrite =
+      // partitioned: shuffle rows to their partition dirs so each dir
+      // compacts to ~one part; flat: straight repartition(nOut)
+      if (partCols.nonEmpty)
+        read(db, table).repartition(nOut, partCols.map(col): _*)
+          .write.mode("overwrite").partitionBy(partCols: _*)
+      else read(db, table).repartition(nOut).write.mode("overwrite")
+    rewrite.parquet(tmp.toString)
     fs.rename(dataPath, old)
     fs.rename(tmp, dataPath)
     fs.delete(old, true)

@@ -152,6 +152,54 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(catalog.compact("db", "missing") == ((0, 0)))
   }
 
+  test("partitioned tables: hive layout, pruning reaches the scan, compaction keeps it") {
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    val (catalog, _, _, _) = freshPipeline()
+    catalog.ensureTable("db", "part_t")
+    catalog.addColumns("db", "part_t", Map("lang" -> "string", "n" -> "int"))
+    catalog.setPartitioning("db", "part_t", Seq("lang"))
+
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      catalog.append("db", "part_t",
+        Seq(("en", i.toLong), ("de", i * 10L), ("fr", i * 100L))
+          .toDF("lang", "n").withColumn("__row_id", col("n")))
+    }
+
+    // layout is hive-style: lang=en/... directories
+    val allFiles = catalog.read("db", "part_t").inputFiles
+    val enFiles = allFiles.count(_.contains("lang=en"))
+    assert(enFiles > 0 && enFiles < allFiles.length)
+
+    // pruning happens in the planner (PartitionFilters), and the scan
+    // provably opens ONLY the en partition's files (numFiles metric)
+    val enOnly = catalog.read("db", "part_t").filter(col("lang") === "en")
+    val scan = enOnly.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "PartitionFilters present in scan")
+    assert(enOnly.collect().map(_.getAs[Long]("n")).sum == 6L)
+    assert(scan.metrics("numFiles").value == enFiles,
+      s"scan opened ${scan.metrics("numFiles").value} files, en dir has $enFiles")
+
+    // declared-too-late and unknown-column partitioning are rejected
+    intercept[IllegalArgumentException] {
+      catalog.setPartitioning("db", "part_t", Seq("lang"))
+    }
+
+    // compaction preserves the layout and the pruning
+    val (was, now) = catalog.compact("db", "part_t")
+    assert(was >= 9 && now <= 3, s"$was -> $now (one-ish part per partition dir)")
+    val filesAfter = catalog.read("db", "part_t").inputFiles
+    assert(filesAfter.forall(f => f.contains("lang=")), "hive layout preserved")
+    val after = catalog.read("db", "part_t").filter(col("lang") === "de")
+    assert(after.collect().map(_.getAs[Long]("n")).sum == 60L)
+    val deScan = after.queryExecution.executedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(deScan.metrics("numFiles").value == filesAfter.count(_.contains("lang=de")))
+  }
+
   test("invalid bodies are rejected with per-item accounting") {
     val (_, _, _, ingest) = freshPipeline()
     assert(!ingest.insert("db", "t", """{"unterminated": """).fullySucceeded)
