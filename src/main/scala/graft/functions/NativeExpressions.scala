@@ -503,6 +503,12 @@ object NativeExpressions {
       _ => SnowflakeId(Snowflake.defaultNodeId), "scala_udf")
     reg.createOrReplaceTempFunction("rolling_fingerprint",
       es => RollingFingerprint(es.head, 16), "scala_udf")
+    reg.createOrReplaceTempFunction("word_shingles",
+      es => WordShingles(es.head, 5), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_from_tokens",
+      es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_buckets",
+      es => HyperplaneBuckets(es.head, 64, 8, 4, 42), "scala_udf")
   }
 }
 

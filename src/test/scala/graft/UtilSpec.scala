@@ -67,4 +67,21 @@ class UtilSpec extends SparkTestBase {
     val ids = df.select("id2").collect().map(_.getLong(0))
     assert(ids.distinct.length == ids.length, "distributed ids must be unique")
   }
+
+  test("session JWTs: round-trip, expiry, tamper, wrong key") {
+    val s = new graft.api.Sessions("secret-a", ttlSeconds = 3600)
+    val now = 1700000000000L
+    val tok = s.mint(42L, now)
+    assert(tok.count(_ == '.') == 2)
+    assert(s.verify(tok, now) == Some(42L))
+    assert(s.verify(tok, now + 3599 * 1000L) == Some(42L), "valid until ttl")
+    assert(s.verify(tok, now + 3601 * 1000L) == None, "expired")
+    assert(s.verify(tok.dropRight(2) + "zz", now) == None, "tampered signature")
+    val Array(h, p, sig) = tok.split("\\.")
+    val forgedPayload = java.util.Base64.getUrlEncoder.withoutPadding
+      .encodeToString(s"""{"user_id":1,"exp":${now / 1000 + 3600}}""".getBytes)
+    assert(s.verify(s"$h.$forgedPayload.$sig", now) == None, "forged claims")
+    assert(new graft.api.Sessions("secret-b").verify(tok, now) == None, "wrong key")
+    assert(s.verify("garbage", now) == None)
+  }
 }
