@@ -441,6 +441,89 @@ object NativeExpressions {
         r: Expression): Expression = copy(all = l, chunk = r)
   }
 
+  /** Fused IVF coarse-assignment kernel: a CHUNK of probe rows packed
+    * as array<struct<id,vec>> against ALL centroids packed the same
+    * way (one broadcast row); emits (id, cell of the nearest centroid
+    * by cosine, ties → smallest centroid id — the oracle's ORDER BY
+    * sim DESC, centroid_id). Replaces the |corpus|×|centroids| scored
+    * row intermediate (72M rows at sf3: per-row expression eval, agg
+    * machinery, GC) with one primitive dot loop per chunk; centroids
+    * unpack once per task. Zero-norm probes emit nothing (their
+    * cosine is null upstream and null never wins an assignment);
+    * zero-norm centroids never win. Same fp accumulation order as
+    * CosineSimilarity, so values match the SQL form bit-for-bit. */
+  case class NearestCentroidBlock(cents: Expression, chunk: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = cents
+    override def right: Expression = chunk
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cell", LongType, nullable = false))), containsNull = false)
+
+    @transient private var ids: Array[Long] = _
+    @transient private var vecs: Array[Array[Double]] = _
+    @transient private var norms: Array[Double] = _
+
+    private def ensureUnpacked(a: ArrayData): Unit = {
+      val n = a.numElements()
+      if (ids != null && ids.length == n && (n == 0 ||
+        (ids(0) == a.getStruct(0, 2).getLong(0) &&
+         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      val idA = new Array[Long](n)
+      val vA = new Array[Array[Double]](n)
+      val nA = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        val row = a.getStruct(i, 2)
+        idA(i) = row.getLong(0)
+        val v = row.getArray(1).toDoubleArray()
+        vA(i) = v
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += v(j) * v(j); j += 1 }
+        nA(i) = math.sqrt(s)
+        i += 1
+      }
+      ids = idA; vecs = vA; norms = nA
+    }
+
+    override def nullSafeEval(centsV: Any, chunkV: Any): Any = {
+      ensureUnpacked(centsV.asInstanceOf[ArrayData])
+      val probes = chunkV.asInstanceOf[ArrayData]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < probes.numElements()) {
+        val probe = probes.getStruct(p, 2)
+        val myId = probe.getLong(0)
+        val a = probe.getArray(1).toDoubleArray()
+        var na = 0.0; var j = 0
+        while (j < a.length) { na += a(j) * a(j); j += 1 }
+        val sna = math.sqrt(na)
+        if (sna != 0.0) {
+          var bestId = Long.MinValue; var bestSim = Double.NegativeInfinity
+          var i = 0
+          while (i < ids.length) {
+            if (norms(i) != 0.0) {
+              val b = vecs(i)
+              val n2 = math.min(a.length, b.length)
+              var dot = 0.0; var k = 0
+              while (k < n2) { dot += a(k) * b(k); k += 1 }
+              val cos = dot / (sna * norms(i))
+              if (cos > bestSim || (cos == bestSim && ids(i) < bestId)) {
+                bestSim = cos; bestId = ids(i)
+              }
+            }
+            i += 1
+          }
+          if (bestId != Long.MinValue) out += InternalRow(myId, bestId)
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(cents = l, chunk = r)
+  }
+
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
@@ -483,6 +566,9 @@ object NativeExpressions {
   def near_dup_block(all: Column, chunk: Column, threshold: Double): Column =
     ExpressionUtils.column(NearDupBlock(ExpressionUtils.expression(all),
       ExpressionUtils.expression(chunk), threshold))
+  def nearest_centroid_block(cents: Column, chunk: Column): Column =
+    ExpressionUtils.column(NearestCentroidBlock(ExpressionUtils.expression(cents),
+      ExpressionUtils.expression(chunk)))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the

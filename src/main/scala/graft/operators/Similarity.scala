@@ -83,31 +83,36 @@ object Similarity {
     centroids
   }
 
-  /** Assign each corpus vector to its nearest centroid (one broadcast
-    * pass). This materialization is the "index build": at scale, write
-    * it partitioned by cell so probes prune partitions. */
+  /** Assign each corpus vector to its nearest centroid. This
+    * materialization is the "index build": at scale, write it
+    * partitioned by cell so probes prune partitions.
+    *
+    * Plan: corpus rows group into `par` packed chunks; ALL centroids
+    * pack into one broadcast row; the fused NearestCentroidBlock
+    * kernel scores each chunk against the task-cached unpacked
+    * centroids and emits only (id, cell). The |corpus|×|cells| scored
+    * intermediate this replaced (72M rows at sf3 — per-row expression
+    * eval + max_by agg machinery + GC) never exists; assignment cost
+    * is a primitive dot loop. Vectors re-attach by one equi-join —
+    * a single corpus-sized shuffle. Tie-break (max sim, then min
+    * centroid_id) matches the oracle's ORDER BY sim DESC, centroid_id. */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
-    // argmax via max_by aggregation, NOT a window: the |corpus|×|cells|
-    // scored rows never shuffle — partial max_by collapses them
-    // map-side. The scored rows and the aggregation buffer carry only
-    // scalars (id, centroid_id, sim): vectors are pre-cast ONCE and
-    // re-attached by a join per assignment row, not dragged through
-    // the cross join (8M rows × 64 doubles, the sf1 bottleneck).
-    // Tie-break (max __sim, then min centroid_id) matches the oracle's
-    // ORDER BY __sim DESC, centroid_id via the lexicographic struct
-    // ordering on (__sim, -centroid_id).
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
     val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as(vecCol))
-    val cents = centroids.select(col("centroid_id"),
-      col("centroid_vec").cast("array<double>").as("__cvec"))
-    val best = vecs.crossJoin(broadcast(cents))
-      .select(col(idCol), col("centroid_id"),
-        graft.functions.NativeExpressions.cosine_sim(col(vecCol), col("__cvec"))
-          .as("__sim"))
-      .groupBy(col(idCol))
-      .agg(max_by(col("centroid_id"), struct(col("__sim"), -col("centroid_id")))
-        .as("cell"))
-    vecs.join(best, Seq(idCol)).select(col(idCol), col(vecCol), col("cell"))
+    val chunked = vecs
+      .groupBy(pmod(col(idCol).cast("long"), lit(par)).as("__blk"))
+      .agg(collect_list(struct(col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))).as("__probe"))
+      .repartition(par)
+    val packed = centroids.agg(collect_list(struct(
+      col("centroid_id").cast("long").as("__id"),
+      col("centroid_vec").cast("array<double>").as("__v"))).as("__cents"))
+    val assigned = chunked.crossJoin(broadcast(packed))
+      .select(explode(graft.functions.NativeExpressions.nearest_centroid_block(
+        col("__cents"), col("__probe"))).as("__a"))
+      .select(col("__a.id").as(idCol), col("__a.cell").as("cell"))
+    vecs.join(assigned, Seq(idCol)).select(col(idCol), col(vecCol), col("cell"))
   }
 
   /** IVF search: route each query to its nProbe nearest cells, then
@@ -153,17 +158,29 @@ object Similarity {
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
-                               seed: Int = 42): DataFrame = {
+                               seed: Int = 42,
+                               maxBucketSize: Int = 2000): DataFrame = {
     val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
     // Candidate generation carries IDS ONLY — a bucket-colliding pair
     // costs 16 bytes through the join and the distinct, not 2×dim
     // doubles. Vectors re-attach once per SURVIVING pair below; at
     // sf1 this one change cut the shuffle from GBs to MBs (62s → ~8s).
-    val bucketed = vecs
+    val allBucketed = vecs
       .select(col(idCol),
         posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
+    // Bucket cap (same guard as the MinHash path): a degenerate bucket
+    // — near-parallel vector mass, adversarial skew — would otherwise
+    // contribute O(size²) candidate pairs. Candidate volume per table
+    // is bounded by n·maxBucketSize; the recall trade is the standard
+    // LSH answer (nPlanes should grow ~log₂(n/targetBucket) with
+    // corpus size, with nTables recovering recall).
+    val oversized = allBucketed.groupBy("__table", "__bucket")
+      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
+      .select("__table", "__bucket")
+    val bucketed = allBucketed.join(broadcast(oversized),
+      Seq("__table", "__bucket"), "left_anti")
     val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
     val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("__table", "__bucket"))
