@@ -159,7 +159,7 @@ object Similarity {
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
                                seed: Int = 42,
-                               maxBucketSize: Int = 2000): DataFrame = {
+                               maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
     // Candidate generation carries IDS ONLY — a bucket-colliding pair
@@ -170,17 +170,23 @@ object Similarity {
       .select(col(idCol),
         posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
-    // Bucket cap (same guard as the MinHash path): a degenerate bucket
-    // — near-parallel vector mass, adversarial skew — would otherwise
-    // contribute O(size²) candidate pairs. Candidate volume per table
-    // is bounded by n·maxBucketSize; the recall trade is the standard
-    // LSH answer (nPlanes should grow ~log₂(n/targetBucket) with
-    // corpus size, with nTables recovering recall).
-    val oversized = allBucketed.groupBy("__table", "__bucket")
-      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
-      .select("__table", "__bucket")
-    val bucketed = allBucketed.join(broadcast(oversized),
-      Seq("__table", "__bucket"), "left_anti")
+    // Optional bucket cap (off by default): a degenerate bucket —
+    // near-parallel vector mass, adversarial skew — contributes
+    // O(size²) candidate pairs; the cap bounds volume at
+    // n·maxBucketSize per table. It is OPT-IN because the guard's
+    // anti-join measurably slowed the uncapped common case (~2× at
+    // sf3, where no bucket exceeded 845), and the structural answer
+    // to candidate growth is parameter choice: nPlanes should grow
+    // ~log₂(n/targetBucket) with corpus size, nTables recovering
+    // recall.
+    val bucketed =
+      if (maxBucketSize == Int.MaxValue) allBucketed
+      else {
+        val oversized = allBucketed.groupBy("__table", "__bucket")
+          .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
+          .select("__table", "__bucket")
+        allBucketed.join(broadcast(oversized), Seq("__table", "__bucket"), "left_anti")
+      }
     val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
     val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"))
     val cand = a.join(b, Seq("__table", "__bucket"))

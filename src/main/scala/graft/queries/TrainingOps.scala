@@ -178,15 +178,9 @@ object TrainingOps {
         |    CAST(sum(CASE WHEN list_inner_product(pl.w, e.v) >= 0 THEN 1 << pl.p ELSE 0 END) AS BIGINT) AS bucket
         |  FROM e, planes pl
         |  GROUP BY e.vec_id, pl.t
-        |), oversized AS (
-        |  SELECT t, bucket FROM bucketed GROUP BY t, bucket HAVING count(*) > 2000
-        |), kept AS (
-        |  SELECT b.* FROM bucketed b
-        |  WHERE NOT EXISTS (SELECT 1 FROM oversized o
-        |                    WHERE o.t = b.t AND o.bucket = b.bucket)
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM kept a JOIN kept b
+        |  FROM bucketed a JOIN bucketed b
         |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
         |)
         |SELECT c.id_a, c.id_b,
@@ -196,7 +190,7 @@ object TrainingOps {
         |""".stripMargin) { (s, dir) =>
       Similarity.embeddingNearDupPairsLsh(embs(s, dir), "vec_id", "embedding",
         threshold = 0.35, dim = 64, nPlanes = 8, nTables = 4, seed = 42,
-        maxBucketSize = 2000)
+        maxBucketSize = Int.MaxValue)
     },
 
     // Transitive closure of the dup-pair graph: A~B~C chains collapse
