@@ -85,9 +85,14 @@ object NativeExpressions {
     (x << 4) | ((d(7) >> 4) & 0xfL)
   }
   /** First 16 hex chars (64 bits) of md5 as a raw bit pattern. */
-  private def md5Bits64(s: String): Long = {
+  private def md5Bits64(s: String): Long =
+    md5Bits64Bytes(s.getBytes(StandardCharsets.UTF_8))
+
+  /** Same, straight off UTF-8 bytes — UTF8String tokens hash without
+    * the decode-to-String / re-encode round trip. */
+  private def md5Bits64Bytes(b: Array[Byte]): Long = {
     val md = md5Local.get(); md.reset()
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val d = md.digest(b)
     var x = 0L; var i = 0
     while (i < 8) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
     x
@@ -107,7 +112,7 @@ object NativeExpressions {
       while (t < arr.numElements()) {
         if (!arr.isNullAt(t)) {
           val u = arr.getUTF8String(t)
-          val h = if (useMd5) md5Bits64(u.toString) else xxhash64(u)
+          val h = if (useMd5) md5Bits64Bytes(u.getBytes) else xxhash64(u)
           var i = 0
           while (i < 64) {
             if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1

@@ -153,12 +153,18 @@ object Dedup {
         .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+    // Hamming-verify BEFORE the pair dedup: short docs make 16-bit
+    // bands correlate, so a few mega-buckets can emit 100M+ joined
+    // rows (167M at sf3). The xor+popcount filter is a few cycles and
+    // pipelines inside the join stage, so those rows die in place;
+    // only true near-dup pairs (orders of magnitude fewer) reach the
+    // dropDuplicates shuffle. Same output set — hamming is a pure
+    // function of the pair.
     a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .select("doc_a", "doc_b", "hamming").dropDuplicates("doc_a", "doc_b")
   }
 
   // ---- transitive closure of dup pairs ----------------------------
