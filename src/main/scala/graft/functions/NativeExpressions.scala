@@ -624,5 +624,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       _ => SnowflakeId(Snowflake.defaultNodeId)))
     e.injectFunction((FunctionIdentifier("rolling_fingerprint"), info("rolling_fingerprint"),
       es => RollingFingerprint(es.head, 16)))
+    e.injectFunction((FunctionIdentifier("word_shingles"), info("word_shingles"),
+      es => WordShingles(es.head, 5)))
+    e.injectFunction((FunctionIdentifier("minhash_from_tokens"), info("minhash_from_tokens"),
+      es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false)))
+    e.injectFunction((FunctionIdentifier("hyperplane_buckets"), info("hyperplane_buckets"),
+      es => HyperplaneBuckets(es.head, 64, 8, 4, 42)))
   }
 }
