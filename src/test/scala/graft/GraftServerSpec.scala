@@ -201,6 +201,34 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("concurrent copies from different dbs never cross-read same-named tables") {
+    // Two dbs, SAME table name, different contents. Copies run through
+    // the per-db session pool, so the temp view `t` registered for one
+    // copy must never be visible to the other (the single-session form
+    // silently read the other tenant's rows under worker concurrency).
+    val (srv, base) = newServer()
+    try {
+      srv.addApiKey("keyA2", "dbA2"); srv.addApiKey("keyB2", "dbB2")
+      post(s"$base/api/data/insert/t?api_key=keyA2", """{"who": "alpha"}""")
+      post(s"$base/api/data/insert/t?api_key=keyB2", """{"who": "beta"}""")
+      srv.drain()
+
+      (1 to 4).foreach { i =>
+        post(s"$base/api/data/copy?api_key=keyA2",
+          s"""{"query": "select who from t", "destination_id": "dbA2", "destination_table": "outA$i"}""")
+        post(s"$base/api/data/copy?api_key=keyB2",
+          s"""{"query": "select who from t", "destination_id": "dbB2", "destination_table": "outB$i"}""")
+      }
+      assert(srv.drain(), "all copy jobs drain")
+      (1 to 4).foreach { i =>
+        val a = post(s"$base/api/data/query?api_key=keyA2", s"select who from outA$i")
+        val b = post(s"$base/api/data/query?api_key=keyB2", s"select who from outB$i")
+        assert(a.body() == """[{"who":"alpha"}]""", s"outA$i: ${a.body()}")
+        assert(b.body() == """[{"who":"beta"}]""", s"outB$i: ${b.body()}")
+      }
+    } finally srv.stop()
+  }
+
   test("login sessions: JWT cookie gates the dashboard; logout clears it") {
     val (srv, base) = newServer()
     try {
