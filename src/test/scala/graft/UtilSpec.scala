@@ -68,6 +68,34 @@ class UtilSpec extends SparkTestBase {
     assert(ids.distinct.length == ids.length, "distributed ids must be unique")
   }
 
+  test("GraftExtensions injects native functions into a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    spark // force the shared session (and its SparkContext) first
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // withExtensions exercises the same injection hook as the
+    // `spark.sql.extensions=graft.functions.GraftExtensions` conf; the
+    // conf form is a STATIC setting a cluster supplies at boot, which
+    // a test sharing an already-running SparkContext cannot.
+    val extended = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions())
+      .getOrCreate()
+    try {
+      assert(extended ne spark, "must be a new session over the same context")
+      val c = extended.sql(
+        "select cosine_sim(array(3.0d, 4.0d), array(3.0d, 4.0d)) as c")
+        .head.getDouble(0)
+      assert(math.abs(c - 1.0) < 1e-12)
+      assert(extended.sql("select simhash64(array('a', 'b')) as h")
+        .head.getLong(0) != 0L)
+      assert(extended.sql("select hyperplane_buckets(array(1.0d)) as b")
+        .head.getSeq[Long](0).length == 4)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setActiveSession(spark); SparkSession.setDefaultSession(spark)
+    }
+  }
+
   test("session JWTs: round-trip, expiry, tamper, wrong key") {
     val s = new graft.api.Sessions("secret-a", ttlSeconds = 3600)
     val now = 1700000000000L
