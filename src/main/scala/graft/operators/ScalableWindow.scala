@@ -76,4 +76,64 @@ object ScalableWindow {
     df.sparkSession.createDataFrame(withRn,
       schema.add(out, LongType, nullable = false))
   }
+
+  /** The q_window_analytic shape (percent_rank / cume_dist /
+    * running-frame nth_value(2) / whole-partition last_value over
+    * lineitem partitioned by l_returnflag), with the physical
+    * strategy chosen by input size:
+    *
+    *   - small inputs → Spark's window operator: one sort per key,
+    *     fewest passes, fastest at bench scales;
+    *   - inputs past `singleTaskSortLimitBytes` (catalog stats, no
+    *     extra job) → the distributed form: global per-flag row
+    *     number via groupRowNumber, peers (full-key ties) recovered
+    *     by one aggregation (rank = min rn, cume rows = max rn),
+    *     per-flag scalars broadcast back. Identical output — the
+    *     equivalence is spec-checked on a tied corpus — but no task
+    *     ever sorts more than |rows|/numPartitions.
+    */
+  def analyticRankQuery(lineitem: DataFrame,
+                        singleTaskSortLimitBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = lineitem.select(
+      "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val big = base.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(singleTaskSortLimitBytes)
+    if (!big) {
+      val order = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      base.select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("l_quantity"), 2).over(wRun).as("second_qty"),
+        last(col("l_quantity")).over(wAll).as("max_qty"))
+    } else {
+      val par = lineitem.sparkSession.sparkContext.defaultParallelism
+      val fullKey = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      val rn = groupRowNumber(base, Seq("l_returnflag"),
+        Seq("l_quantity", "l_orderkey", "l_linenumber"), "__rn", par)
+      val peers = rn.groupBy(fullKey.map(col): _*)
+        .agg(min("__rn").as("__rank"), max("__rn").as("__cume_rn"))
+      val orderKey = struct(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      val stats = base.groupBy("l_returnflag").agg(
+        count(lit(1)).as("__n"),
+        max_by(col("l_quantity"), orderKey).as("__max_qty"))
+      val second = rn.filter(col("__rn") === 2)
+        .select(col("l_returnflag"), col("l_quantity").as("__q2"))
+      rn.join(peers, fullKey)
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .join(broadcast(second), Seq("l_returnflag"), "left_outer")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(when(col("__n") === 1, 0.0).otherwise(
+            (col("__rank") - 1).cast("double") / (col("__n") - 1).cast("double")), 6)
+            .as("pct_rank"),
+          round(col("__cume_rn").cast("double") / col("__n").cast("double"), 6).as("cume"),
+          when(col("__rn") >= 2, col("__q2")).as("second_qty"),
+          col("__max_qty").as("max_qty"))
+    }
+  }
 }

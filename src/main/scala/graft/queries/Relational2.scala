@@ -45,42 +45,17 @@ object Relational2 {
         |FROM lineitem
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber)
         |""".stripMargin) { (s, dir) =>
-      // Rank-family over 3 partition keys: Window.partitionBy would
-      // sort each key's whole row set in ONE task (6M rows/task at
-      // sf3; unrunnable at 100 TB). Every output here is a function of
-      // the global per-flag row number — computed distributed via
-      // ScalableWindow (range repartition + offset pass). Peers (full
-      // order-key ties — the synthetic lineitem has ~0.1% duplicate
-      // rows) get SQL window semantics back through one aggregation
-      // on the full key: rank = min rn of the peer group
-      // (percent_rank = (rank-1)/(n-1)) and cume_dist counts
-      // preceding-or-peer rows = max rn of the peer group, / n.
-      val base = t(s, dir, "lineitem").select(
-        "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-      val par = s.sparkContext.defaultParallelism
-      val fullKey = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-      val rn = graft.operators.ScalableWindow.groupRowNumber(base,
-        Seq("l_returnflag"), Seq("l_quantity", "l_orderkey", "l_linenumber"),
-        "__rn", par)
-      val peers = rn.groupBy(fullKey.map(col): _*)
-        .agg(min("__rn").as("__rank"), max("__rn").as("__cume_rn"))
-      val orderKey = struct(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-      val stats = base.groupBy("l_returnflag").agg(
-        count(lit(1)).as("__n"),
-        max_by(col("l_quantity"), orderKey).as("__max_qty"))
-      val second = rn.filter(col("__rn") === 2)
-        .select(col("l_returnflag"), col("l_quantity").as("__q2"))
-      rn.join(peers, fullKey)
-        .join(broadcast(stats), Seq("l_returnflag"))
-        .join(broadcast(second), Seq("l_returnflag"), "left_outer")
-        .select(
-          col("l_orderkey"), col("l_linenumber"),
-          round(when(col("__n") === 1, 0.0).otherwise(
-            (col("__rank") - 1).cast("double") / (col("__n") - 1).cast("double")), 6)
-            .as("pct_rank"),
-          round(col("__cume_rn").cast("double") / col("__n").cast("double"), 6).as("cume"),
-          when(col("__rn") >= 2, col("__q2")).as("second_qty"),
-          col("__max_qty").as("max_qty"))
+      // Rank-family over 3 partition keys. Window.partitionBy sorts
+      // each key's whole row set in ONE task — fine up to tens of
+      // millions of rows per key, unrunnable at 100 TB. The operator
+      // picks by input size (catalog stats, no extra pass): under the
+      // threshold the plain window wins on wall-clock (fewer passes);
+      // above it, ScalableWindow.rankFamily computes the same four
+      // outputs from a distributed per-group row number (range
+      // repartition + offset pass; exact SQL peer semantics).
+      graft.operators.ScalableWindow.analyticRankQuery(
+        t(s, dir, "lineitem"),
+        singleTaskSortLimitBytes = 2L << 30)
     },
 
     // pivot: Spark-side relational pivot; oracle as portable

@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.ScalableWindow
+import org.apache.spark.sql.functions._
+
+/** The distributed rank path must match Spark's window operator
+  * exactly — including on full-key TIES (peers), where percent_rank
+  * uses the peer group's min row number and cume_dist its max. */
+class ScalableWindowSpec extends SparkTestBase {
+
+  private def corpus = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      ("F" + (i % 3), (rnd.nextInt(40) + 1).toDouble, (i % 700).toLong, (i % 7).toLong)
+    } ++ Seq.fill(25)(("F0", 7.0, 13L, 3L)) // planted peer group
+    rows.toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .repartition(8)
+  }
+
+  test("groupRowNumber: dense 1..n per group, order respected") {
+    val df = corpus
+    val rn = ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8)
+    val byGroup = rn.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), min("rn").as("mn"), max("rn").as("mx"),
+        countDistinct("rn").as("d"))
+      .collect()
+    byGroup.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n")
+        && r.getAs[Long]("d") == r.getAs[Long]("n"), s"dense per group: $r")
+    }
+    // order: rn must be monotone in the sort key within each group
+    val viol = rn.as("a").join(rn.as("b"),
+        col("a.l_returnflag") === col("b.l_returnflag") &&
+          col("a.rn") === col("b.rn") - 1)
+      .filter(struct(col("a.l_quantity"), col("a.l_orderkey"), col("a.l_linenumber")) >
+        struct(col("b.l_quantity"), col("b.l_orderkey"), col("b.l_linenumber")))
+      .count()
+    assert(viol == 0, "consecutive row numbers follow the sort order")
+  }
+
+  test("distributed rank-family path equals the window operator, ties included") {
+    val df = corpus.cache()
+    try {
+      val viaWindow = ScalableWindow.analyticRankQuery(df, Long.MaxValue)
+      val distributed = ScalableWindow.analyticRankQuery(df, 0L)
+      val cols = viaWindow.columns.map(col)
+      assert(viaWindow.exceptAll(distributed).isEmpty &&
+        distributed.exceptAll(viaWindow).isEmpty,
+        "both physical strategies must produce the identical multiset")
+      assert(distributed.count() == df.count())
+    } finally df.unpersist()
+  }
+}
