@@ -191,7 +191,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     (method, path) match {
       case ("POST", p) if p.startsWith("/api/data/insert/") =>
         handleInsert(ex, db, p.stripPrefix("/api/data/insert/"))
-      case ("GET" | "POST", "/api/data/query") => handleQuery(ex, db)
+      case ("GET" | "POST", "/api/data/query") => handleQuery(ex, db, isAdmin)
       case ("POST", "/api/data/copy") => handleCopy(ex, db, isAdmin)
       case ("POST", "/api/data/query/share") => handleCreateShare(ex, db)
       // Destination management is an admin surface: the reference binds
@@ -271,7 +271,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     else respond(ex, 400, r.errors.mkString("; "), "text/plain")
   }
 
-  private def handleQuery(ex: HttpExchange, db: String): Unit = {
+  private def handleQuery(ex: HttpExchange, db: String, isAdmin: Boolean): Unit = {
     val params = queryParams(ex)
     val fromBody =
       if (ex.getRequestMethod == "POST")
@@ -279,13 +279,26 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
       else ""
     val query = if (fromBody.nonEmpty) fromBody else params.getOrElse("query", "")
     if (query.trim.isEmpty) { respond(ex, 400, "Query cannot be blank", "text/plain"); return }
-    streamQuery(ex, db, query, params.getOrElse("format", "json"))
+    streamQuery(ex, db, query, params.getOrElse("format", "json"), restricted = !isAdmin)
   }
 
-  private def streamQuery(ex: HttpExchange, db: String, query: String, format: String): Unit = {
+  /** Tenant queries (and share replays, which are tenant-authored) run
+    * through the sandbox: read-only statements, file scans confined to
+    * the tenant's warehouse dir. Admin keys get raw passthrough —
+    * parity with DuckDB's unrestricted `read_ndjson_auto`. */
+  private def streamQuery(ex: HttpExchange, db: String, query: String, format: String,
+                          restricted: Boolean = true): Unit = {
     val dbCatalog = catalogFor(db)
     dbCatalog.registerViews(db)
-    val df = QueryService.query(dbCatalog.spark, query)
+    val df =
+      try {
+        if (restricted)
+          QueryService.tenantQuery(dbCatalog.spark, query, Seq(s"$root/warehouse/$db"))
+        else QueryService.query(dbCatalog.spark, query)
+      } catch {
+        case e: QueryService.QueryRejected =>
+          respond(ex, 403, e.getMessage, "text/plain"); return
+      }
     val contentType = format.toLowerCase match {
       case "csv"    => "text/csv"
       case "ndjson" => "text/plain"
@@ -325,6 +338,19 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     // keys may target arbitrary databases.
     if (!isAdmin && destDb != db) {
       respond(ex, 403, "destination not owned by caller", "text/plain"); return
+    }
+    // Sandbox the SOURCE query too (analysis only, nothing executes):
+    // a tenant copy must not read other tenants' files or run commands.
+    if (!isAdmin) {
+      val cat = catalogFor(db)
+      cat.registerViews(db)
+      try QueryService.tenantQuery(cat.spark, query, Seq(s"$root/warehouse/$db"))
+      catch {
+        case e: QueryService.QueryRejected =>
+          respond(ex, 403, e.getMessage, "text/plain"); return
+        case e: Exception =>
+          respond(ex, 400, s"bad query: ${e.getMessage}", "text/plain"); return
+      }
     }
     val id = queue.enqueue(JobMessage.CopyData(db, query, destDb, destTable))
     respond(ex, 200, s"""{"job_id":$id}""", "application/json")

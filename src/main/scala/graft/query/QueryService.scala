@@ -1,7 +1,11 @@
 package graft.query
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoDir, InsertIntoStatement}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import java.io.Writer
+import java.nio.file.Paths
 
 /** Query passthrough + streaming result encoders (SURVEY §2A A9-A11,
   * A14). The reference trims the SQL (whitespace + trailing ';',
@@ -20,6 +24,71 @@ object QueryService {
 
   def query(spark: SparkSession, sql: String): DataFrame =
     spark.sql(cleanQuery(sql))
+
+  /** Raised when a tenant query breaks out of its sandbox; the server
+    * maps it to 403. */
+  final class QueryRejected(msg: String) extends RuntimeException(msg)
+
+  /** Tenant-scoped passthrough. The reference hands each tenant an
+    * isolated backend database, so passthrough SQL can only touch that
+    * tenant's data; a shared Spark session needs the same wall rebuilt:
+    *
+    *   1. statements that execute eagerly inside `spark.sql` (DDL/DML
+    *      commands, `INSERT ... DIRECTORY`, SET) are rejected BEFORE
+    *      execution — a tenant's surface is read-only SQL, writes go
+    *      through the ingest/copy APIs;
+    *   2. every file-source scan in the analyzed plan must stay under
+    *      `allowedRoots` (the tenant's own warehouse dir) — otherwise
+    *      ``json.`/any/path` `` could read other tenants' parquet.
+    *
+    * Admin keys skip this via plain `query()` (parity with DuckDB's
+    * unrestricted `read_ndjson_auto`).
+    */
+  def tenantQuery(spark: SparkSession, sql: String,
+                  allowedRoots: Seq[String]): DataFrame = {
+    val cleaned = cleanQuery(sql)
+    val parsed = spark.sessionState.sqlParser.parsePlan(cleaned)
+    val writes = parsed.collectFirst {
+      case c: Command => c
+      case i: InsertIntoStatement => i
+      case d: InsertIntoDir => d
+    }
+    if (writes.isDefined)
+      throw new QueryRejected("only read queries are allowed for tenant keys")
+    val allowed = allowedRoots.map(r => Paths.get(r).normalize.toString)
+    def pathOk(p: String): Boolean = {
+      val norm = Paths.get(p).normalize.toString
+      allowed.exists(a => norm == a || norm.startsWith(a + "/"))
+    }
+    // Parse-time gate on ``format.`/path` `` scans: rejecting here means
+    // analysis never touches the foreign files (schema inference reads
+    // footers during planning, which would both leak data and surface
+    // as an opaque 500 instead of a clean denial).
+    val fileFormats = Set("json", "parquet", "csv", "orc", "text", "textfile",
+      "binaryfile", "avro")
+    parsed.foreach {
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
+          fileFormats.contains(u.multipartIdentifier.head.toLowerCase) =>
+        val p = u.multipartIdentifier(1)
+        if (!pathOk(p))
+          throw new QueryRejected(s"file scan outside tenant scope: $p")
+      case _ => ()
+    }
+    val df = spark.sql(cleaned)
+    // Defense in depth: whatever route a file source took into the
+    // analyzed plan, its resolved root paths must sit inside the scope.
+    val outside = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.filterNot(p => pathOk(p.toUri.getPath))
+        case _ => Nil
+      }
+    }.flatten
+    if (outside.nonEmpty)
+      throw new QueryRejected(
+        s"file scan outside tenant scope: ${outside.head}")
+    df
+  }
 
   /** Single JSON array, rows comma-spliced as they stream
     * (duckdb/query.go:15-116 / clickhouse/query.go:24-70). */

@@ -163,10 +163,53 @@ class GraftServerSpec extends SparkTestBase {
     try {
       val f = java.nio.file.Files.createTempFile("graft-scan", ".ndjson")
       java.nio.file.Files.writeString(f, "{\"a\": 1}\n{\"a\": 2}\n")
-      val q = post(s"$base/api/data/query?api_key=localkey",
+      // unrestricted file scans are an admin capability
+      val q = post(s"$base/api/data/query?api_key=adminkey",
         s"select sum(a) as s from json.`${f.toAbsolutePath}`")
       assert(q.statusCode() == 200)
       assert(q.body() == """[{"s":3}]""", q.body())
+    } finally srv.stop()
+  }
+
+  test("tenant queries are sandboxed: no foreign file scans, no commands") {
+    val (srv, base) = newServer()
+    try {
+      srv.addApiKey("keyS1", "dbS1"); srv.addApiKey("keyS2", "dbS2")
+      post(s"$base/api/data/insert/secret?api_key=keyS2", """{"pin": 1234}""")
+      srv.drain()
+
+      // own table reads still work for the tenant
+      val own = post(s"$base/api/data/query?api_key=keyS2", "select pin from secret")
+      assert(own.statusCode() == 200 && own.body() == """[{"pin":1234}]""", own.body())
+
+      // arbitrary file scan → 403 (ADVICE r2: cross-tenant file reads)
+      val f = java.nio.file.Files.createTempFile("graft-other", ".ndjson")
+      java.nio.file.Files.writeString(f, "{\"a\": 5}\n")
+      val scan = post(s"$base/api/data/query?api_key=keyS1",
+        s"select * from json.`${f.toAbsolutePath}`")
+      assert(scan.statusCode() == 403, s"${scan.statusCode()} ${scan.body()}")
+
+      // another tenant's warehouse dir by path → 403, even via `..`
+      val direct = post(s"$base/api/data/query?api_key=keyS1",
+        "select * from parquet.`" + srv.catalog.root + "/dbS2/secret`")
+      assert(direct.statusCode() == 403, s"${direct.statusCode()} ${direct.body()}")
+      val dotted = post(s"$base/api/data/query?api_key=keyS1",
+        "select * from parquet.`" + srv.catalog.root + "/dbS1/../dbS2/secret`")
+      assert(dotted.statusCode() == 403, s"${dotted.statusCode()} ${dotted.body()}")
+
+      // eagerly-executing statements (DDL/DML/SET) → 403 before they run
+      assert(post(s"$base/api/data/query?api_key=keyS1",
+        "create table hijack(x int) using parquet").statusCode() == 403)
+      assert(post(s"$base/api/data/query?api_key=keyS1",
+        "set spark.sql.ansi.enabled=true").statusCode() == 403)
+      assert(post(s"$base/api/data/query?api_key=keyS1",
+        s"insert overwrite directory '${f.getParent}/evil' using parquet select 1")
+        .statusCode() == 403)
+
+      // the same wall guards the copy path's source query
+      val cp = post(s"$base/api/data/copy?api_key=keyS1",
+        s"""{"query": "select * from json.`${f.toAbsolutePath}`", "destination_id": "dbS1", "destination_table": "grab"}""")
+      assert(cp.statusCode() == 403, s"${cp.statusCode()} ${cp.body()}")
     } finally srv.stop()
   }
 
