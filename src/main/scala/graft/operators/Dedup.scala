@@ -185,7 +185,8 @@ object Dedup {
     * component = min node id reachable. Callers left-join this onto the
     * corpus and coalesce to doc_id for singleton docs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 25): DataFrame = {
+                          maxIter: Int = 25,
+                          localEdgeLimit: Long = 5000000L): DataFrame = {
     // canonical edge = (max, min), deduped, self-loops dropped
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
@@ -194,8 +195,37 @@ object Dedup {
     def undirected(e: DataFrame): DataFrame =
       e.union(e.select(col("v").as("u"), col("u").as("v")))
 
+    // Fixpoint test: one aggregate per round, compared to the previous
+    // round's cached value — NOT count+except (which cost three extra
+    // jobs per round and dominated the driver overhead at small SF).
+    // Edge lists are canonical+distinct, so set equality ⟺ multiset
+    // equality, and (count, two independent 64-bit hash XORs) collide
+    // for different sets with probability ~2⁻¹²⁸ — below any hardware
+    // error rate. XOR (not sum): order-independent and immune to the
+    // ANSI-mode long-overflow that a sum of 64-bit hashes trips.
+    // maxIter still bounds the loop regardless.
+    def fingerprint(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        bit_xor(xxhash64(col("u"), col("v"))),
+        bit_xor(xxhash64(col("u"), col("v"), lit(1)))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
       col(bCol).cast("long").as("v"))).localCheckpoint()
+
+    // Size-adaptive (same pattern as ScalableWindow, crossover measured
+    // in BENCH_LOCAL.md): the canonical edge list is already
+    // materialized, so its count is free, and when it is driver-sized a
+    // union-find beats the iterative plan outright — each MapReduce
+    // round costs 3 scheduled jobs, pure overhead when the whole graph
+    // is a few MB. 5M edges ≈ 80 MB on the driver; above that the
+    // edge-list-only large-star/small-star loop takes over, which holds
+    // to any scale. Both paths are property-spec'd equal.
+    if (edges.count() <= localEdgeLimit) return localComponents(edges)
+    var edgesFp = fingerprint(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -216,11 +246,42 @@ object Dedup {
           .select(col("v").as("u"), col("__m").as("v"))
           .union(mins2.select(col("u"), col("__m").as("v")))).localCheckpoint()
 
-      converged = small.count() == edges.count() && small.except(edges).isEmpty
+      val smallFp = fingerprint(small)
+      converged = smallFp == edgesFp
       edges = small
+      edgesFp = smallFp
       it += 1
     }
     edges.select(col("u").as("node"), col("v").as("component"))
+  }
+
+  /** Driver union-find over a collected edge list — the small-graph
+    * arm of [[connectedComponents]]. Output contract matches the
+    * distributed loop's fixpoint star graph exactly: one
+    * (node, component-min) row per NON-ROOT node; roots don't appear
+    * (callers coalesce missing nodes to themselves). */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x // path compression
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      // union by min: smaller id becomes the root, so every root is
+      // its component's minimum and the star contract falls out
+      if (ru < rv) parent.put(rv, ru)
+      else if (rv < ru) parent.put(ru, rv)
+    }
+    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val out = nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2).toSeq
+    out.toDF("node", "component").repartition(1)
   }
 
   /** Per-doc dup group with FULL transitive closure: connected

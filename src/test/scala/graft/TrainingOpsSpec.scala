@@ -42,11 +42,30 @@ class TrainingOpsSpec extends SparkTestBase {
     // star 10-(11,12), cycle 20-21-22-20, isolated pair 30-31
     val pairs = Seq((2L, 1L), (3L, 2L), (10L, 11L), (12L, 10L),
       (20L, 21L), (21L, 22L), (22L, 20L), (31L, 30L)).toDF("doc_a", "doc_b")
-    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = Map(2L -> 1L, 3L -> 1L, 11L -> 10L, 12L -> 10L,
       21L -> 20L, 22L -> 20L, 31L -> 30L)
-    assert(comp == expected, s"got $comp")
+    // both physical paths: driver union-find and the distributed loop
+    for (limit <- Seq(5000000L, 0L)) {
+      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b",
+        localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == expected, s"limit=$limit got $comp")
+    }
+  }
+
+  test("connected components: both physical paths agree on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40 + trial * 30
+      val edges = Seq.fill(n)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("doc_a", "doc_b")
+      val local = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Dedup.connectedComponents(df, "doc_a", "doc_b", localEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(local == dist, s"trial=$trial local=$local dist=$dist")
+    }
   }
 
   test("minhashDedupGroups closes transitive near-dup chains") {
