@@ -529,6 +529,158 @@ object NativeExpressions {
         r: Expression): Expression = copy(cents = l, chunk = r)
   }
 
+  /** Single-pass PII scan: emails + IPv4s counted and redacted in one
+    * expression — struct(n_emails, n_ips, redacted). Replaces three
+    * chained regexp ops (2× regexp_count + 2-stage regexp_replace)
+    * whose java.util.regex backtracking ran 8–9× slower than DuckDB's
+    * RE2 on the same patterns; the hand-rolled scanners below
+    * reproduce the regexes' leftmost-greedy match semantics exactly
+    * (spec'd against regexp_count/regexp_replace on adversarial
+    * inputs), so the policy and the oracle stay unchanged:
+    *
+    *   email = [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}
+    *   ipv4  = \b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b  (ASCII \b)
+    *
+    * Counts are over the ORIGINAL text; redaction replaces emails
+    * first, then IPs in the email-redacted text — the exact semantics
+    * of the chained regexp_replace it replaces. */
+  case class PiiScan(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    import PiiScan._
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_emails", LongType, nullable = false),
+      StructField("n_ips", LongType, nullable = false),
+      StructField("redacted", StringType, nullable = false)))
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val emailSpans = new java.util.ArrayList[Int]()
+      scanEmails(s, emailSpans)
+      val nEmails = emailSpans.size / 2
+      val nIps = scanIps(s, null)
+      val step1 =
+        if (nEmails == 0) s else splice(s, emailSpans, "<EMAIL>")
+      val ipSpans = new java.util.ArrayList[Int]()
+      scanIps(step1, ipSpans)
+      val redacted =
+        if (ipSpans.isEmpty) step1 else splice(step1, ipSpans, "<IP>")
+      InternalRow(nEmails.toLong, nIps.toLong, UTF8String.fromString(redacted))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "pii_scan"
+  }
+
+  object PiiScan {
+    private def isLetter(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    private def isDigit(c: Char) = c >= '0' && c <= '9'
+    private def isLocal(c: Char) = isLetter(c) || isDigit(c) ||
+      c == '.' || c == '_' || c == '%' || c == '+' || c == '-'
+    private def isDomain(c: Char) = isLetter(c) || isDigit(c) ||
+      c == '.' || c == '-'
+    /** java.util.regex's \b word test is Unicode-aware even without
+      * UNICODE_CHARACTER_CLASS (JDK Pattern.Bound: '_' or
+      * Character.isLetterOrDigit on the adjacent CODE POINT) — 'é'
+      * blocks a boundary. Code-point forms so surrogate pairs test
+      * like java, not like their unpaired halves. */
+    private def isWordCp(cp: Int) = cp == '_' || Character.isLetterOrDigit(cp)
+    private def boundaryBefore(s: String, p: Int) =
+      p == 0 || !isWordCp(s.codePointBefore(p))
+    private def boundaryAt(s: String, p: Int) =
+      p >= s.length || !isWordCp(s.codePointAt(p))
+
+    /** Non-overlapping email matches, leftmost-greedy: for each '@',
+      * local part = maximal local-class run ending at it (clamped at
+      * the previous match end); domain backtracks from its maximal run
+      * to the RIGHTMOST '.' followed by ≥2 letters — exactly the
+      * java/RE2 answer for `+` then `\.[A-Za-z]{2,}`. Spans appended
+      * as (start, end) int pairs. */
+    private[functions] def scanEmails(s: String, spans: java.util.ArrayList[Int]): Unit = {
+      var searchPos = 0
+      var i = s.indexOf('@')
+      while (i >= 0) {
+        if (i > searchPos) {
+          var ls = i
+          while (ls > searchPos && isLocal(s.charAt(ls - 1))) ls -= 1
+          if (ls < i) {
+            var de = i + 1
+            while (de < s.length && isDomain(s.charAt(de))) de += 1
+            if (de > i + 1) {
+              var q = de - 1
+              var matchEnd = -1
+              while (q >= i + 2 && matchEnd < 0) {
+                if (s.charAt(q) == '.') {
+                  var t = q + 1
+                  while (t < de && isLetter(s.charAt(t))) t += 1
+                  if (t - q - 1 >= 2) matchEnd = t
+                }
+                if (matchEnd < 0) q -= 1
+              }
+              if (matchEnd > 0) {
+                spans.add(ls); spans.add(matchEnd)
+                searchPos = matchEnd
+              }
+            }
+          }
+        }
+        i = s.indexOf('@', i + 1)
+      }
+    }
+
+    /** One IPv4 attempt at `start` (a digit preceded by a non-word
+      * boundary): four exact 1–3 digit runs dot-separated, then a
+      * trailing word boundary. Returns match end or -1 — the regex's
+      * backtracking collapses to exactly this test (a 4+ digit run can
+      * never split: no boundary inside it). */
+    private def tryIp(s: String, start: Int): Int = {
+      val n = s.length
+      var p = start
+      var oct = 0
+      while (oct < 4) {
+        val runStart = p
+        while (p < n && p - runStart < 4 && isDigit(s.charAt(p))) p += 1
+        val run = p - runStart
+        if (run == 0 || run == 4) return -1
+        oct += 1
+        if (oct < 4) {
+          if (p >= n || s.charAt(p) != '.') return -1
+          p += 1
+        }
+      }
+      if (boundaryAt(s, p)) p else -1
+    }
+
+    /** Count (and optionally record) non-overlapping IPv4 matches. */
+    private[functions] def scanIps(s: String, spans: java.util.ArrayList[Int]): Int = {
+      var count = 0
+      var p = 0
+      val n = s.length
+      while (p < n) {
+        if (isDigit(s.charAt(p)) && boundaryBefore(s, p)) {
+          val end = tryIp(s, p)
+          if (end > 0) {
+            count += 1
+            if (spans != null) { spans.add(p); spans.add(end) }
+            p = end
+          } else p += 1
+        } else p += 1
+      }
+      count
+    }
+
+    /** Replace each (start, end) span with `repl`. */
+    private def splice(s: String, spans: java.util.ArrayList[Int], repl: String): String = {
+      val sb = new java.lang.StringBuilder(s.length)
+      var last = 0
+      var k = 0
+      while (k < spans.size) {
+        sb.append(s, last, spans.get(k)).append(repl)
+        last = spans.get(k + 1)
+        k += 2
+      }
+      sb.append(s, last, s.length).toString
+    }
+  }
+
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
@@ -574,6 +726,8 @@ object NativeExpressions {
   def nearest_centroid_block(cents: Column, chunk: Column): Column =
     ExpressionUtils.column(NearestCentroidBlock(ExpressionUtils.expression(cents),
       ExpressionUtils.expression(chunk)))
+  def pii_scan(text: Column): Column =
+    ExpressionUtils.column(PiiScan(ExpressionUtils.expression(text)))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the
@@ -600,6 +754,8 @@ object NativeExpressions {
       es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42), "scala_udf")
+    reg.createOrReplaceTempFunction("pii_scan",
+      es => PiiScan(es.head), "scala_udf")
   }
 }
 
@@ -630,5 +786,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false)))
     e.injectFunction((FunctionIdentifier("hyperplane_buckets"), info("hyperplane_buckets"),
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42)))
+    e.injectFunction((FunctionIdentifier("pii_scan"), info("pii_scan"),
+      es => PiiScan(es.head)))
   }
 }

@@ -489,10 +489,13 @@ object TrainingOps {
         concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit(" contact user"), col("doc_id"), lit("@example.com at 10.0."),
             pmod(col("doc_id"), lit(256)), lit(".1"))).otherwise(lit(""))).as("text"))
-      planted.select(col("doc_id"),
-        TextFunctions.piiEmailCount(col("text")).as("n_emails"),
-        TextFunctions.piiIpCount(col("text")).as("n_ips"),
-        md5(TextFunctions.piiRedact(col("text")).cast("binary")).as("redacted_md5"))
+      // one pii_scan per row (struct column), fields selected above it —
+      // CollapseProject keeps the non-cheap scan un-duplicated
+      planted.select(col("doc_id"), TextFunctions.piiScan(col("text")).as("pii"))
+        .select(col("doc_id"),
+          col("pii.n_emails").as("n_emails"),
+          col("pii.n_ips").as("n_ips"),
+          md5(col("pii.redacted").cast("binary")).as("redacted_md5"))
     },
 
     // ---- multimodal plumbing --------------------------------------

@@ -262,6 +262,55 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(fps(0) == fps(1), "shared 16-char window should dominate the min")
   }
 
+  test("pii_scan reproduces the chained-regex policy exactly") {
+    import graft.functions.TextFunctions._
+    // ground truth: the regexes that DEFINE the policy, applied the
+    // way the oracle chains them (counts on original; emails redacted
+    // first, then IPs on the email-redacted text)
+    val email = emailPattern.r
+    val ip = ipv4Pattern.r
+    def truth(s: String): (Long, Long, String) = {
+      val ne = email.findAllIn(s).length
+      val ni = ip.findAllIn(s).length
+      (ne.toLong, ni.toLong,
+        ip.replaceAllIn(email.replaceAllIn(s, "<EMAIL>"), "<IP>"))
+    }
+    val cases = Seq(
+      "plain text no pii at all",
+      "contact user7@example.com at 10.0.7.1",
+      "multi a@b.co.uk then c.d+e%f@sub.domain-x.org done",
+      "trailing dot a@b.com. and a@b.c (short tld)",
+      "digits after email user@dom.com1.2.3.4 tricky",   // IP appears only post-redaction
+      "two ips 1.2.3.4 5.6.7.8 and bad 1234.5.6.7 999.999.999.999",
+      "overlong octet 12.34.56.7890 no-boundary a1.2.3.4 _1.2.3.4 -1.2.3.4",
+      "ip at end 10.20.30.40",
+      "1.2.3.4 ip at start and email at end x@y.zz",
+      "adjacent@e.com10.0.0.1 weird",
+      "a@b@c.com double at",
+      "@nolocal.com and local@ and @ alone",
+      "dots a@b..com a@.com a@b.c.d.ef",
+      "unicode é1.2.3.4 naïve@dom.fr fin",
+      "4+octets 1.2.3.4.5 and 1.2.3.4.e.f",
+      "")
+    // randomized cross-check: glue pii-ish fragments together
+    val rnd = new scala.util.Random(11)
+    val frags = Seq("a@b.co", " 1.2.3.4", "x", ".", "@", " ", "12", "dom.com",
+      "u_%+-@d-x.io", "999", "..", "e@f", ".gh", "_", "1.2.3.4567")
+    val random = Seq.fill(200)(
+      Seq.fill(3 + rnd.nextInt(8))(frags(rnd.nextInt(frags.size))).mkString)
+    val all = (cases ++ random).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val got = docsDf(all: _*)
+      .select(col("doc_id"), col("text"), piiScan(col("text")).as("p"))
+      .select(col("text"), col("p.n_emails"), col("p.n_ips"), col("p.redacted"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val (ne, ni, red) = truth(s)
+      assert((r.getLong(1), r.getLong(2), r.getString(3)) == ((ne, ni, red)),
+        s"input <$s>: got (${r.getLong(1)},${r.getLong(2)},${r.getString(3)}) want ($ne,$ni,$red)")
+    }
+  }
+
   test("multimodal decode stub: deterministic features through binary transport") {
     val df = docsDf(7L -> "hello world this is a payload")
     val bin = Multimodal.asBinaryTable(df, "doc_id", "text", "video")
