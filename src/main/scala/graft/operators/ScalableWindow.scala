@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Rank-family window functions without the per-key single-task sort.
   *
@@ -13,20 +12,22 @@ import org.apache.spark.sql.types.LongType
   * every rank-family function (row_number / rank / percent_rank /
   * cume_dist) is a function of the global per-group row number, which
   * distributes cleanly with the classic two-pass ranking scheme
-  * (the same idea as RDD.zipWithIndex, done per group):
+  * (the same idea as RDD.zipWithIndex, done per group) — expressed
+  * here entirely in DataFrame operators so the whole pipeline stays
+  * inside Tungsten/whole-stage codegen (an earlier RDD formulation
+  * paid a full decode-to-Row + re-encode round trip):
   *
-  *   1. range-repartition by (group ++ order) — globally ordered,
-  *      non-overlapping partitions, each group's rows contiguous
-  *      across partition ids — and sort within partitions;
-  *   2. count rows per (partition, group) — a tiny
-  *      |partitions|×|groups| table collected to the driver (the
-  *      only driver data; row data never moves) and turned into
-  *      per-partition starting offsets;
-  *   3. second pass: local counter + broadcast offset = global row
-  *      number.
+  *   1. range-repartition by (group ++ order): non-overlapping key
+  *      ranges, each group's rows ordered ACROSS partition ids;
+  *   2. partition-local row number: window over (partition-id, group)
+  *      — balanced tasks regardless of group count;
+  *   3. per-(partition, group) counts — a |partitions|×|groups| mini
+  *      table that never leaves the cluster — turned into starting
+  *      offsets by a prefix sum over pid within each group;
+  *   4. broadcast-join the offsets back: global rn = local rn + offset.
   *
-  * Wall-clock becomes one balanced shuffle + parallel local sorts,
-  * independent of how few groups there are.
+  * Wall-clock becomes two balanced full-data exchanges + parallel
+  * local sorts, independent of how few groups there are.
   */
 object ScalableWindow {
 
@@ -36,45 +37,34 @@ object ScalableWindow {
   def groupRowNumber(df: DataFrame, groupCols: Seq[String],
                      orderCols: Seq[String], out: String,
                      numPartitions: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val keyCols = (groupCols ++ orderCols).map(col)
-    val sorted = df.repartitionByRange(numPartitions, keyCols: _*)
-      .sortWithinPartitions(keyCols: _*)
-    val schema = sorted.schema
-    val groupIdx = groupCols.map(schema.fieldIndex)
-    val rdd = sorted.rdd
-
-    // pass 1: |partitions| × |groups| counts — the only driver data
-    val counts: Array[(Int, Seq[Any], Long)] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val m = scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Long]
-        it.foreach { r =>
-          val k = groupIdx.map(r.get)
-          m.update(k, m.getOrElse(k, 0L) + 1L)
-        }
-        m.iterator.map { case (k, n) => (pid, k, n) }
-      }.collect()
-    val offsets: Map[(Int, Seq[Any]), Long] =
-      counts.groupBy(_._2).flatMap { case (g, arr) =>
-        var acc = 0L
-        arr.sortBy(_._1).map { case (pid, _, n) =>
-          val entry = (pid, g) -> acc; acc += n; entry
-        }
-      }
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-
-    // pass 2: broadcast offset + local running counter
-    val withRn = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val running = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
-      it.map { r =>
-        val k = groupIdx.map(r.get)
-        val rn = running.getOrElse(k,
-          bc.value.getOrElse((pid, k), 0L)) + 1L
-        running.update(k, rn)
-        Row.fromSeq(r.toSeq :+ rn)
-      }
-    }
-    df.sparkSession.createDataFrame(withRn,
-      schema.add(out, LongType, nullable = false))
+    val (pid, lrn, off, cnt) = ("__gw_pid", "__gw_lrn", "__gw_off", "__gw_n")
+    // Materialized ONCE: repartitionByRange samples its boundaries
+    // with an RDD-id-derived seed, so two executions of the same plan
+    // can pick DIFFERENT ranges — and the offsets below are only
+    // valid against the pid assignment they were counted on. The
+    // checkpoint pins one set of boundaries for both consumers (and
+    // freezes spark_partition_id into a plain column). On a cluster
+    // job that must survive executor loss, swap for a reliable
+    // checkpoint — a recompute would re-sample and shear the offsets.
+    val ranged = df.repartitionByRange(numPartitions, keyCols: _*)
+      .withColumn(pid, spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy((pid +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val local = ranged.withColumn(lrn, row_number().over(wLocal).cast("long"))
+    val counts = local.groupBy((pid +: groupCols).map(col): _*)
+      .agg(count(lit(1)).as(cnt))
+    // prefix-sum the counts in pid order within each group: tiny input
+    // (|partitions|×|groups| rows), so the per-group window is free
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select((pid +: groupCols).map(col) :+
+      coalesce(sum(col(cnt)).over(wOff), lit(0L)).as(off): _*)
+    local.join(broadcast(offsets), pid +: groupCols)
+      .withColumn(out, col(lrn) + col(off))
+      .drop(pid, lrn, off)
   }
 
   /** The q_window_analytic shape (percent_rank / cume_dist /

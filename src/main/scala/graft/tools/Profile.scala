@@ -1,14 +1,19 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
-/** Dev scratch: per-phase wall timing of a query's constituent plans
-  * in one warm JVM, to separate scan/shuffle cost from driver jobs.
-  * Not part of the library surface. */
+/** Dev scratch: time both physical strategies of an adaptive operator
+  * in one warm JVM (used to pick crossover thresholds from data —
+  * results recorded in BENCH_LOCAL.md). Not part of the library
+  * surface.
+  *
+  * Usage: runMain graft.tools.Profile window <sfDir>
+  */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val what = if (args.nonEmpty) args(0) else "window"
+    val dir = if (args.length > 1) args(1) else
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,24 +30,23 @@ object Profile {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    val d = graft.Tables.load(spark, dir, "documents")
-    t("warm_docs")(d.count())
-
-    for (round <- 1 to 2) {
-      t(s"r$round pairs_only")(noop(
-        graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.0, 100)))
-      t(s"r$round cc_checkpoint+count+collect") {
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.0, 100)
-        val comp = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-        comp.count()
-      }
-      t(s"r$round full_components") {
-        val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text", 5, 0.0, 100)
-        val comp = graft.operators.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-          .withColumnRenamed("node", "doc_id")
-        noop(d.select(col("doc_id")).join(comp, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component")))
-      }
+    what match {
+      case "window" | "window1g" =>
+        import org.apache.spark.sql.functions.lit
+        val raw = graft.Tables.load(spark, dir, "lineitem")
+        // window1g: worst grouping for the single-task plan — ONE
+        // window key, so its sort cannot parallelize at all
+        val li = if (what == "window1g")
+          raw.withColumn("l_returnflag", lit("X")) else raw
+        println(s"[prof] rows=${li.count()} dir=$dir mode=$what")
+        // warm both paths once, then measure twice each
+        for (round <- 0 to 2; mode <- Seq("single_task", "distributed")) {
+          val limit = if (mode == "single_task") Long.MaxValue else 0L
+          val label = if (round == 0) s"warm_$mode" else s"r$round $mode"
+          t(label)(noop(
+            graft.operators.ScalableWindow.analyticRankQuery(li, limit)))
+        }
+      case other => sys.error(s"unknown profile: $other")
     }
     spark.stop()
   }
