@@ -21,14 +21,15 @@ import org.apache.spark.sql.types._
   * bits/frames from actual RIFF-WAVE (or AIFF/AU) bytes through
   * `javax.sound.sampled` — header-only, like the image path.
   *
-  * ── STUB BOUNDARY (video only) ───────────────────────────────────
-  * No video codecs exist in this container, so `decodeStub` derives
-  * deterministic fake features from the raw bytes (first two bytes →
-  * fake width/height, byte count → fake frame count). The Spark-side
-  * contract — schema, binary transport, per-partition batching,
-  * output row shape — is real and tested; swap `decodeStub` for a
-  * JNI/FFI codec call in production.
-  * ─────────────────────────────────────────────────────────────────
+  * VIDEO decode is REAL at the container-metadata level: `decodeVideo`
+  * parses ISO BMFF (MP4) boxes — `mvhd` timescale/duration, `tkhd`
+  * 16.16 fixed-point display size, `stsz` sample count — and Matroska/
+  * WebM EBML elements (DocType, TimestampScale, Duration, PixelWidth/
+  * Height) by direct byte walking, no codec involved; that is exactly
+  * the metadata a training pipeline filters on (resolution, duration,
+  * frame count). Pixel DECODE of video would need a real codec, which
+  * this container doesn't ship — that call would slot into the same
+  * mapPartitions batch shape.
   */
 object Multimodal {
 
@@ -42,37 +43,63 @@ object Multimodal {
       lit(kind).as("kind"),
       length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"))
 
-  val featureSchema: StructType = StructType(Seq(
+  val videoFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
-    StructField("kind", StringType),
-    StructField("n_bytes", LongType),
+    StructField("fmt", StringType),
     StructField("width", LongType),
     StructField("height", LongType),
     StructField("n_frames", LongType),
-    StructField("payload_md5", StringType)))
+    StructField("duration_ms", LongType)))
 
-  /** Per-partition batch "decode": Iterator→Iterator, so real codecs
-    * amortize init across the partition (mapInPandas batch shape). */
-  def decodeStub(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(featureSchema)
-    binaryTable.select("media_id", "kind", "n_bytes", "payload")
+  /** REAL video container-metadata decode: MP4 (ISO BMFF) box walk —
+    * `moov/mvhd` timescale+duration, first `trak/tkhd` display size
+    * (16.16 fixed point), `stbl/stsz` sample count — and Matroska/WebM
+    * EBML walk — DocType, Segment/Info TimestampScale+Duration,
+    * Tracks/TrackEntry/Video PixelWidth+PixelHeight. Pure byte
+    * parsing (same approach as the RIFF writer below), header-only:
+    * cost per clip is O(metadata), media data is never touched.
+    * Unrecognized payloads yield null features, not task failures.
+    * n_frames is null for Matroska (frame count there lives in the
+    * clusters, which a header-only scan does not walk). */
+  def decodeVideo(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(videoFeatureSchema)
+    binaryTable.select("media_id", "payload")
       .mapPartitions { rows =>
-        // per-task init would happen here (codec contexts, model handles)
-        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
-          val kind = r.getAs[String]("kind")
-          val nBytes = r.getAs[Long]("n_bytes")
           val payload = r.getAs[Array[Byte]]("payload")
-          // STUB decode: deterministic fakes from raw bytes
-          val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
-          val b1 = if (payload.length > 1) payload(1) & 0xff else 0
-          val width = 64L + (b0 % 64)
-          val height = 64L + (b1 % 64)
-          val nFrames = 1L + (nBytes % 8)
-          md.reset()
-          val hex = md.digest(payload).map("%02x".format(_)).mkString
-          Row(id, kind, nBytes, width, height, nFrames, hex)
+          VideoMeta.parse(payload) match {
+            case Some(m) =>
+              Row(id, m.fmt, m.width, m.height, m.nFrames, m.durationMs)
+            case None => Row(id, null, null, null, null, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode one minimal-but-valid MP4 per row from (id, width, height,
+    * frames) — the test-video generator for the decode round-trip (the
+    * container ships no video corpus). ftyp + moov(mvhd, trak(tkhd,
+    * mdia(mdhd, hdlr, minf(vmhd, dinf, stbl(stsd, stts, stsz))))) +
+    * empty mdat, all boxes structurally correct; 25 fps timing
+    * (timescale 1000, 40 ms/frame) so duration_ms = 40 × frames. */
+  def encodeTestMp4s(df: DataFrame, idCol: String, widthCol: String,
+                     heightCol: String, framesCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(widthCol).cast("int").as("__w"), col(heightCol).cast("int").as("__h"),
+      col(framesCol).cast("int").as("__frames"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val bytes = VideoMeta.buildMp4(
+            r.getAs[Int]("__w"), r.getAs[Int]("__h"), r.getAs[Int]("__frames"))
+          Row(id, bytes, "video", bytes.length.toLong)
         }
       }(enc)
   }
@@ -234,12 +261,204 @@ object Multimodal {
       }(enc)
   }
 
-  /** Frame sampling plan for video-kind rows: every `stride`-th frame
-    * index up to the fake frame count — demonstrates explode-style
-    * fan-out of per-frame work units that downstream decode tasks
-    * would consume. */
+  /** Frame sampling plan over decoded video features: every
+    * `stride`-th frame index up to the REAL frame count — the
+    * explode-style fan-out of per-frame work units that downstream
+    * pixel-decode tasks would consume. Rows without a frame count
+    * (undecodable, or containers that don't expose it) drop out. */
   def sampleFrames(features: DataFrame, stride: Int): DataFrame =
-    features.filter(col("kind") === "video")
+    features.filter(col("n_frames").isNotNull && col("n_frames") > 0)
       .select(col("media_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong))).as("frame_idx"))
+}
+
+/** Byte-level video container parsers/builders (no codecs): ISO BMFF
+  * (MP4) box structure per the public ISO/IEC 14496-12 layout, and
+  * Matroska/WebM EBML per the public RFC 8794 varint encoding. */
+private[multimodal] object VideoMeta {
+
+  final case class Meta(fmt: String, width: java.lang.Long,
+                        height: java.lang.Long, nFrames: java.lang.Long,
+                        durationMs: java.lang.Long)
+
+  def parse(b: Array[Byte]): Option[Meta] =
+    parseMp4(b).orElse(parseMkv(b))
+
+  // ---- ISO BMFF (MP4) ---------------------------------------------
+
+  private def be16(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 8) | (b(o + 1) & 0xffL)
+  private def be32(b: Array[Byte], o: Int): Long =
+    (be16(b, o) << 16) | be16(b, o + 2)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  /** First child box of `tpe` in [start, end): (bodyStart, bodyEnd). */
+  private def findBox(b: Array[Byte], start: Int, end: Int,
+                      tpe: String): Option[(Int, Int)] = {
+    var o = start
+    while (o + 8 <= end) {
+      val size32 = be32(b, o)
+      val t = new String(b, o + 4, 4, "US-ASCII")
+      val (bodyStart, boxEnd) =
+        if (size32 == 1L && o + 16 <= end) (o + 16L, o + be64(b, o + 8))
+        else if (size32 == 0L) (o + 8L, end.toLong)
+        else (o + 8L, o + size32)
+      if (boxEnd < bodyStart || boxEnd > end) return None // corrupt
+      if (t == tpe) return Some((bodyStart.toInt, boxEnd.toInt))
+      o = boxEnd.toInt
+    }
+    None
+  }
+
+  private def parseMp4(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    try {
+      val (moovS, moovE) = findBox(b, 0, b.length, "moov").getOrElse(return None)
+      // mvhd: timescale + duration (version 0: 32-bit, version 1: 64)
+      val dur: Option[Long] = findBox(b, moovS, moovE, "mvhd").flatMap { case (s, _) =>
+        val v = b(s) & 0xff
+        val (ts, d) =
+          if (v == 1) (be32(b, s + 20), be64(b, s + 24))
+          else (be32(b, s + 12), be32(b, s + 16))
+        if (ts > 0) Some(d * 1000L / ts) else None
+      }
+      // first trak: tkhd display size (16.16 fixed), stsz sample count
+      val trak = findBox(b, moovS, moovE, "trak")
+      val wh: Option[(Long, Long)] = trak.flatMap { case (s, e) =>
+        findBox(b, s, e, "tkhd").map { case (ts, _) =>
+          val v = b(ts) & 0xff
+          val base = if (v == 1) ts + 88 else ts + 76
+          (be32(b, base) >> 16, be32(b, base + 4) >> 16)
+        }
+      }
+      val frames: Option[Long] = trak.flatMap { case (s, e) =>
+        for {
+          (mdS, mdE) <- findBox(b, s, e, "mdia")
+          (mnS, mnE) <- findBox(b, mdS, mdE, "minf")
+          (sbS, sbE) <- findBox(b, mnS, mnE, "stbl")
+          (szS, _) <- findBox(b, sbS, sbE, "stsz")
+        } yield be32(b, szS + 8)
+      }
+      Some(Meta("mp4",
+        wh.map(p => java.lang.Long.valueOf(p._1)).orNull,
+        wh.map(p => java.lang.Long.valueOf(p._2)).orNull,
+        frames.map(java.lang.Long.valueOf).orNull,
+        dur.map(java.lang.Long.valueOf).orNull))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  /** Minimal structurally-valid MP4 with the given display size and
+    * sample count; timescale 1000, 40 ms per frame (25 fps). */
+  def buildMp4(w: Int, h: Int, frames: Int): Array[Byte] = {
+    def u32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def zeros(n: Int) = new Array[Byte](n)
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val total = 8 + parts.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.putInt(total).put(ascii(tpe))
+      parts.foreach(buf.put)
+      buf.array()
+    }
+    val matrix = u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+    val timescale = 1000L
+    val duration = frames.toLong * 40L
+    val ftyp = box("ftyp", ascii("isom"), u32(0x200), ascii("isom"), ascii("mp41"))
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+      u32(0x00010000L), u16(0x0100), u16(0), zeros(8), matrix, zeros(24), u32(2))
+    val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(duration),
+      zeros(8), u16(0), u16(0), u16(0), u16(0), matrix,
+      u32(w.toLong << 16), u32(h.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+      u16(0x55c4), u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), ascii("vide"), zeros(12), zeros(1))
+    val stbl = box("stbl",
+      box("stsd", u32(0), u32(0)),
+      box("stts", u32(0), u32(0)),
+      box("stsz", u32(0), u32(0), u32(frames.toLong)))
+    val minf = box("minf",
+      box("vmhd", u32(1), zeros(8)),
+      box("dinf", box("dref", u32(0), u32(1), box("url ", u32(1)))),
+      stbl)
+    val trak = box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    ftyp ++ box("moov", mvhd, trak) ++ box("mdat")
+  }
+
+  // ---- Matroska / WebM EBML ---------------------------------------
+
+  /** EBML varint at `o`: (value, encodedLength). keepMarker retains
+    * the length-marker bit (element IDs); size fields mask it off. */
+  private def vint(b: Array[Byte], o: Int, keepMarker: Boolean): (Long, Int) = {
+    val fb = b(o) & 0xff
+    if (fb == 0) throw new ArrayIndexOutOfBoundsException("bad vint")
+    val len = Integer.numberOfLeadingZeros(fb) - 23 // 1..8
+    var v = if (keepMarker) fb.toLong else (fb & (0xff >>> len)).toLong
+    var i = 1
+    while (i < len) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    (v, len)
+  }
+
+  private def uint(b: Array[Byte], o: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], o: Int, n: Int): Double =
+    if (n == 4) java.lang.Float.intBitsToFloat(uint(b, o, 4).toInt).toDouble
+    else java.lang.Double.longBitsToDouble(uint(b, o, 8))
+
+  /** First child element with `id` in [start, end): (bodyStart, bodyEnd). */
+  private def findEl(b: Array[Byte], start: Int, end: Int,
+                     id: Long): Option[(Int, Int)] = {
+    var o = start
+    while (o < end) {
+      val (elId, idLen) = vint(b, o, keepMarker = true)
+      val (size, szLen) = vint(b, o + idLen, keepMarker = false)
+      val bodyStart = o + idLen + szLen
+      // all-ones size = unknown extent → runs to the enclosing end
+      val unknown = size == (1L << (7 * szLen)) - 1
+      val bodyEnd = if (unknown) end else bodyStart + size.toInt
+      if (bodyEnd > end || bodyEnd < bodyStart) return None
+      if (elId == id) return Some((bodyStart, bodyEnd))
+      o = bodyEnd
+    }
+    None
+  }
+
+  private def parseMkv(b: Array[Byte]): Option[Meta] = {
+    if (b.length < 4 || be32(b, 0) != 0x1a45dfa3L) return None
+    try {
+      val (hdrS, hdrE) = findEl(b, 0, b.length, 0x1a45dfa3L).getOrElse(return None)
+      val fmt = findEl(b, hdrS, hdrE, 0x4282L)
+        .map { case (s, e) => new String(b, s, e - s, "US-ASCII") }
+        .getOrElse("matroska")
+      val (segS, segE) = findEl(b, hdrE, b.length, 0x18538067L).getOrElse(return None)
+      val info = findEl(b, segS, segE, 0x1549a966L)
+      val durMs: Option[Long] = info.flatMap { case (s, e) =>
+        val scaleNs = findEl(b, s, e, 0x2ad7b1L)
+          .map { case (vs, ve) => uint(b, vs, ve - vs) }.getOrElse(1000000L)
+        findEl(b, s, e, 0x4489L).map { case (vs, ve) =>
+          (ebmlFloat(b, vs, ve - vs) * scaleNs / 1e6).round
+        }
+      }
+      val video = for {
+        (tS, tE) <- findEl(b, segS, segE, 0x1654ae6bL)
+        (teS, teE) <- findEl(b, tS, tE, 0xaeL)
+        v <- findEl(b, teS, teE, 0xe0L)
+      } yield v
+      val w = video.flatMap { case (s, e) => findEl(b, s, e, 0xb0L) }
+        .map { case (vs, ve) => uint(b, vs, ve - vs) }
+      val h = video.flatMap { case (s, e) => findEl(b, s, e, 0xbaL) }
+        .map { case (vs, ve) => uint(b, vs, ve - vs) }
+      Some(Meta(fmt, w.map(java.lang.Long.valueOf).orNull,
+        h.map(java.lang.Long.valueOf).orNull, null,
+        durMs.map(java.lang.Long.valueOf).orNull))
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
 }

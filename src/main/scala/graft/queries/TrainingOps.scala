@@ -499,18 +499,19 @@ object TrainingOps {
     },
 
     // ---- multimodal plumbing --------------------------------------
+    // Binary-transport integrity: text → binary payload column →
+    // partition-mapped md5 back out. Proves payload bytes survive the
+    // multimodal table shape unmodified at any partitioning.
     QueryDef(
       "mm_decode",
       """SELECT doc_id AS media_id, 'image' AS kind,
         |  CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-        |  CAST(64 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
-        |  CAST(64 + ascii(substr(text, 2, 1)) % 64 AS BIGINT) AS height,
-        |  CAST(1 + octet_length(text::BLOB) % 8 AS BIGINT) AS n_frames,
         |  md5(text) AS payload_md5
         |FROM documents
         |""".stripMargin) { (s, dir) =>
       val bin = Multimodal.asBinaryTable(docs(s, dir), "doc_id", "text", "image")
-      Multimodal.decodeStub(s, bin)
+      bin.select(col("media_id"), col("kind"), col("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
     },
 
     // REAL image decode round-trip: PNGs are encoded per document with
@@ -555,14 +556,44 @@ object TrainingOps {
       Multimodal.decodeAudio(s, wavs)
     },
 
+    // Real MP4 round-trip, same contract as image/audio: Spark ENCODES
+    // structurally-valid ISO BMFF containers with id-derived display
+    // size, frame count and 25 fps duration, and decodeVideo reads
+    // them back by walking the actual boxes (mvhd/tkhd/stsz). The
+    // oracle recomputes the parameters arithmetically — a match proves
+    // the byte-level parse is genuine. Video PIXEL decode would need a
+    // codec this container doesn't ship; container metadata is what
+    // scale pipelines filter on.
+    QueryDef(
+      "mm_decode_video",
+      """SELECT doc_id AS media_id, 'mp4' AS fmt,
+        |  CAST(16 + doc_id % 112 AS BIGINT) AS width,
+        |  CAST(16 + n_chars % 112 AS BIGINT) AS height,
+        |  CAST(8 + doc_id % 120 AS BIGINT) AS n_frames,
+        |  CAST((8 + doc_id % 120) * 40 AS BIGINT) AS duration_ms
+        |FROM documents
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(112))).as("__w"),
+        (lit(16) + pmod(col("n_chars"), lit(112))).as("__h"),
+        (lit(8) + pmod(col("doc_id"), lit(120))).as("__frames"))
+      val mp4s = Multimodal.encodeTestMp4s(d, "doc_id", "__w", "__h", "__frames")
+      Multimodal.decodeVideo(s, mp4s)
+    },
+
+    // Frame-sampling fan-out over the REAL decoded frame counts.
     QueryDef(
       "mm_frame_sample",
       """SELECT doc_id AS media_id,
-        |  CAST(1 + octet_length(text::BLOB) % 8 AS BIGINT) AS n_frames,
-        |  CAST(unnest(range(0, 1 + octet_length(text::BLOB) % 8, 2)) AS BIGINT) AS frame_idx
+        |  CAST(8 + doc_id % 120 AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, 8 + doc_id % 120, 2)) AS BIGINT) AS frame_idx
         |FROM documents
         |""".stripMargin) { (s, dir) =>
-      val bin = Multimodal.asBinaryTable(docs(s, dir), "doc_id", "text", "video")
-      Multimodal.sampleFrames(Multimodal.decodeStub(s, bin), stride = 2)
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(16) + pmod(col("doc_id"), lit(112))).as("__w"),
+        (lit(16) + pmod(col("n_chars"), lit(112))).as("__h"),
+        (lit(8) + pmod(col("doc_id"), lit(120))).as("__frames"))
+      val mp4s = Multimodal.encodeTestMp4s(d, "doc_id", "__w", "__h", "__frames")
+      Multimodal.sampleFrames(Multimodal.decodeVideo(s, mp4s), stride = 2)
     })
 }

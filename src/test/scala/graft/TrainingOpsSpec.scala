@@ -311,20 +311,61 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
-  test("multimodal decode stub: deterministic features through binary transport") {
-    val df = docsDf(7L -> "hello world this is a payload")
-    val bin = Multimodal.asBinaryTable(df, "doc_id", "text", "video")
-    val feat = Multimodal.decodeStub(spark, bin).collect().head
-    assert(feat.getAs[Long]("media_id") == 7L)
-    assert(feat.getAs[Long]("n_bytes") == 29L)
-    assert(feat.getAs[Long]("width") == 64L + ('h' % 64))
-    assert(feat.getAs[Long]("height") == 64L + ('e' % 64))
-    assert(feat.getAs[Long]("n_frames") == 1L + (29L % 8))
-    assert(feat.getAs[String]("payload_md5").length == 32)
+  test("video decode is real: mp4 box walk round-trips dims/frames/duration") {
+    import spark.implicits._
+    val params = Seq((1L, 320, 240, 48), (2L, 33, 17, 9), (3L, 1920, 1080, 125))
+      .toDF("id", "w", "h", "frames")
+    val mp4s = Multimodal.encodeTestMp4s(params, "id", "w", "h", "frames")
+    val dec = Multimodal.decodeVideo(spark, mp4s)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    Seq((1L, 320L, 240L, 48L), (2L, 33L, 17L, 9L), (3L, 1920L, 1080L, 125L))
+      .foreach { case (id, w, h, f) =>
+        val r = dec(id)
+        assert(r.getAs[String]("fmt") == "mp4")
+        assert(r.getAs[Long]("width") == w && r.getAs[Long]("height") == h,
+          s"id=$id dims ${r}")
+        assert(r.getAs[Long]("n_frames") == f)
+        assert(r.getAs[Long]("duration_ms") == f * 40)
+      }
 
-    val frames = Multimodal.sampleFrames(Multimodal.decodeStub(spark, bin), 2)
+    val frames = Multimodal.sampleFrames(Multimodal.decodeVideo(spark, mp4s), 2)
+      .filter(col("media_id") === 2L)
       .select("frame_idx").collect().map(_.getLong(0)).toSeq.sorted
-    assert(frames == (0L until (1 + 29 % 8)).by(2).toSeq)
+    assert(frames == (0L until 9L).by(2).toSeq)
+  }
+
+  test("video decode is real: mkv ebml parse; garbage -> nulls") {
+    import spark.implicits._
+    // handcrafted minimal Matroska: EBML header (DocType) + Segment
+    // (Info: TimestampScale 1e6 ns, Duration 12345.0 ticks; Tracks:
+    // TrackEntry/Video PixelWidth 320, PixelHeight 240)
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] =
+      id.map(_.toByte) ++ Array((0x80 | body.length).toByte) ++ body
+    val docType = el(Array(0x42, 0x82), "matroska".getBytes("US-ASCII"))
+    val header = el(Array(0x1a, 0x45, 0xdf, 0xa3), docType)
+    val scale = el(Array(0x2a, 0xd7, 0xb1), Array(0x0f, 0x42, 0x40).map(_.toByte))
+    val durBits = java.lang.Float.floatToIntBits(12345.0f)
+    val dur = el(Array(0x44, 0x89), Array(durBits >> 24, durBits >> 16,
+      durBits >> 8, durBits).map(_.toByte))
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66), scale ++ dur)
+    val video = el(Array(0xe0),
+      el(Array(0xb0), Array(0x01, 0x40).map(_.toByte)) ++
+      el(Array(0xba), Array(0xf0.toByte)))
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b), el(Array(0xae), video))
+    val segment = el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks)
+    val mkv = header ++ segment
+
+    val bin = Seq((10L, mkv), (11L, "not a video at all".getBytes))
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodeVideo(spark, bin)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    val m = out(10L)
+    assert(m.getAs[String]("fmt") == "matroska")
+    assert(m.getAs[Long]("width") == 320L && m.getAs[Long]("height") == 240L)
+    assert(m.isNullAt(m.fieldIndex("n_frames")))
+    assert(m.getAs[Long]("duration_ms") == 12345L)
+    val g = out(11L)
+    assert(g.isNullAt(g.fieldIndex("fmt")) && g.isNullAt(g.fieldIndex("width")))
   }
 
   test("image decode is real: png/bmp/gif round-trip dims; garbage -> nulls") {
