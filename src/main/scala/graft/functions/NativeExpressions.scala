@@ -25,10 +25,13 @@ object NativeExpressions {
   private def toDoubles(a: ArrayData): Array[Double] = a.toDoubleArray()
 
   /** Cosine similarity over two array<double> columns, one fused pass
-    * (dot + both norms in a single loop). */
+    * (dot + both norms in a single loop). Full `doGenCode` — this sits
+    * inside ANN scoring projections, and a CodegenFallback here would
+    * break the whole-stage span of its containing stage. */
   case class CosineSimilarity(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // zero-norm input → null
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = toDoubles(l.asInstanceOf[ArrayData])
       val b = toDoubles(r.asInstanceOf[ArrayData])
@@ -40,6 +43,30 @@ object NativeExpressions {
       if (na == 0.0 || nb == 0.0) null
       else dot / (math.sqrt(na) * math.sqrt(nb))
     }
+    override protected def doGenCode(ctx: codegen.CodegenContext,
+                                     ev: codegen.ExprCode): codegen.ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val ad = ctx.freshName("ad"); val bd = ctx.freshName("bd")
+        val n = ctx.freshName("n"); val i = ctx.freshName("i")
+        val dot = ctx.freshName("dot")
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        s"""
+           |double[] $ad = $a.toDoubleArray();
+           |double[] $bd = $b.toDoubleArray();
+           |int $n = java.lang.Math.min($ad.length, $bd.length);
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $dot += $ad[$i] * $bd[$i];
+           |  $na += $ad[$i] * $ad[$i];
+           |  $nb += $bd[$i] * $bd[$i];
+           |}
+           |if ($na == 0.0 || $nb == 0.0) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+           |}
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -684,15 +711,30 @@ object NativeExpressions {
   /** Distributed snowflake id (SURVEY §1.3): 41-bit ms timestamp |
     * 10-bit node | 12-bit sequence — time-ordered and unique across
     * runs, unlike monotonically_increasing_id. The partition index is
-    * folded into the node id, so executors never collide. */
+    * folded into the node id, so executors never collide. Generates
+    * real code (the Rand pattern: a mutable generator field seeded in
+    * partition init) — this runs on EVERY ingested row, where a
+    * CodegenFallback would cut the ingest projection out of
+    * whole-stage codegen. */
   case class SnowflakeId(baseNode: Int) extends LeafExpression
-      with Nondeterministic with CodegenFallback {
+      with Nondeterministic {
     override def dataType: DataType = LongType
     override def nullable: Boolean = false
     @transient private var gen: Snowflake = _
     override protected def initializeInternal(partitionIndex: Int): Unit =
       gen = new Snowflake((baseNode + partitionIndex) % 1024)
     override protected def evalInternal(input: InternalRow): Any = gen.next()
+    override protected def doGenCode(ctx: codegen.CodegenContext,
+                                     ev: codegen.ExprCode): codegen.ExprCode = {
+      val cls = classOf[Snowflake].getName
+      val term = ctx.addMutableState(cls, "snowflakeGen")
+      ctx.addPartitionInitializationStatement(
+        s"$term = new $cls((($baseNode + partitionIndex) % 1024));")
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      ev.copy(
+        code = code"final long ${ev.value} = $term.next();",
+        isNull = codegen.FalseLiteral)
+    }
     override def prettyName: String = "snowflake_id"
   }
 

@@ -68,6 +68,38 @@ class UtilSpec extends SparkTestBase {
     assert(ids.distinct.length == ids.length, "distributed ids must be unique")
   }
 
+  test("cosine_sim and snowflake_id generate real code (no fallback)") {
+    import org.apache.spark.sql.functions._
+    // fallback=false makes a broken doGenCode THROW instead of
+    // silently degrading to the interpreted path
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(0, 1000, 1, 4)
+        .withColumn("a", array(col("id").cast("double"), lit(1.0)))
+        .withColumn("b", array(lit(2.0), col("id").cast("double")))
+        .withColumn("zero", array(lit(0.0), lit(0.0)))
+        .select(col("id"),
+          NativeExpressions.cosine_sim(col("a"), col("b")).as("cos"),
+          NativeExpressions.cosine_sim(col("a"), col("zero")).as("coz"),
+          NativeExpressions.snowflake_id().as("sid"))
+      // both expressions stay inside one whole-stage-codegen span
+      // (the `*(1)` star marks WholeStageCodegen in treeString; with
+      // fallback=false a broken doGenCode would have thrown instead)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(1) Project"), plan)
+      val rows = df.collect()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        val expect = (2.0 * id + id) /
+          (math.sqrt(id * id + 1) * math.sqrt(4 + id * id))
+        assert(math.abs(r.getDouble(1) - expect) < 1e-12, s"id=$id")
+        assert(r.isNullAt(2), "zero-norm input must yield null")
+      }
+      val sids = rows.map(_.getLong(3))
+      assert(sids.distinct.length == sids.length, "codegen'd ids unique")
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("GraftExtensions injects native functions into a fresh session") {
     import org.apache.spark.sql.SparkSession
     spark // force the shared session (and its SparkContext) first
