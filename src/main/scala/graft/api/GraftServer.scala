@@ -52,8 +52,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     * in the MetaStore so a restart doesn't log everyone out. */
   private val webSessions =
     new Sessions(meta.getOrPutSetting("jwt_secret", Sessions.randomSecret()))
-  private val loader = new Loader(catalog)
-  private val copier = new Copier(catalogFor _)
+  private val loader = new Loader(catalog, destInfo _)
+  private val copier = new Copier(catalogFor _, destInfo _)
   private val workers = new Workers(queue, loader, copier, workerCount)
 
   // rotated sink files: upload to the blob store, enqueue a load job
@@ -95,6 +95,11 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
       val s = spark.newSession()
       (s, new GraftCatalog(s, s"$root/warehouse"))
     })._2
+
+  /** (dest_type, url) from the registry; unregistered tenant dbs are
+    * plain spark-warehouse databases. */
+  private def destInfo(db: String): (String, String) =
+    meta.getDestination(db).getOrElse(("spark", ""))
 
   private var server: HttpServer = _
 
@@ -205,11 +210,20 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
       case ("POST", "/api/destinations") =>
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        val name = (try JValue.parseObject(body).get("name") catch { case _: Exception => None })
-          .collect { case JStr(s) => s }.getOrElse("")
+        val obj = try JValue.parseObject(body) catch {
+          case _: Exception => JObj(Vector.empty)
+        }
+        def str(k: String) = obj.get(k).collect { case JStr(s) => s }.getOrElse("")
+        val name = str("name")
+        val dtype = if (str("type").isEmpty) "spark" else str("type")
+        val url = str("url")
         if (!validIdent(name)) respond(ex, 400, "valid name required", "text/plain")
-        else { meta.addDestination(name)
-          respond(ex, 200, s"""{"name":"$name"}""", "application/json") }
+        else if (dtype != "spark" && dtype != "jdbc")
+          respond(ex, 400, s"unknown destination type: $dtype", "text/plain")
+        else if (dtype == "jdbc" && !url.startsWith("jdbc:"))
+          respond(ex, 400, "jdbc destinations require a jdbc: url", "text/plain")
+        else { meta.addDestination(name, dtype, url)
+          respond(ex, 200, s"""{"name":"$name","type":"$dtype"}""", "application/json") }
       case ("POST", p) if p.startsWith("/api/destinations/") && p.endsWith("/keys") =>
         val dest = p.stripPrefix("/api/destinations/").stripSuffix("/keys")
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
@@ -231,16 +245,29 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
           s"""{"token":"$token","upsert_url":"/connections/upsert/$token","expires_in_sec":3600}""",
           "application/json")
       case ("GET", "/api/tables") =>
-        val names = catalog.listTables(db).map(n => "\"" + n + "\"")
-        respond(ex, 200, names.mkString("[", ",", "]"), "application/json")
+        val tables = destInfo(db) match {
+          case ("jdbc", url) => new JdbcDestination(spark, url).tables()
+          case _ => catalog.listTables(db)
+        }
+        respond(ex, 200, tables.map(n => "\"" + n + "\"").mkString("[", ",", "]"),
+          "application/json")
       case ("GET", p) if p.startsWith("/api/tables/") && p.endsWith("/columns") =>
         val table = p.stripPrefix("/api/tables/").stripSuffix("/columns")
-        if (!validIdent(table) || !catalog.tableExists(db, table))
-          respond(ex, 404, "table not found", "text/plain")
-        else {
-          val cols = catalog.columns(db, table)
-            .map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
-          respond(ex, 200, cols.mkString("[", ",", "]"), "application/json")
+        val cols = destInfo(db) match {
+          case ("jdbc", url) =>
+            val jd = new JdbcDestination(spark, url)
+            if (validIdent(table) && jd.tableExists(table)) Some(jd.columns(table))
+            else None
+          case _ =>
+            if (validIdent(table) && catalog.tableExists(db, table))
+              Some(catalog.columns(db, table))
+            else None
+        }
+        cols match {
+          case None => respond(ex, 404, "table not found", "text/plain")
+          case Some(cs) => respond(ex, 200,
+            cs.map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
+              .mkString("[", ",", "]"), "application/json")
         }
       case _ => respond(ex, 404, "not found", "text/plain")
     }
@@ -289,12 +316,20 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   private def streamQuery(ex: HttpExchange, db: String, query: String, format: String,
                           restricted: Boolean = true): Unit = {
     val dbCatalog = catalogFor(db)
-    dbCatalog.registerViews(db)
     val df =
       try {
-        if (restricted)
-          QueryService.tenantQuery(dbCatalog.spark, query, Seq(s"$root/warehouse/$db"))
-        else QueryService.query(dbCatalog.spark, query)
+        destInfo(db) match {
+          // Federated destination: the external engine executes the SQL
+          // against ITS OWN database (the reference's per-destination
+          // isolation) — and the JDBC query option wraps it in a SELECT
+          // subquery, so tenant passthrough is read-only by construction.
+          case ("jdbc", url) => new JdbcDestination(dbCatalog.spark, url).query(query)
+          case _ =>
+            dbCatalog.registerViews(db)
+            if (restricted)
+              QueryService.tenantQuery(dbCatalog.spark, query, Seq(s"$root/warehouse/$db"))
+            else QueryService.query(dbCatalog.spark, query)
+        }
       } catch {
         case e: QueryService.QueryRejected =>
           respond(ex, 403, e.getMessage, "text/plain"); return
@@ -341,7 +376,9 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     }
     // Sandbox the SOURCE query too (analysis only, nothing executes):
     // a tenant copy must not read other tenants' files or run commands.
-    if (!isAdmin) {
+    // A jdbc source needs no spark-side sandbox — the engine executes
+    // the SQL inside its own database, wrapped read-only.
+    if (!isAdmin && destInfo(db)._1 != "jdbc") {
       val cat = catalogFor(db)
       cat.registerViews(db)
       try QueryService.tenantQuery(cat.spark, query, Seq(s"$root/warehouse/$db"))
@@ -430,18 +467,21 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
       case _: Exception => respond(ex, 400, "Invalid request body", "text/plain"); return
     }
     def str(k: String) = obj.get(k).collect { case JStr(s) => s }.getOrElse("")
-    val (name, dtype, apiKey) = (str("name"), str("type"), str("api_key"))
+    val (name, dtype, apiKey, url) = (str("name"), str("type"), str("api_key"), str("url"))
     if (!validIdent(name)) { respond(ex, 400, "valid name required", "text/plain"); return }
-    if (dtype != "spark") { respond(ex, 400, s"unknown destination type: $dtype", "text/plain"); return }
+    if (dtype != "spark" && dtype != "jdbc") {
+      respond(ex, 400, s"unknown destination type: $dtype", "text/plain"); return }
+    if (dtype == "jdbc" && !url.startsWith("jdbc:")) {
+      respond(ex, 400, "jdbc destinations require a jdbc: url", "text/plain"); return }
     if (apiKey.length < 8) { respond(ex, 400, "api_key of 8+ chars required", "text/plain"); return }
     // consume LAST, once the form is valid — a rejected form must not
     // burn the one-time link
     if (!meta.consumeConnRequest(token, System.currentTimeMillis())) {
       respond(ex, 404, "connection request not found or expired", "text/plain"); return
     }
-    meta.addDestination(name)
+    meta.addDestination(name, dtype, url)
     addApiKey(apiKey, name)
-    respond(ex, 200, s"""{"name":"$name","type":"spark"}""", "application/json")
+    respond(ex, 200, s"""{"name":"$name","type":"$dtype"}""", "application/json")
   }
 
   private def handleShareData(ex: HttpExchange, path: String): Unit = {

@@ -39,7 +39,13 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
            key_hash VARCHAR(64) PRIMARY KEY,
            db VARCHAR(128),
            is_admin BOOLEAN NOT NULL)""")
-  exec("CREATE TABLE destinations(name VARCHAR(128) PRIMARY KEY)")
+  exec("""CREATE TABLE destinations(
+           name VARCHAR(128) PRIMARY KEY,
+           dest_type VARCHAR(32) DEFAULT 'spark' NOT NULL,
+           url VARCHAR(1024) DEFAULT '' NOT NULL)""")
+  // upgrade pre-typed-destination stores in place (column-exists swallowed)
+  exec("ALTER TABLE destinations ADD COLUMN dest_type VARCHAR(32) DEFAULT 'spark' NOT NULL")
+  exec("ALTER TABLE destinations ADD COLUMN url VARCHAR(1024) DEFAULT '' NOT NULL")
   exec("""CREATE TABLE shares(
            id VARCHAR(36) PRIMARY KEY,
            db VARCHAR(128) NOT NULL,
@@ -93,9 +99,16 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
   }
 
   // ---- destinations -------------------------------------------------
-  def addDestination(name: String): Unit = synchronized {
-    val ps = conn.prepareStatement("INSERT INTO destinations(name) VALUES(?)")
-    try { ps.setString(1, name); ps.executeUpdate() }
+  /** Typed destination registry (reference: destination rows carry a
+    * type + connection settings — pkg/destinations/destinations.go).
+    * `spark` rows live in this server's warehouse; `jdbc` rows
+    * delegate to an external engine at `url`. */
+  def addDestination(name: String, destType: String = "spark",
+                     url: String = ""): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "INSERT INTO destinations(name, dest_type, url) VALUES(?,?,?)")
+    try { ps.setString(1, name); ps.setString(2, destType); ps.setString(3, url)
+      ps.executeUpdate() }
     catch { case e: SQLException if e.getSQLState == "23505" => () } // dup
     finally ps.close()
   }
@@ -103,6 +116,18 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
   def hasDestination(name: String): Boolean = synchronized {
     val ps = conn.prepareStatement("SELECT 1 FROM destinations WHERE name=?")
     try { ps.setString(1, name); ps.executeQuery().next() } finally ps.close()
+  }
+
+  /** (dest_type, url) for a registered destination. Unregistered names
+    * default to ("spark", "") — ad-hoc tenant dbs predate the registry. */
+  def getDestination(name: String): Option[(String, String)] = synchronized {
+    val ps = conn.prepareStatement(
+      "SELECT dest_type, url FROM destinations WHERE name=?")
+    try {
+      ps.setString(1, name)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some((rs.getString(1), rs.getString(2))) else None
+    } finally ps.close()
   }
 
   def listDestinations(): Seq[String] = synchronized {

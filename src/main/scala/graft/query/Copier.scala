@@ -1,7 +1,7 @@
 package graft.query
 
 import graft.functions.TypeLattice
-import graft.sources.GraftCatalog
+import graft.sources.{GraftCatalog, JdbcDestination}
 import org.apache.spark.sql.types._
 
 /** Cross-destination copy/ETL (SURVEY §2A A12,
@@ -14,18 +14,34 @@ import org.apache.spark.sql.types._
 /** @param catalogFor per-source-database catalog resolver (the server's
   * session pool): copies for different source dbs run in different
   * SparkSessions, so their same-named temp views can never collide when
-  * multiple copy jobs run concurrently on the worker pool. */
-final class Copier(catalogFor: String => GraftCatalog) {
+  * multiple copy jobs run concurrently on the worker pool.
+  * @param destInfo (dest_type, url) resolver from the destination
+  * registry; either side of a copy may be a federated `jdbc`
+  * destination — the reference's Copier moves data between arbitrary
+  * backend engines the same way (pkg/workers/copier.go). */
+final class Copier(catalogFor: String => GraftCatalog,
+                   destInfo: String => (String, String) = _ => ("spark", "")) {
 
   def copy(sourceDb: String, query: String, destDb: String, destTable: String): Long = {
     val cat = catalogFor(sourceDb)
-    cat.registerViews(sourceDb)
-    val df = QueryService.query(cat.spark, query)
-    val types = df.schema.fields
-      .map(f => f.name -> TypeLattice.fromSparkType(f.dataType)).toMap
-    cat.ensureTable(destDb, destTable)
-    cat.addColumns(destDb, destTable, types)
-    cat.append(destDb, destTable, df)
-    cat.read(destDb, destTable).count()
+    val df = destInfo(sourceDb) match {
+      case ("jdbc", url) => new JdbcDestination(cat.spark, url).query(query)
+      case _ =>
+        cat.registerViews(sourceDb)
+        QueryService.query(cat.spark, query)
+    }
+    destInfo(destDb) match {
+      case ("jdbc", url) =>
+        val jd = new JdbcDestination(cat.spark, url)
+        jd.append(destTable, df)
+        jd.count(destTable)
+      case _ =>
+        val types = df.schema.fields
+          .map(f => f.name -> TypeLattice.fromSparkType(f.dataType)).toMap
+        cat.ensureTable(destDb, destTable)
+        cat.addColumns(destDb, destTable, types)
+        cat.append(destDb, destTable, df)
+        cat.read(destDb, destTable).count()
+    }
   }
 }

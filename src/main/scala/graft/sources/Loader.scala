@@ -19,7 +19,12 @@ import scala.jdk.CollectionConverters._
   * coercion. Inference is a driver-side single pass for rotation-sized
   * files, or `TypeLattice.inferTypesDistributed` beyond a threshold.
   */
-final class Loader(catalog: GraftCatalog, distributedInferenceBytes: Long = 256L * 1024 * 1024) {
+/** @param destInfo (dest_type, url) resolver — `jdbc` destinations
+  * bulk-load into the external engine instead of the Spark warehouse
+  * (same inference + evolution contract, the engine's dialect applies). */
+final class Loader(catalog: GraftCatalog,
+                   destInfo: String => (String, String) = _ => ("spark", ""),
+                   distributedInferenceBytes: Long = 256L * 1024 * 1024) {
 
   def loadFile(database: String, table: String, file: Path): Long = {
     val spark = catalog.spark
@@ -30,6 +35,10 @@ final class Loader(catalog: GraftCatalog, distributedInferenceBytes: Long = 256L
         import spark.implicits._
         TypeLattice.inferTypesDistributed(spark, spark.read.textFile(file.toString))
       }
+    destInfo(database) match {
+      case ("jdbc", url) => return loadFileJdbc(url, table, file, types)
+      case _ => ()
+    }
     catalog.ensureTable(database, table)
     catalog.addColumns(database, table, types)
     val batchStruct = org.apache.spark.sql.types.StructType(
@@ -45,6 +54,27 @@ final class Loader(catalog: GraftCatalog, distributedInferenceBytes: Long = 256L
       else df0.withColumn(catalog.RowIdColumn,
         graft.functions.NativeExpressions.snowflake_id())
     catalog.append(database, table, df)
+    df.count()
+  }
+
+  /** Bulk NDJSON load into a federated jdbc destination: same lattice
+    * inference and additive evolution, executed on the external
+    * engine; the coerced read + __row_id stamp stay Spark-side. */
+  private def loadFileJdbc(url: String, table: String, file: Path,
+                           types: Map[String, String]): Long = {
+    val spark = catalog.spark
+    val jd = new JdbcDestination(spark, url)
+    val batchStruct = org.apache.spark.sql.types.StructType(
+      types.toSeq.sortBy(_._1).map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, TypeLattice.toSparkType(t))
+      })
+    val df0 = spark.read.schema(batchStruct).json(file.toString)
+    val df =
+      if (types.contains(catalog.RowIdColumn)) df0
+      else df0.withColumn(catalog.RowIdColumn,
+        graft.functions.NativeExpressions.snowflake_id())
+    jd.ensureColumns(table, df.schema)
+    jd.append(table, df)
     df.count()
   }
 

@@ -213,6 +213,68 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("jdbc destination: register, copy spark->jdbc and back, federated query") {
+    val (srv, base) = newServer()
+    try {
+      val derby = Files.createTempDirectory("graft-jdbc").resolve("extdb")
+      val url = s"jdbc:derby:$derby;create=true"
+
+      // admin registers the external engine as a typed destination
+      val reg = post(s"$base/api/destinations?api_key=adminkey",
+        s"""{"name": "extdb", "type": "jdbc", "url": "$url"}""")
+      assert(reg.statusCode() == 200, reg.body())
+      assert(reg.body().contains("\"type\":\"jdbc\""))
+      srv.addApiKey("extkey", "extdb")
+
+      // seed a spark-side table
+      post(s"$base/api/data/insert/metrics?api_key=localkey",
+        """[{"m": "lat", "v": 12}, {"m": "err", "v": 3}]""")
+      srv.drain()
+
+      // copy spark -> jdbc (admin may target any destination)
+      val cp = post(s"$base/api/data/copy?api_key=adminkey&destination_id=default",
+        """{"query": "select m, v from metrics", "destination_id": "extdb", "destination_table": "metrics_ext"}""")
+      assert(cp.statusCode() == 200, cp.body())
+      assert(srv.drain(), "copy job must complete")
+
+      // federated query: the tenant key scoped to the jdbc destination
+      // reads THROUGH the gateway, executed by the external engine
+      val q = post(s"$base/api/data/query?api_key=extkey",
+        "select m, v from metrics_ext order by v desc")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body() == """[{"m":"lat","v":12},{"m":"err","v":3}]""", q.body())
+
+      // introspection routes hit the jdbc metadata
+      assert(get(s"$base/api/tables?api_key=extkey").body().contains("metrics_ext"))
+      val cols = get(s"$base/api/tables/metrics_ext/columns?api_key=extkey").body()
+      assert(cols.contains("\"name\":\"m\"") && cols.contains("\"name\":\"v\""), cols)
+
+      // copy jdbc -> spark closes the loop (source query runs on Derby)
+      val back = post(s"$base/api/data/copy?api_key=adminkey&destination_id=extdb",
+        """{"query": "select m, v from metrics_ext where v > 5", "destination_id": "default", "destination_table": "metrics_back"}""")
+      assert(back.statusCode() == 200, back.body())
+      assert(srv.drain(), "reverse copy job must complete")
+      val rt = post(s"$base/api/data/query?api_key=localkey",
+        "select m, v from metrics_back")
+      assert(rt.body() == """[{"m":"lat","v":12}]""", rt.body())
+
+      // HTTP insert routes through the sink/queue INTO the engine,
+      // with additive schema evolution on the second batch
+      post(s"$base/api/data/insert/logs?api_key=extkey", """{"msg": "boot", "code": 1}""")
+      srv.drain()
+      post(s"$base/api/data/insert/logs?api_key=extkey",
+        """{"msg": "shutdown", "code": 2, "host": "n1"}""")
+      assert(srv.drain(), "jdbc insert jobs must complete")
+      val logs = post(s"$base/api/data/query?api_key=extkey",
+        "select msg, code, host from logs order by code")
+      assert(logs.statusCode() == 200, logs.body())
+      // (the streaming JSON encoder omits null fields, like the reference)
+      assert(logs.body() ==
+        """[{"msg":"boot","code":1},{"msg":"shutdown","code":2,"host":"n1"}]""",
+        logs.body())
+    } finally srv.stop()
+  }
+
   test("dashboard, metrics, CORS, and CSV list-cell rendering") {
     val (srv, base) = newServer()
     try {
