@@ -52,7 +52,16 @@ object Bench {
 
     // warm-up: run the full set once unmeasured (steady state — see
     // the methodology note above)
-    if (!sys.env.contains("SPARK_GRAFT_COLD")) names.foreach(materialize)
+    if (!sys.env.contains("SPARK_GRAFT_COLD")) {
+      names.foreach(materialize)
+      // Release the warm-up pass's leftover state before measuring:
+      // localCheckpoint blocks and broadcasts are freed by the
+      // ContextCleaner only after their RDDs are GC'd, and at sf3 the
+      // stale blocks measurably pressured the heavy shuffles
+      // (dedup_embedding_lsh 52 s isolated vs 78 s after a full pass).
+      System.gc()
+      Thread.sleep(2000)
+    }
 
     val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
