@@ -281,7 +281,8 @@ object Dedup {
     }
     val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
     val out = nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2).toSeq
-    out.toDF("node", "component").repartition(1)
+    // LocalRelation: driver-local, broadcast-joins downstream for free
+    out.toDF("node", "component")
   }
 
   /** Per-doc dup group with FULL transitive closure: connected
