@@ -26,7 +26,7 @@ object Dashboard {
       |</style>
       |</head>
       |<body>
-      |<h1>graft <a href="/logout" style="font-size:0.8rem;float:right">logout</a></h1>
+      |<h1>graft <span style="font-size:0.8rem;float:right"><a href="/dashboard/connections">connections</a> · <a href="/logout">logout</a></span></h1>
       |<div class="bar">
       |  <label>API key <input id="key" type="password" placeholder="api_key"></label>
       |  <select id="fmt"><option>json</option><option>ndjson</option><option>csv</option></select>
@@ -81,6 +81,81 @@ object Dashboard {
       |</body>
       |</html>
       |""".stripMargin
+
+  private val pageCss =
+    """ body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
+      | table { border-collapse: collapse; margin: 1rem 0; }
+      | td, th { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
+      | input, select, button { font-size: 0.9rem; padding: 0.3rem 0.5rem; margin: 0.2rem 0.4rem 0.2rem 0; }
+      | label { display: block; margin-top: 0.6rem; }
+      | .flash { color: #b00020; }
+      | pre { background: #f4f4f4; padding: 1rem; overflow-x: auto; }
+      | nav a { margin-right: 0.8rem; }""".stripMargin
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  private def page(title: String, body: String): String =
+    s"""<!doctype html>
+       |<html lang="en">
+       |<head><meta charset="utf-8"><title>${esc(title)} — graft</title>
+       |<style>
+       |$pageCss
+       |</style></head>
+       |<body>
+       |<nav><a href="/dashboard">console</a><a href="/dashboard/connections">connections</a><a href="/logout">logout</a></nav>
+       |<h1>${esc(title)}</h1>
+       |$body
+       |</body></html>
+       |""".stripMargin
+
+  /** Connections index (reference:
+    * pkg/view/templates/pages/connections/index.html — list of
+    * registered destinations + "connect" entry points). */
+  def connectionsHtml(dests: Seq[(String, String)]): String = {
+    val rows =
+      if (dests.isEmpty)
+        "<p>No connections yet. Get started by connecting a database.</p>"
+      else
+        dests.map { case (n, t) =>
+          s"<tr><td>${esc(n)}</td><td>${esc(t)}</td></tr>"
+        }.mkString("<table><tr><th>name</th><th>type</th></tr>", "", "</table>")
+    page("Connections",
+      s"""$rows
+         |<p><a href="/dashboard/connections/new">Connect a database</a></p>
+         |<form method="post" action="/dashboard/request">
+         |  <button type="submit">Mint a connection-request link</button>
+         |</form>""".stripMargin)
+  }
+
+  /** New-connection form (reference:
+    * pkg/view/templates/pages/connections/new.html — destination type
+    * chooser + settings form). */
+  def newConnectionHtml(flash: String): String =
+    page("Connect a database",
+      s"""${if (flash.isEmpty) "" else s"""<p class="flash">${esc(flash)}</p>"""}
+         |<form method="post" action="/dashboard/connections/new">
+         |  <label>Name <input name="name" placeholder="mydb" required></label>
+         |  <label>Type
+         |    <select name="type">
+         |      <option value="spark">spark (this warehouse)</option>
+         |      <option value="jdbc">jdbc (external engine)</option>
+         |    </select></label>
+         |  <label>JDBC URL <input name="url" size="48" placeholder="jdbc:… (jdbc type only)"></label>
+         |  <label>First API key <input name="api_key" placeholder="8+ characters" required></label>
+         |  <button type="submit">Create</button>
+         |</form>""".stripMargin)
+
+  /** Request-link page (reference:
+    * pkg/view/templates/pages/request/link.html — "send this link to
+    * your customer", one-time upsert URL). */
+  def requestLinkHtml(url: String): String =
+    page("Connection request",
+      s"""<p>Send this one-time link to your customer; it expires in 1 hour:</p>
+         |<pre>${esc(url)}</pre>
+         |<p>POST to it with {"name", "type", "api_key"} (and "url" for
+         |jdbc destinations) registers their database.</p>""".stripMargin)
 
   /** Public share-viewer page: renders the shared result set for a
     * bare /share/{uuid} link (reference: pkg/view/router.go:43-76). */

@@ -154,6 +154,15 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
             case Some(_) => respond(ex, 200, Dashboard.html, "text/html; charset=utf-8")
             case None => redirect(ex, 307, "/login")
           }
+        // Connection-management pages, session-gated like the
+        // reference's /dashboard/connections + /request view routes
+        // (pkg/view/router.go:74-80, controller.go ConnRoutes)
+        case ("GET" | "POST", p) if p == "/dashboard/connections" ||
+            p == "/dashboard/connections/new" || p == "/dashboard/request" =>
+          sessionUser(ex) match {
+            case None => redirect(ex, 307, "/login")
+            case Some(_) => handleConnPages(ex, method, p)
+          }
         case ("GET", "/login") =>
           respond(ex, 200, Sessions.loginHtml.replace("__FLASH__", ""),
             "text/html; charset=utf-8")
@@ -456,6 +465,48 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     ex.getResponseHeaders.set("Location", to)
     ex.sendResponseHeaders(code, -1)
   }
+
+  /** Session-gated connection pages (reference: ConnRoutes/
+    * RequestRoutes in pkg/view/controller.go — list, new-connection
+    * form, one-time request link). Form POSTs mirror the API
+    * validations; the session user is the authority, as in the
+    * reference's JWT-gated dashboard. */
+  private def handleConnPages(ex: HttpExchange, method: String, path: String): Unit =
+    (method, path) match {
+      case ("GET", "/dashboard/connections") =>
+        respond(ex, 200, Dashboard.connectionsHtml(meta.listDestinationsTyped()),
+          "text/html; charset=utf-8")
+      case ("GET", "/dashboard/connections/new") =>
+        respond(ex, 200, Dashboard.newConnectionHtml(""), "text/html; charset=utf-8")
+      case ("POST", "/dashboard/connections/new") =>
+        val form = parseUrlEncoded(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        val name = form.getOrElse("name", "")
+        val dtype = form.getOrElse("type", "spark")
+        val url = form.getOrElse("url", "")
+        val apiKey = form.getOrElse("api_key", "")
+        val err =
+          if (!validIdent(name)) "valid name required"
+          else if (dtype != "spark" && dtype != "jdbc") s"unknown destination type: $dtype"
+          else if (dtype == "jdbc" && !url.startsWith("jdbc:")) "jdbc destinations require a jdbc: url"
+          else if (apiKey.length < 8) "api_key of 8+ chars required"
+          else ""
+        if (err.nonEmpty)
+          respond(ex, 400, Dashboard.newConnectionHtml(err), "text/html; charset=utf-8")
+        else {
+          meta.addDestination(name, dtype, url)
+          addApiKey(apiKey, name)
+          redirect(ex, 303, "/dashboard/connections")
+        }
+      case ("POST", "/dashboard/request") =>
+        val token = UUID.randomUUID().toString
+        meta.putConnRequest(token, System.currentTimeMillis() + 60 * 60 * 1000L)
+        val host = Option(ex.getRequestHeaders.getFirst("Host")).getOrElse("localhost")
+        respond(ex, 200,
+          Dashboard.requestLinkHtml(s"http://$host/connections/upsert/$token"),
+          "text/html; charset=utf-8")
+      case _ => respond(ex, 404, "not found", "text/plain")
+    }
 
   /** Typed destination upsert behind a one-time token (reference:
     * pkg/connections/upsert.go:1-140 — validate the form, register the

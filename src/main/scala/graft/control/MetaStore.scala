@@ -130,12 +130,15 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
     } finally ps.close()
   }
 
-  def listDestinations(): Seq[String] = synchronized {
+  def listDestinations(): Seq[String] = listDestinationsTyped().map(_._1)
+
+  def listDestinationsTyped(): Seq[(String, String)] = synchronized {
     val st = conn.createStatement()
     try {
-      val rs = st.executeQuery("SELECT name FROM destinations ORDER BY name")
-      val b = Seq.newBuilder[String]
-      while (rs.next()) b += rs.getString(1)
+      val rs = st.executeQuery(
+        "SELECT name, dest_type FROM destinations ORDER BY name")
+      val b = Seq.newBuilder[(String, String)]
+      while (rs.next()) b += rs.getString(1) -> rs.getString(2)
       b.result()
     } finally st.close()
   }

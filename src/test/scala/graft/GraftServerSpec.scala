@@ -334,6 +334,53 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("connection pages: session-gated list/new/request-link flow") {
+    val (srv, base) = newServer()
+    try {
+      def withCookie(method: String, path: String, cookie: String, body: String = "") = {
+        val b = HttpRequest.newBuilder(URI.create(s"$base$path")).header("Cookie", cookie)
+        http.send(
+          (if (method == "GET") b.GET()
+           else b.POST(HttpRequest.BodyPublishers.ofString(body))).build(),
+          HttpResponse.BodyHandlers.ofString())
+      }
+      // anonymous → login redirect (same Authenticator wall as /dashboard)
+      assert(get(s"$base/dashboard/connections").statusCode() == 307)
+
+      val jwt = post(s"$base/login", "email=a%40b.co&api_key=localkey")
+        .headers().firstValue("Set-Cookie").get().split(";")(0)
+
+      // empty list prompts to connect; form renders
+      assert(withCookie("GET", "/dashboard/connections", jwt).body()
+        .contains("No connections"))
+      assert(withCookie("GET", "/dashboard/connections/new", jwt).body()
+        .contains("name=\"api_key\""))
+
+      // invalid form re-renders with the flash; nothing registered
+      val bad = withCookie("POST", "/dashboard/connections/new", jwt,
+        "name=pgx&type=jdbc&url=not-a-url&api_key=longenough")
+      assert(bad.statusCode() == 400 && bad.body().contains("jdbc: url"), bad.body())
+
+      // valid form → redirect → listed with its type; the minted key works
+      val ok = withCookie("POST", "/dashboard/connections/new", jwt,
+        "name=salesdb&type=spark&url=&api_key=sales-key-1")
+      assert(ok.statusCode() == 303, ok.body())
+      val listed = withCookie("GET", "/dashboard/connections", jwt).body()
+      assert(listed.contains("salesdb") && listed.contains("spark"), listed)
+      assert(post(s"$base/api/data/query?api_key=sales-key-1", "select 1 as x")
+        .statusCode() == 200)
+
+      // request-link page mints a working one-time upsert URL
+      val link = withCookie("POST", "/dashboard/request", jwt).body()
+      val token = "/connections/upsert/([0-9a-f-]+)".r
+        .findFirstMatchIn(link).get.group(1)
+      val up = post(s"$base/connections/upsert/$token",
+        """{"name": "partner", "type": "spark", "api_key": "partner-key-1"}""")
+      assert(up.statusCode() == 200, up.body())
+      assert(withCookie("GET", "/dashboard/connections", jwt).body().contains("partner"))
+    } finally srv.stop()
+  }
+
   test("login sessions: JWT cookie gates the dashboard; logout clears it") {
     val (srv, base) = newServer()
     try {
