@@ -119,8 +119,15 @@ object Dashboard {
         "<p>No connections yet. Get started by connecting a database.</p>"
       else
         dests.map { case (n, t) =>
-          s"<tr><td>${esc(n)}</td><td>${esc(t)}</td></tr>"
-        }.mkString("<table><tr><th>name</th><th>type</th></tr>", "", "</table>")
+          s"""<tr><td>${esc(n)}</td><td>${esc(t)}</td>
+             |<td><form method="post" action="/dashboard/connections/key" style="display:inline">
+             |  <input type="hidden" name="name" value="${esc(n)}">
+             |  <input name="api_key" placeholder="new key (8+)" required>
+             |  <button type="submit">Add key</button></form>
+             |<form method="post" action="/dashboard/connections/delete" style="display:inline">
+             |  <input type="hidden" name="name" value="${esc(n)}">
+             |  <button type="submit">Delete</button></form></td></tr>""".stripMargin
+        }.mkString("<table><tr><th>name</th><th>type</th><th></th></tr>", "", "</table>")
     page("Connections",
       s"""$rows
          |<p><a href="/dashboard/connections/new">Connect a database</a></p>

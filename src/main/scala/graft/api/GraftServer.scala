@@ -158,7 +158,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         // reference's /dashboard/connections + /request view routes
         // (pkg/view/router.go:74-80, controller.go ConnRoutes)
         case ("GET" | "POST", p) if p == "/dashboard/connections" ||
-            p == "/dashboard/connections/new" || p == "/dashboard/request" =>
+            p == "/dashboard/connections/new" ||
+            p == "/dashboard/connections/key" ||
+            p == "/dashboard/connections/delete" ||
+            p == "/dashboard/request" =>
           sessionUser(ex) match {
             case None => redirect(ex, 307, "/login")
             case Some(_) => handleConnPages(ex, method, p)
@@ -498,6 +501,24 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
           addApiKey(apiKey, name)
           redirect(ex, 303, "/dashboard/connections")
         }
+      case ("POST", "/dashboard/connections/key") =>
+        // reference NewKey: mint an additional key for an existing
+        // destination
+        val form = parseUrlEncoded(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        val name = form.getOrElse("name", "")
+        val apiKey = form.getOrElse("api_key", "")
+        if (!meta.hasDestination(name))
+          respond(ex, 404, "unknown destination", "text/plain")
+        else if (apiKey.length < 8)
+          respond(ex, 400, "api_key of 8+ chars required", "text/plain")
+        else { addApiKey(apiKey, name); redirect(ex, 303, "/dashboard/connections") }
+      case ("POST", "/dashboard/connections/delete") =>
+        // reference DeleteConn: destination and its keys go together
+        val form = parseUrlEncoded(
+          new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+        meta.deleteDestination(form.getOrElse("name", ""))
+        redirect(ex, 303, "/dashboard/connections")
       case ("POST", "/dashboard/request") =>
         val token = UUID.randomUUID().toString
         meta.putConnRequest(token, System.currentTimeMillis() + 60 * 60 * 1000L)

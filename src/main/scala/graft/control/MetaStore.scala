@@ -118,6 +118,16 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
     try { ps.setString(1, name); ps.executeQuery().next() } finally ps.close()
   }
 
+  /** Remove a destination and every API key scoped to it (the
+    * reference's DeleteConn — a deleted connection's keys must stop
+    * authenticating). */
+  def deleteDestination(name: String): Unit = synchronized {
+    val keys = conn.prepareStatement("DELETE FROM api_keys WHERE db=?")
+    try { keys.setString(1, name); keys.executeUpdate() } finally keys.close()
+    val ps = conn.prepareStatement("DELETE FROM destinations WHERE name=?")
+    try { ps.setString(1, name); ps.executeUpdate() } finally ps.close()
+  }
+
   /** (dest_type, url) for a registered destination. Unregistered names
     * default to ("spark", "") — ad-hoc tenant dbs predate the registry. */
   def getDestination(name: String): Option[(String, String)] = synchronized {

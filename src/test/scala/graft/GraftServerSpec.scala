@@ -378,6 +378,19 @@ class GraftServerSpec extends SparkTestBase {
         """{"name": "partner", "type": "spark", "api_key": "partner-key-1"}""")
       assert(up.statusCode() == 200, up.body())
       assert(withCookie("GET", "/dashboard/connections", jwt).body().contains("partner"))
+
+      // extra key for an existing destination works immediately
+      assert(withCookie("POST", "/dashboard/connections/key", jwt,
+        "name=salesdb&api_key=sales-key-2").statusCode() == 303)
+      assert(post(s"$base/api/data/query?api_key=sales-key-2", "select 1 as x")
+        .statusCode() == 200)
+
+      // delete removes the destination AND revokes its keys
+      assert(withCookie("POST", "/dashboard/connections/delete", jwt,
+        "name=salesdb").statusCode() == 303)
+      assert(!withCookie("GET", "/dashboard/connections", jwt).body().contains("salesdb"))
+      assert(post(s"$base/api/data/query?api_key=sales-key-2", "select 1 as x")
+        .statusCode() == 401)
     } finally srv.stop()
   }
 
