@@ -50,7 +50,7 @@ object Relational2 {
       // millions of rows per key, unrunnable at 100 TB. The operator
       // picks by input size (catalog stats, no extra pass): under the
       // threshold the plain window wins on wall-clock (fewer passes);
-      // above it, ScalableWindow.rankFamily computes the same four
+      // above it, ScalableWindow.groupRowNumber computes the same four
       // outputs from a distributed per-group row number (range
       // repartition + offset pass; exact SQL peer semantics).
       graft.operators.ScalableWindow.analyticRankQuery(

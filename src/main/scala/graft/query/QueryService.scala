@@ -48,12 +48,16 @@ object QueryService {
                   allowedRoots: Seq[String]): DataFrame = {
     val cleaned = cleanQuery(sql)
     val parsed = spark.sessionState.sqlParser.parsePlan(cleaned)
-    val writes = parsed.collectFirst {
+    // collectWithSubqueries everywhere: plain collect/foreach do NOT
+    // descend into subquery-expression plans, and a scalar subquery
+    // (`select (select count(*) from parquet.\`/other\`)`) is exactly
+    // where an attacker would hide a foreign scan — caught by spec.
+    val writes = parsed.collectWithSubqueries {
       case c: Command => c
       case i: InsertIntoStatement => i
       case d: InsertIntoDir => d
     }
-    if (writes.isDefined)
+    if (writes.nonEmpty)
       throw new QueryRejected("only read queries are allowed for tenant keys")
     val allowed = allowedRoots.map(r => Paths.get(r).normalize.toString)
     def pathOk(p: String): Boolean = {
@@ -66,18 +70,19 @@ object QueryService {
     // as an opaque 500 instead of a clean denial).
     val fileFormats = Set("json", "parquet", "csv", "orc", "text", "textfile",
       "binaryfile", "avro")
-    parsed.foreach {
+    val badPaths = parsed.collectWithSubqueries {
       case u: UnresolvedRelation if u.multipartIdentifier.length == 2 &&
-          fileFormats.contains(u.multipartIdentifier.head.toLowerCase) =>
-        val p = u.multipartIdentifier(1)
-        if (!pathOk(p))
-          throw new QueryRejected(s"file scan outside tenant scope: $p")
-      case _ => ()
+          fileFormats.contains(u.multipartIdentifier.head.toLowerCase) &&
+          !pathOk(u.multipartIdentifier(1)) =>
+        u.multipartIdentifier(1)
     }
+    if (badPaths.nonEmpty)
+      throw new QueryRejected(s"file scan outside tenant scope: ${badPaths.head}")
     val df = spark.sql(cleaned)
     // Defense in depth: whatever route a file source took into the
-    // analyzed plan, its resolved root paths must sit inside the scope.
-    val outside = df.queryExecution.analyzed.collect {
+    // analyzed plan — subquery plans included — its resolved root
+    // paths must sit inside the scope.
+    val outside = df.queryExecution.analyzed.collectWithSubqueries {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           fs.location.rootPaths.filterNot(p => pathOk(p.toUri.getPath))

@@ -197,6 +197,19 @@ class GraftServerSpec extends SparkTestBase {
         "select * from parquet.`" + srv.catalog.root + "/dbS1/../dbS2/secret`")
       assert(dotted.statusCode() == 403, s"${dotted.statusCode()} ${dotted.body()}")
 
+      // foreign scans HIDDEN IN SUBQUERY PLANS (scalar subquery, CTE,
+      // EXISTS) → 403: plain plan traversal does not descend into
+      // subquery expressions, the sandbox must collectWithSubqueries
+      val viaScalar = post(s"$base/api/data/query?api_key=keyS1",
+        s"select (select count(*) from json.`${f.toAbsolutePath}`) as n")
+      assert(viaScalar.statusCode() == 403, s"${viaScalar.statusCode()} ${viaScalar.body()}")
+      val viaCte = post(s"$base/api/data/query?api_key=keyS1",
+        s"with g as (select * from json.`${f.toAbsolutePath}`) select * from g")
+      assert(viaCte.statusCode() == 403, s"${viaCte.statusCode()} ${viaCte.body()}")
+      val viaExists = post(s"$base/api/data/query?api_key=keyS1",
+        s"select 1 where exists (select 1 from json.`${f.toAbsolutePath}`)")
+      assert(viaExists.statusCode() == 403, s"${viaExists.statusCode()} ${viaExists.body()}")
+
       // eagerly-executing statements (DDL/DML/SET) → 403 before they run
       assert(post(s"$base/api/data/query?api_key=keyS1",
         "create table hijack(x int) using parquet").statusCode() == 403)
