@@ -92,6 +92,16 @@ object QueryService {
     if (outside.nonEmpty)
       throw new QueryRejected(
         s"file scan outside tenant scope: ${outside.head}")
+    // reflect()/java_method() invoke arbitrary static JVM methods —
+    // System.getenv, properties, … — an engine-host capability no
+    // isolated tenant backend exposes.
+    val reflected = df.queryExecution.analyzed.collectWithSubqueries {
+      case p => p.expressions.flatMap(_.collect {
+        case r: org.apache.spark.sql.catalyst.expressions.CallMethodViaReflection => r
+      })
+    }.flatten
+    if (reflected.nonEmpty)
+      throw new QueryRejected("reflect()/java_method() is not available to tenant keys")
     df
   }
 

@@ -210,6 +210,11 @@ class GraftServerSpec extends SparkTestBase {
         s"select 1 where exists (select 1 from json.`${f.toAbsolutePath}`)")
       assert(viaExists.statusCode() == 403, s"${viaExists.statusCode()} ${viaExists.body()}")
 
+      // JVM escape hatches (reflect/java_method) → 403
+      val refl = post(s"$base/api/data/query?api_key=keyS1",
+        "select reflect('java.lang.System', 'getProperty', 'user.dir') as d")
+      assert(refl.statusCode() == 403, s"${refl.statusCode()} ${refl.body()}")
+
       // eagerly-executing statements (DDL/DML/SET) → 403 before they run
       assert(post(s"$base/api/data/query?api_key=keyS1",
         "create table hijack(x int) using parquet").statusCode() == 403)
