@@ -17,6 +17,7 @@ object SparkEntry {
       _root_.graft.queries.Relational2.defs ++
       _root_.graft.queries.IngestPack.defs ++
       _root_.graft.queries.TrainingOps.defs ++
+      _root_.graft.queries.PipelinePack.defs ++
       _root_.graft.queries.AdvancedOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

@@ -236,4 +236,38 @@ object Similarity {
       .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
         round(col("__nd.cos"), 6).as("cos_sim"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse
+    * k-means-style cells bound the comparison set, then WITHIN each
+    * cell a vector is dropped when a lower-id cell-mate sits above the
+    * cosine threshold — keep-lowest-id makes the policy deterministic.
+    *
+    * Plan: assignment is [[ivfAssign]] (fused-kernel scoring, one
+    * corpus-sized shuffle); the within-cell comparison is a self
+    * equi-join ON CELL, so pair volume is Σ|cell|² — bounded by the
+    * quantizer granularity, never corpus². At scale, grow the number
+    * of centroids with the corpus to hold |cell| constant.
+    * The threshold compares the 6-rounded cosine so an engine
+    * replicating the policy (the DuckDB oracle does) cannot flip a
+    * boundary pair on float noise.
+    *
+    * Output: (idCol, cell, is_kept) — every corpus row, keepers and
+    * dropped alike.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, threshold: Double): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(graft.functions.NativeExpressions.cosine_sim(
+        col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__idb").as(idCol)).distinct()
+      .withColumn("__dropped", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"),
+        coalesce(!col("__dropped"), lit(true)).as("is_kept"))
+  }
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text-pipeline operators beyond per-row analysis:
+  * benchmark decontamination, repetition (Gopher-style) signals,
+  * n-gram language-model quality scoring, BM25 retrieval, and
+  * sequence packing. Each is built from equi-join / aggregation
+  * shuffles shaped like word counts — no all-pairs plan anywhere —
+  * so they scale with corpus size, not corpus².
+  */
+object TextPipeline {
+
+  /** Benchmark decontamination (the n-gram-overlap pass every LLM
+    * training pipeline runs before training): count, per train doc,
+    * its distinct word `n`-grams that appear anywhere in the eval
+    * corpus. A train doc with any hit is contaminated and gets
+    * dropped or audited.
+    *
+    * Plan: eval n-grams dedup to one small set and BROADCAST (eval
+    * benchmarks are thousands of docs; the TRAIN side — the 100 TB
+    * side — is never shuffled: its n-grams stream map-side through
+    * the broadcast hash join, then one count-by-doc shuffle of hit
+    * rows only). For an eval set too big to broadcast, drop the hint
+    * and the same plan runs as a sort-merge join.
+    *
+    * Output: (idCol, n_hits long, contaminated boolean) — one row per
+    * TRAIN doc, zero-hit docs included.
+    */
+  def contaminationHits(train: DataFrame, eval_ : DataFrame,
+                        idCol: String, textCol: String, n: Int): DataFrame = {
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(Dedup.wordShingles(Dedup.tokens(col(textCol)), n)).as("__g"))
+    val evalGrams = grams(eval_).select("__g").distinct()
+    val hits = grams(train).join(broadcast(evalGrams), Seq("__g"))
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Gopher-style repetition signals, all row-local (zero shuffle):
+    * duplicate-word fraction and the most frequent word bigram with
+    * its share of all bigrams. High top-bigram share flags the
+    * boilerplate/spam documents repetition filters drop.
+    *
+    * The top-bigram search is O(distinct·total) per row via nested
+    * higher-order functions — quadratic only in the one document, and
+    * bounded by doc length; ties break to the lexicographically
+    * smallest bigram (struct ordering on (-count, gram)).
+    */
+  def repetitionSignals(text: Column): Seq[(String, Column)] = {
+    val t = split(lower(text), " ")
+    val nWords = size(t).cast("long")
+    val dupWordFrac =
+      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
+    val bg = transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
+    val counted = transform(array_distinct(bg),
+      b => struct((-size(filter(bg, x => x === b))).cast("long").as("negn"),
+        b.as("gram")))
+    val top = array_min(counted)
+    val hasBigrams = size(t) >= 2
+    Seq(
+      "n_words" -> nWords,
+      "dup_word_frac" -> dupWordFrac,
+      "top_bigram" -> when(hasBigrams, top.getField("gram")),
+      "top_bigram_n" -> when(hasBigrams, -top.getField("negn")).cast("long"),
+      "top_bigram_frac" -> when(hasBigrams,
+        round((-top.getField("negn")).cast("double") / (nWords - 1), 6)))
+  }
+
+  /** Corpus bigram language model with add-one smoothing, scored per
+    * document: avg over a doc's bigram tokens of
+    * ln((c(w1,w2) + 1) / (c(w1) + |V|)) — the CCNet/KenLM-shaped
+    * perplexity quality filter, self-trained on the corpus.
+    *
+    * Plan: three word-count-shaped aggregations (unigrams, vocab
+    * size, bigrams) + two equi-joins of the doc-bigram stream against
+    * the count tables. The model tables are data-sized aggregates;
+    * nothing is quadratic.
+    *
+    * Output: (idCol, n_bigrams long, avg_logp double) for every doc
+    * (docs with <2 words score null).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val uni = toks.select(explode(col("__t")).as("__w1"))
+      .groupBy("__w1").agg(count(lit(1)).as("__c1"))
+    val vocab = uni.agg(count(lit(1)).as("__V"))
+    val bg = toks.filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t")) - 1),
+        i => struct(element_at(col("__t"), i).as("__w1"),
+          element_at(col("__t"), i + 1).as("__w2")))).as("__b"))
+      .select(col(idCol), col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
+    val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
+    val scored = bg.join(c12, Seq("__w1", "__w2")).join(uni, Seq("__w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), log((col("__c12") + 1).cast("double") /
+        (col("__c1") + col("__V")).cast("double")).as("__lp"))
+    val agg = scored.groupBy(idCol)
+      .agg(count(lit(1)).as("__n"), round(avg("__lp"), 6).as("avg_logp"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__n"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"))
+  }
+
+  /** BM25 top-k retrieval for a bag of query terms (k1/b are the
+    * standard Robertson parameters; idf is the BM25+ form
+    * ln(1 + (N - df + ½)/(df + ½)), always positive).
+    *
+    * Plan: term frequencies shuffle once on (doc, term) — the scan is
+    * filtered to the query terms BEFORE the shuffle, so the exchanged
+    * rows are query-sized, not corpus-sized; df and the corpus stats
+    * are broadcast scalars; final top-k is TakeOrderedAndProject
+    * (per-partition heaps, no global sort).
+    *
+    * Output: (idCol, score double, rnk long), top `k` by (score desc,
+    * id) — ranked on the ROUNDED score so cross-engine float noise
+    * cannot reorder ties.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = docs.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val dl = toks.select(col(idCol), size(col("__t")).cast("double").as("__dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("__N"), avg("__dl").as("__avgdl"))
+    val tf = toks.select(col(idCol), explode(col("__t")).as("__w"))
+      .filter(col("__w").isin(terms: _*))
+      .groupBy(idCol, "__w").agg(count(lit(1)).cast("double").as("__tf"))
+    val dfreq = tf.groupBy("__w").agg(count(lit(1)).cast("double").as("__df"))
+    val scored = tf.join(broadcast(dfreq), Seq("__w"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .select(col(idCol),
+        (log(lit(1.0) + (col("__N") - col("__df") + 0.5) / (col("__df") + 0.5)) *
+          (col("__tf") * (k1 + 1)) /
+          (col("__tf") + lit(k1) * (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))).as("__s"))
+    val agg = scored.groupBy(idCol).agg(round(sum("__s"), 6).as("score"))
+    val top = agg.orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("score"), col("rnk"))
+  }
+
+  /** Exclusive prefix sum of `valCol` over the global `orderCol`
+    * order, without ever sorting in one task: range-repartition, sum
+    * per partition locally, prefix-sum the |partitions| per-partition
+    * totals (tiny), broadcast the offsets back — the ScalableWindow
+    * two-pass scheme with sum in place of row_number. The
+    * localCheckpoint pins one set of range boundaries for both
+    * consumers (repartitionByRange samples nondeterministically).
+    */
+  def orderedPrefixSum(df: DataFrame, orderCol: String, valCol: String,
+                       out: String, numPartitions: Int): DataFrame = {
+    val ranged = df.repartitionByRange(numPartitions, col(orderCol))
+      .withColumn("__pp_pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("__pp_pid").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = ranged.withColumn("__pp_ls",
+      coalesce(sum(col(valCol)).over(wLocal), lit(0L)))
+    val totals = ranged.groupBy("__pp_pid").agg(sum(col(valCol)).as("__pp_t"))
+    val wOff = Window.orderBy(col("__pp_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("__pp_pid"),
+      coalesce(sum("__pp_t").over(wOff), lit(0L)).as("__pp_off"))
+    local.join(broadcast(offsets), Seq("__pp_pid"))
+      .withColumn(out, col("__pp_ls") + col("__pp_off"))
+      .drop("__pp_pid", "__pp_ls", "__pp_off")
+  }
+
+  /** Concat-and-chunk sequence packing: documents in `orderCol` order
+    * are laid end to end and cut into fixed `seqLen`-token training
+    * sequences; each doc reports the sequence it starts in and its
+    * token offset there. The global running total is
+    * [[orderedPrefixSum]] — two balanced exchanges, no single-task
+    * sort, so packing a 100 TB corpus is shaped like sorting it.
+    *
+    * Output: (orderCol, n_tokens, seq_id, seq_offset), all long.
+    */
+  def packSequences(docs: DataFrame, orderCol: String, textCol: String,
+                    seqLen: Int, numPartitions: Int): DataFrame = {
+    val counted = docs.select(col(orderCol),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    orderedPrefixSum(counted, orderCol, "n_tokens", "__cum", numPartitions)
+      .select(col(orderCol), col("n_tokens"),
+        floor(col("__cum") / seqLen).cast("long").as("seq_id"),
+        pmod(col("__cum"), lit(seqLen.toLong)).as("seq_offset"))
+  }
+}

@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Behavioral, Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-3 surface growth: behavioral analytics (funnel / retention —
+  * the ClickHouse-function classes the reference's backends expose)
+  * and the corpus-level training-pipeline operators (benchmark
+  * decontamination, repetition signals, bigram-LM quality scoring,
+  * BM25 retrieval, sequence packing, semantic dedup). Every entry
+  * carries a full DuckDB value oracle.
+  */
+object PipelinePack {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "documents")
+  private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "embeddings")
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.load(s, dir, "events")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- behavioral analytics -------------------------------------
+    // Sequential funnel view → click → purchase within 24 hours of the
+    // first view (ClickHouse windowFunnel strict-order semantics via
+    // staged minima — deterministic, so both engines must agree).
+    QueryDef(
+      "q_funnel",
+      """WITH base AS (SELECT user_id, ts, event_type FROM events),
+        |u1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |  FROM base GROUP BY 1
+        |), u2 AS (
+        |  SELECT b.user_id, u1.t1,
+        |    min(CASE WHEN b.event_type = 'click' AND b.ts > u1.t1 THEN b.ts END) AS t2
+        |  FROM base b JOIN u1 USING (user_id) GROUP BY 1, 2
+        |), u3 AS (
+        |  SELECT b.user_id, u2.t1, u2.t2,
+        |    min(CASE WHEN b.event_type = 'purchase' AND b.ts > u2.t2 THEN b.ts END) AS t3
+        |  FROM base b JOIN u2 USING (user_id) GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id, CAST(
+        |  CASE WHEN t1 IS NULL THEN 0
+        |       WHEN t3 IS NOT NULL AND t3 <= t1 + INTERVAL 24 HOUR THEN 3
+        |       WHEN t2 IS NOT NULL AND t2 <= t1 + INTERVAL 24 HOUR THEN 2
+        |       ELSE 1 END AS BIGINT) AS funnel_level
+        |FROM u3
+        |""".stripMargin) { (s, dir) =>
+      Behavioral.windowFunnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)
+    },
+
+    // Cohort retention: users bucketed by first-activity date; d1 and
+    // d7+ return counts per cohort.
+    QueryDef(
+      "q_retention",
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT e.user_id, f.d0,
+        |    date_diff('day', f.d0, CAST(e.ts AS DATE)) AS dd
+        |  FROM events e JOIN f USING (user_id)
+        |)
+        |SELECT CAST(d0 AS VARCHAR) AS cohort_date,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT CASE WHEN dd = 1 THEN user_id END) AS d1_retained,
+        |  count(DISTINCT CASE WHEN dd >= 7 THEN user_id END) AS d7_retained
+        |FROM a GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Behavioral.retentionCohorts(events(s, dir), "user_id", "ts")
+    },
+
+    // ---- training-pipeline corpus operators -----------------------
+    // Benchmark decontamination: train split (md5 bucket < 80) docs
+    // flagged by 8-gram overlap with the test split (bucket >= 90) —
+    // the same deterministic split text_dataset_split publishes, so
+    // the operator composes with it leak-free.
+    QueryDef(
+      "text_decontaminate",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_distinct(list_transform(range(1, len(t) - 6),
+        |         i -> array_to_string(t[i:i+7], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks
+        |), buck AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |), eg AS (
+        |  SELECT DISTINCT g FROM sh JOIN buck USING (doc_id) WHERE b >= 90
+        |), hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_hits
+        |  FROM sh JOIN eg USING (g) JOIN buck ON buck.doc_id = sh.doc_id
+        |  WHERE buck.b < 80 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d JOIN buck USING (doc_id)
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE buck.b < 80
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val bucket = graft.functions.TextFunctions.splitBucket(col("doc_id"))
+      TextPipeline.contaminationHits(
+        d.filter(bucket < 80), d.filter(bucket >= 90), "doc_id", "text", n = 8)
+    },
+
+    // Gopher-style repetition signals: duplicate-word fraction and the
+    // dominant bigram's share — the boilerplate/spam filter inputs.
+    QueryDef(
+      "text_repetition",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_words,
+        |    round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        |  FROM t
+        |), tb AS (
+        |  SELECT doc_id, g AS top_bigram, CAST(c AS BIGINT) AS top_bigram_n FROM (
+        |    SELECT doc_id, g, count(*) AS c,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) AS r
+        |    FROM (SELECT doc_id, unnest(bg) AS g FROM base) u
+        |    GROUP BY doc_id, g) ranked
+        |  WHERE r = 1
+        |)
+        |SELECT b.doc_id, b.n_words, b.dup_word_frac, tb.top_bigram, tb.top_bigram_n,
+        |  round(tb.top_bigram_n * 1.0 / (b.n_words - 1), 6) AS top_bigram_frac
+        |FROM base b LEFT JOIN tb USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      val sig = TextPipeline.repetitionSignals(col("text"))
+      docs(s, dir).select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    },
+
+    // Self-trained bigram LM with add-one smoothing: per-doc mean log
+    // probability — the KenLM/CCNet-shaped perplexity quality filter.
+    QueryDef(
+      "text_ngram_lm",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), c1 AS (
+        |  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY 1
+        |), v AS (
+        |  SELECT count(*) AS vv FROM c1
+        |), ig AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM ig
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + v.vv)) AS lp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 ON c1.w = bg.w1, v
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    round(avg(lp), 6) AS avg_logp
+        |  FROM scored GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.bigramLmScore(docs(s, dir), "doc_id", "text")
+    },
+
+    // BM25 top-20 for a 3-term query — keyword retrieval over the
+    // corpus, idf/avgdl trained on the corpus itself.
+    QueryDef(
+      "sim_bm25",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+        |  WHERE w IN ('merge', 'hash', 'scan') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats
+        |), agg AS (
+        |  SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY 1
+        |)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM agg ORDER BY score DESC, doc_id LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.bm25TopK(docs(s, dir), "doc_id", "text",
+        terms = Seq("merge", "hash", "scan"), k = 20)
+    },
+
+    // Concat-and-chunk sequence packing into 2048-token training
+    // sequences, doc_id order — global prefix sum, distributed.
+    QueryDef(
+      "text_seq_pack",
+      """SELECT doc_id, n_tokens,
+        |  CAST(cum // 2048 AS BIGINT) AS seq_id,
+        |  CAST(cum % 2048 AS BIGINT) AS seq_offset
+        |FROM (
+        |  SELECT doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |        FROM documents) c) p
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.packSequences(docs(s, dir), "doc_id", "text",
+        seqLen = 2048, numPartitions = s.sparkContext.defaultParallelism)
+    },
+
+    // SemDeDup: IVF cells bound the comparison set; within a cell,
+    // drop any vector with a lower-id cell-mate at cosine >= 0.35.
+    // Same deterministic quantizer as ann_ivf_topk, so DuckDB
+    // replicates cells, pairs, and verdicts exactly.
+    QueryDef(
+      "dedup_semantic",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0
+        |), assigned AS (
+        |  SELECT vec_id, v, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |), dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+        |)
+        |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS is_kept
+        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      Similarity.semanticDedup(e, "vec_id", "embedding", centroids, threshold = 0.35)
+    })
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.{Behavioral, Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowFunnel: strict order, window cutoff, per-stage levels") {
+    // u1 completes view→click→purchase inside the window → 3
+    // u2 reaches click only → 2
+    // u3 purchases BEFORE clicking (order violated) → 2
+    // u4 completes but the purchase falls outside the window → 2
+    // u5 has no view at all → 0
+    val events = Seq(
+      (1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(10), "purchase"),
+      (2L, ts(0), "view"), (2L, ts(5), "click"),
+      (3L, ts(0), "view"), (3L, ts(4), "purchase"), (3L, ts(8), "click"),
+      (4L, ts(0), "view"), (4L, ts(5), "click"), (4L, ts(200), "purchase"),
+      (5L, ts(0), "click"), (5L, ts(5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Behavioral.windowFunnel(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowSeconds = 3600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 2L, 4L -> 2L, 5L -> 0L))
+  }
+
+  test("retentionCohorts: day-1 and day-7 return flags per cohort") {
+    def day(d: Int, h: Int = 0): Timestamp =
+      Timestamp.valueOf(f"2024-01-${d + 1}%02d $h%02d:00:00")
+    // cohort day0: uA returns d1 and d8; uB returns d1 only; uC never
+    // cohort day1: uD returns d8 (d7+ relative to its own start)
+    val events = Seq(
+      (1L, day(0)), (1L, day(1)), (1L, day(8)),
+      (2L, day(0)), (2L, day(1, 23)),
+      (3L, day(0)),
+      (4L, day(1)), (4L, day(8))
+    ).toDF("user_id", "ts")
+    val got = Behavioral.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("2024-01-01", 3L, 2L, 1L),
+      ("2024-01-02", 1L, 0L, 1L)))
+  }
+
+  test("contaminationHits: planted 8-gram overlap is found, clean docs report 0") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val train = Seq(
+      (1L, s"prefix words here $shared suffix tail words"),
+      (2L, "totally unrelated content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, s"$shared and some trailing context")).toDF("doc_id", "text")
+    val got = TextPipeline.contaminationHits(train, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got.contains((2L, 0L, false)))
+    val hit = got.find(_._1 == 1L).get
+    assert(hit._3 && hit._2 >= 1L)
+  }
+
+  test("repetitionSignals: hand-computed dup and top-bigram fractions") {
+    val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
+    val sig = TextPipeline.repetitionSignals(col("text"))
+    val got = df.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3), r.getLong(4), r.getDouble(5))).toMap
+    // "a b a b a": 5 words, 2 distinct → dup 0.6; bigrams: a b, b a, a b, b a
+    // → top is "a b" (count 2, lexicographic tie-break over "b a"), 2/4 = 0.5
+    assert(got(1L) == ((5L, 0.6, "a b", 2L, 0.5)))
+    assert(got(2L) == ((3L, 0.0, "x y", 1L, 0.5)))
+  }
+
+  test("bigramLmScore: add-one smoothed probabilities, hand-checked") {
+    // corpus: "a b" ×2 docs → c(a)=2, c(b)=2, V=2, c12(a,b)=2
+    // each doc: one bigram, lp = ln((2+1)/(2+2)) = ln(0.75)
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val got = TextPipeline.bigramLmScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val expected = BigDecimal(math.log((2 + 1.0) / (2 + 3)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // V counts 'c' too: vocabulary {a, b, c} → denominator c(a) + 3
+    assert(got(1L) == ((1L, Some(expected))))
+    assert(got(2L) == ((1L, Some(expected))))
+    assert(got(3L) == ((0L, None))) // single word: no bigrams
+  }
+
+  test("bm25TopK: heavier term use ranks higher; scores positive") {
+    val df = Seq(
+      (1L, "scan scan scan filler filler"),
+      (2L, "scan filler filler filler filler"),
+      (3L, "filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.bm25TopK(df, "doc_id", "text", Seq("scan"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no term → unscored
+    assert(got.forall(_._2 > 0))
+    assert(got.map(_._3).toSeq == Seq(1L, 2L))
+  }
+
+  test("packSequences: distributed prefix sum equals the window form") {
+    val docs = (0 until 200).map(i => (i.toLong, ("w " * (i % 37 + 1)).trim))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.packSequences(docs, "doc_id", "text",
+        seqLen = 128, numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // oracle: single-partition window cumsum
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val expect = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        floor(col("cum") / 128).cast("long").as("seq_id"),
+        pmod(col("cum"), lit(128L)).as("seq_offset"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expect)
+  }
+
+  test("semanticDedup: near-identical cell-mate drops the higher id") {
+    val base = Array.fill(8)(0.1)
+    def v(scale: Double, tweak: Int): Seq[Double] =
+      base.indices.map(i => base(i) * scale + (if (i == tweak) 2.0 else 0.0))
+    // ids 0 (centroid), 1: same direction as 0 → dropped; 2: orthogonal-ish → kept
+    val embs = Seq(
+      (0L, v(1.0, -1)), (1L, v(1.01, -1)), (2L, v(1.0, 3))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.seedCentroids(embs, "vec_id", "embedding", stride = 100)
+    val got = Similarity.semanticDedup(embs, "vec_id", "embedding", cents, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got(0L) && !got(1L) && got(2L))
+  }
+}
