@@ -738,6 +738,64 @@ object NativeExpressions {
     override def prettyName: String = "snowflake_id"
   }
 
+  /** Repetition signals from an array<string> of tokens in ONE pass:
+    * struct(n_words, dup_word_frac, top_bigram, top_bigram_n,
+    * top_bigram_frac). The HOF formulation
+    * (transform(array_distinct(bg), b -> size(filter(bg, …)))) is
+    * O(distinct·total) per row AND re-evaluates the whole
+    * split+concat chain inside every interpreted lambda call — it ran
+    * minutes-per-partition at sf0.1; this is one hash-map loop. Ties
+    * on the top bigram break to the lexicographically smallest, same
+    * as the oracle's ORDER BY count DESC, gram. */
+  case class RepetitionStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_words", LongType, nullable = false),
+      StructField("dup_word_frac", DoubleType, nullable = false),
+      StructField("top_bigram", StringType, nullable = true),
+      StructField("top_bigram_n", LongType, nullable = true),
+      StructField("top_bigram_frac", DoubleType, nullable = true)))
+    private def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val distinct = new java.util.HashSet[String]()
+      i = 0
+      while (i < n) { distinct.add(toks(i)); i += 1 }
+      val dupFrac = if (n == 0) 0.0 else round6(1.0 - distinct.size.toDouble / n)
+      if (n < 2)
+        InternalRow(n.toLong, dupFrac, null, null, null)
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var topGram: String = null
+        var topN = 0
+        i = 0
+        while (i < n - 1) {
+          val g = toks(i) + " " + toks(i + 1)
+          val c = counts.merge(g, 1, Integer.sum)
+          // tie-break in UTF-8 byte order (what both engines' ORDER BY
+          // uses), not Java's UTF-16 compareTo
+          if (c > topN || (c == topN && UTF8String.fromString(g)
+              .compareTo(UTF8String.fromString(topGram)) < 0)) {
+            topGram = g; topN = c
+          }
+          i += 1
+        }
+        InternalRow(n.toLong, dupFrac, UTF8String.fromString(topGram),
+          topN.toLong, round6(topN.toDouble / (n - 1)))
+      }
+    }
+    override def prettyName: String = "repetition_stats"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ---- Column wrappers --------------------------------------------
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -770,6 +828,8 @@ object NativeExpressions {
       ExpressionUtils.expression(chunk)))
   def pii_scan(text: Column): Column =
     ExpressionUtils.column(PiiScan(ExpressionUtils.expression(text)))
+  def repetition_stats(tokens: Column): Column =
+    ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(tokens)))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the
@@ -798,6 +858,8 @@ object NativeExpressions {
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42), "scala_udf")
     reg.createOrReplaceTempFunction("pii_scan",
       es => PiiScan(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("repetition_stats",
+      es => RepetitionStats(es.head), "scala_udf")
   }
 }
 
@@ -830,5 +892,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42)))
     e.injectFunction((FunctionIdentifier("pii_scan"), info("pii_scan"),
       es => PiiScan(es.head)))
+    e.injectFunction((FunctionIdentifier("repetition_stats"), info("repetition_stats"),
+      es => RepetitionStats(es.head)))
   }
 }

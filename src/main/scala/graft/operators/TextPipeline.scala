@@ -46,31 +46,16 @@ object TextPipeline {
     * its share of all bigrams. High top-bigram share flags the
     * boilerplate/spam documents repetition filters drop.
     *
-    * The top-bigram search is O(distinct·total) per row via nested
-    * higher-order functions — quadratic only in the one document, and
-    * bounded by doc length; ties break to the lexicographically
-    * smallest bigram (struct ordering on (-count, gram)).
+    * One native-expression hash-map pass per row
+    * ([[graft.functions.NativeExpressions.RepetitionStats]]); the
+    * equivalent nested-HOF plan re-evaluates the tokenize chain inside
+    * every interpreted lambda call — O(distinct·total·|doc|) — and was
+    * measured minutes-per-partition at sf0.1. Returns the struct; take
+    * fields in a SEPARATE select so CollapseProject keeps the one scan
+    * un-duplicated.
     */
-  def repetitionSignals(text: Column): Seq[(String, Column)] = {
-    val t = split(lower(text), " ")
-    val nWords = size(t).cast("long")
-    val dupWordFrac =
-      round(lit(1.0) - size(array_distinct(t)).cast("double") / size(t), 6)
-    val bg = transform(sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1)))
-    val counted = transform(array_distinct(bg),
-      b => struct((-size(filter(bg, x => x === b))).cast("long").as("negn"),
-        b.as("gram")))
-    val top = array_min(counted)
-    val hasBigrams = size(t) >= 2
-    Seq(
-      "n_words" -> nWords,
-      "dup_word_frac" -> dupWordFrac,
-      "top_bigram" -> when(hasBigrams, top.getField("gram")),
-      "top_bigram_n" -> when(hasBigrams, -top.getField("negn")).cast("long"),
-      "top_bigram_frac" -> when(hasBigrams,
-        round((-top.getField("negn")).cast("double") / (nWords - 1), 6)))
-  }
+  def repetitionStats(text: Column): Column =
+    graft.functions.NativeExpressions.repetition_stats(split(lower(text), " "))
 
   /** Corpus bigram language model with add-one smoothing, scored per
     * document: avg over a doc's bigram tokens of

@@ -134,8 +134,14 @@ object PipelinePack {
         |  round(tb.top_bigram_n * 1.0 / (b.n_words - 1), 6) AS top_bigram_frac
         |FROM base b LEFT JOIN tb USING (doc_id)
         |""".stripMargin) { (s, dir) =>
-      val sig = TextPipeline.repetitionSignals(col("text"))
-      docs(s, dir).select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+      docs(s, dir)
+        .select(col("doc_id"), TextPipeline.repetitionStats(col("text")).as("__rep"))
+        .select(col("doc_id"),
+          col("__rep.n_words").as("n_words"),
+          col("__rep.dup_word_frac").as("dup_word_frac"),
+          col("__rep.top_bigram").as("top_bigram"),
+          col("__rep.top_bigram_n").as("top_bigram_n"),
+          col("__rep.top_bigram_frac").as("top_bigram_frac"))
     },
 
     // Self-trained bigram LM with add-one smoothing: per-doc mean log

@@ -63,14 +63,22 @@ class PipelineOpsSpec extends SparkTestBase {
 
   test("repetitionSignals: hand-computed dup and top-bigram fractions") {
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
-    val sig = TextPipeline.repetitionSignals(col("text"))
-    val got = df.select(col("doc_id") +: sig.map { case (n, c) => c.as(n) }: _*)
+    val got = df
+      .select(col("doc_id"), TextPipeline.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_words"), col("r.dup_word_frac"),
+        col("r.top_bigram"), col("r.top_bigram_n"), col("r.top_bigram_frac"))
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getDouble(2), r.getString(3), r.getLong(4), r.getDouble(5))).toMap
     // "a b a b a": 5 words, 2 distinct → dup 0.6; bigrams: a b, b a, a b, b a
     // → top is "a b" (count 2, lexicographic tie-break over "b a"), 2/4 = 0.5
     assert(got(1L) == ((5L, 0.6, "a b", 2L, 0.5)))
     assert(got(2L) == ((3L, 0.0, "x y", 1L, 0.5)))
+
+    // single-word doc: no bigrams → null top fields
+    val solo = Seq((9L, "solo")).toDF("doc_id", "text")
+      .select(TextPipeline.repetitionStats(col("text")).as("r"))
+      .select(col("r.n_words"), col("r.top_bigram")).collect().head
+    assert(solo.getLong(0) == 1L && solo.isNullAt(1))
   }
 
   test("bigramLmScore: add-one smoothed probabilities, hand-checked") {
