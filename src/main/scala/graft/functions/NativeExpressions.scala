@@ -243,6 +243,39 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** ALL k-word shingles in position order (no distinct, no short-doc
+    * fallback — inputs shorter than k yield an empty array). The
+    * positional sibling of [[WordShingles]]: posexplode over the result
+    * aligns each shingle with its starting word offset, which exact
+    * substring-span dedup needs to reconstruct covered intervals. */
+  case class WordShinglesAll(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n < k) return new GenericArrayData(Array.empty[AnyRef])
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val res = new Array[AnyRef](n - k + 1)
+      val sb = new java.lang.StringBuilder()
+      var s = 0
+      while (s <= n - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+        res(s) = UTF8String.fromString(sb.toString)
+        s += 1
+      }
+      new GenericArrayData(res)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -813,6 +846,8 @@ object NativeExpressions {
     ExpressionUtils.column(RollingFingerprint(ExpressionUtils.expression(text), k))
   def word_shingles(tokens: Column, k: Int): Column =
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
+  def word_shingles_all(tokens: Column, k: Int): Column =
+    ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

@@ -354,4 +354,60 @@ object Dedup {
       .filter(col("__rn") === 1)
       .select(col(compCol), col(idCol), col(scoreCol))
   }
+
+  // ---- exact substring spans --------------------------------------
+
+  /** Exact repeated-substring detection, the fixed-window form of
+    * suffix-array training-data dedup (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): any k-word run that
+    * appears verbatim in ≥2 distinct documents marks, in every
+    * document containing it, the word interval it covers; overlapping
+    * marks merge, and each doc reports how many of its words sit
+    * inside some cross-doc duplicated run. Pipelines then cut those
+    * spans (or drop docs past a threshold) — unlike doc-level MinHash,
+    * this catches boilerplate shared by otherwise-distinct pages.
+    *
+    * Plan: positional k-gram extraction is row-local (one native
+    * [[graft.functions.NativeExpressions.WordShinglesAll]] loop);
+    * duplicated grams are a word-count-shaped groupBy keeping only
+    * min(doc) ≠ max(doc) groups; marked positions flow back through
+    * one equi-join on the gram; interval union is a per-doc
+    * gaps-and-islands window (partitions bounded by doc length —
+    * nothing quadratic, nothing driver-side).
+    *
+    * Output: (idCol, n_words, dup_span_words, dup_span_frac), one row
+    * per doc.
+    */
+  def substringSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val grams = toks.select(col(idCol),
+      posexplode(graft.functions.NativeExpressions.word_shingles_all(col("__t"), k))
+        .as(Seq("__pos", "__g")))
+    val dup = grams.groupBy("__g")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx")).select("__g")
+    val covered = grams.join(dup, Seq("__g"))
+      .select(col(idCol), col("__pos").cast("long").as("__s"),
+        (col("__pos") + k - 1).cast("long").as("__e"))
+    val wPrev = Window.partitionBy(idCol).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val islands = covered
+      .withColumn("__new",
+        when(col("__s") > coalesce(max(col("__e")).over(wPrev), lit(-1L)), 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+    val spans = islands.groupBy(col(idCol), col("__isl"))
+      .agg((max(col("__e")) - min(col("__s")) + 1).as("__len"))
+      .groupBy(idCol).agg(sum("__len").as("__span"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("__span"), lit(0L)).as("dup_span_words"),
+        round(coalesce(col("__span"), lit(0L)).cast("double") / col("n_words"), 6)
+          .as("dup_span_frac"))
+  }
 }

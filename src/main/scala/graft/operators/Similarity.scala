@@ -270,4 +270,41 @@ object Similarity {
       .select(col(idCol), col("cell"),
         coalesce(!col("__dropped"), lit(true)).as("is_kept"))
   }
+
+  /** Symmetric int8 quantization of an embedding column — the vector
+    * compression step ANN indexes (IVF-SQ8, scalar-quantized HNSW)
+    * run before storing 100 TB of float vectors: per DIMENSION, scale
+    * = max|x|/127 over the corpus, each component rounds to
+    * ⌊x/scale + ½⌋ ∈ [-127, 127]. Reported per vector: the quantized
+    * squared norm (exact integer — the value dot-product kernels
+    * consume) and the worst per-component reconstruction error.
+    *
+    * Plan: the scale vector is one |dim|-row aggregate packed into a
+    * single broadcast array row; quantization + error are then
+    * row-local zip_with/aggregate HOFs over the corpus scan — no
+    * corpus shuffle. Every arithmetic step (IEEE divide, floor, int
+    * multiply, order-independent max) is engine-exact, so the DuckDB
+    * oracle reproduces values bit-for-bit.
+    *
+    * Output: (idCol, q_norm_sq long, max_abs_err double).
+    */
+  def quantizeInt8(corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val maxabs = vecs.select(posexplode(col("__v")).as(Seq("__d", "__x")))
+      .groupBy("__d").agg(max(abs(col("__x"))).as("__ma"))
+    val scales = maxabs
+      .agg(array_sort(collect_list(struct(col("__d"), col("__ma")))).as("__dm"))
+      .select(transform(col("__dm"), p => p.getField("__ma") / 127.0).as("__scales"))
+    vecs.crossJoin(broadcast(scales))
+      .select(col(idCol),
+        zip_with(col("__v"), col("__scales"), (x, s) =>
+          when(s === 0.0, lit(0L))
+            .otherwise(floor(x / s + 0.5).cast("long"))).as("__q"),
+        col("__v"), col("__scales"))
+      .select(col(idCol),
+        aggregate(col("__q"), lit(0L), (acc, q) => acc + q * q).as("q_norm_sq"),
+        round(array_max(zip_with(
+          zip_with(col("__q"), col("__scales"), (q, s) => q * s),
+          col("__v"), (r, x) => abs(r - x))), 6).as("max_abs_err"))
+  }
 }

@@ -157,6 +157,69 @@ object TextPipeline {
       .drop("__pp_pid", "__pp_ls", "__pp_off")
   }
 
+  /** Domain-mixture rebalancing: deterministically resample a corpus
+    * so the strata of `stratumCol` (source, language, …) hit target
+    * mixture weights — the "data mixture" step every pretraining run
+    * tunes. Given integer per-mille weights, the operator finds the
+    * largest total T no stratum can't supply (T = min over strata of
+    * ⌊n_s·1000/w_s⌋), derives each stratum's per-mille keep-rate
+    * ⌊T·w_s/n_s⌋, and keeps a row iff its md5 per-mille bucket falls
+    * under its stratum's rate — the same engine-independent hash
+    * sampling as [[graft.functions.TextFunctions.stratifiedSampleKeep]],
+    * except the rates are TRAINED from observed counts rather than
+    * given. All arithmetic is integer (BIGINT div), so any engine
+    * reproduces the exact row set.
+    *
+    * Plan: one tiny counts aggregate → broadcast of |strata| rates →
+    * pure per-row filter on the corpus scan. No corpus shuffle at any
+    * scale. Strata with no weight (or zero weight) are dropped.
+    *
+    * Output: kept rows (idCol, stratumCol, rate_per_mille).
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, stratumCol: String,
+                    weightsPerMille: Map[String, Int]): DataFrame = {
+    val wExpr = weightsPerMille.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col(stratumCol) === s, lit(w.toLong)).otherwise(acc)
+    }
+    val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", wExpr)
+      .filter(col("__w").isNotNull && col("__w") > 0)
+    val tAgg = counts.agg(min(expr("__n * 1000 div __w")).as("__T"))
+    val rates = counts.crossJoin(broadcast(tAgg))
+      .select(col(stratumCol),
+        expr("__T * __w div __n").cast("long").as("rate_per_mille"))
+    val bucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long") % 1000
+    docs.join(broadcast(rates), Seq(stratumCol))
+      .filter(bucket < col("rate_per_mille"))
+      .select(col(idCol), col(stratumCol), col("rate_per_mille"))
+  }
+
+  /** Corpus vocabulary head: the top-k words by frequency with rank
+    * and cumulative share of ALL tokens — the vocab-coverage curve
+    * tokenizer and filter design starts from.
+    *
+    * Plan: one word-count shuffle, then TakeOrderedAndProject for the
+    * head (per-partition heaps — no global sort of the vocabulary);
+    * rank and the running share are a window over the k surviving
+    * rows only. The total-token count rides a broadcast scalar.
+    *
+    * Output: (word, n long, rnk long, cum_share double), k rows.
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val words = docs.select(explode(split(lower(col(textCol)), " ")).as("word"))
+    val counts = words.groupBy("word").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").cast("double").as("__tot"))
+    val top = counts.orderBy(col("n").desc, col("word")).limit(k)
+    val byRank = Window.orderBy(col("n").desc, col("word"))
+    top.crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(byRank).cast("long"))
+      .withColumn("cum_share",
+        round(sum(col("n")).over(byRank.rowsBetween(Window.unboundedPreceding, 0))
+          / col("__tot"), 6))
+      .select(col("word"), col("n"), col("rnk"), col("cum_share"))
+  }
+
   /** Concat-and-chunk sequence packing: documents in `orderCol` order
     * are laid end to end and cut into fixed `seqLen`-token training
     * sequences; each doc reports the sequence it starts in and its

@@ -254,5 +254,116 @@ object PipelinePack {
       val e = embs(s, dir)
       val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
       Similarity.semanticDedup(e, "vec_id", "embedding", centroids, threshold = 0.35)
+    },
+
+    // Exact repeated-substring spans (fixed 10-word windows): per doc,
+    // how many words sit inside a run shared verbatim with another
+    // doc — the suffix-array-style dedup signal, interval-unioned.
+    QueryDef(
+      "dedup_substring",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+        |        FROM t WHERE len(w) >= 10) u
+        |), dup AS (
+        |  SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        |), cov AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 9 AS BIGINT) AS e
+        |  FROM g JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM cov
+        |), num AS (
+        |  SELECT doc_id, s, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+        |  FROM isl
+        |), spans AS (
+        |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS span FROM (
+        |    SELECT doc_id, isl, max(e) - min(s) + 1 AS len
+        |    FROM num GROUP BY 1, 2) i GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        |  coalesce(s.span, 0) AS dup_span_words,
+        |  round(coalesce(s.span, 0) * 1.0 / len(t.w), 6) AS dup_span_frac
+        |FROM t LEFT JOIN spans s USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.substringSpans(docs(s, dir), "doc_id", "text", k = 10)
+    },
+
+    // Domain-mixture rebalancing by language: rates trained from the
+    // observed counts against target per-mille weights, rows drawn by
+    // engine-independent md5 bucket.
+    QueryDef(
+      "text_mixture_sample",
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 150 WHEN 'es' THEN 150
+        |              WHEN 'fr' THEN 150 WHEN 'zh' THEN 150 END AS w
+        |  FROM documents GROUP BY 1
+        |), t AS (
+        |  SELECT min(n * 1000 // w) AS T FROM c WHERE w IS NOT NULL AND w > 0
+        |), r AS (
+        |  SELECT lang, CAST(T * w // n AS BIGINT) AS rate_per_mille
+        |  FROM c, t WHERE w IS NOT NULL AND w > 0
+        |)
+        |SELECT d.doc_id, d.lang, r.rate_per_mille
+        |FROM documents d JOIN r USING (lang)
+        |WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |  % 1000 < r.rate_per_mille
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.mixtureSample(docs(s, dir), "doc_id", "lang",
+        Map("en" -> 400, "de" -> 150, "es" -> 150, "fr" -> 150, "zh" -> 150))
+    },
+
+    // Vocabulary head: top-256 words with rank and cumulative share of
+    // all corpus tokens.
+    QueryDef(
+      "text_vocab",
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS t FROM c
+        |), top AS (
+        |  SELECT word, n FROM c ORDER BY n DESC, word LIMIT 256
+        |)
+        |SELECT word, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT) AS rnk,
+        |  round(sum(n) OVER (ORDER BY n DESC, word
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / tot.t, 6) AS cum_share
+        |FROM top, tot
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.vocabTopK(docs(s, dir), "text", k = 256)
+    },
+
+    // Int8 scalar quantization of the embedding corpus: per-dimension
+    // trained scales, exact integer quantized norms, worst-component
+    // reconstruction error.
+    QueryDef(
+      "emb_quantize",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), x AS (
+        |  SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS d FROM e
+        |), m AS (
+        |  SELECT d, max(abs(x)) AS ma FROM x GROUP BY 1
+        |), q AS (
+        |  SELECT x.vec_id,
+        |    CASE WHEN m.ma = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(x.x / (m.ma / 127.0) + 0.5) AS BIGINT) END AS q,
+        |    x.x AS x, m.ma / 127.0 AS s
+        |  FROM x JOIN m USING (d)
+        |)
+        |SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS q_norm_sq,
+        |  round(max(abs(q * s - x)), 6) AS max_abs_err
+        |FROM q GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
     })
 }

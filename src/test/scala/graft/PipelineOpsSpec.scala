@@ -128,6 +128,82 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == expect)
   }
 
+  test("substringSpans: shared runs merge into intervals; clean docs report 0") {
+    // docs 1/2 share "a b c d" → doc1 grams "a b c"@0, "b c d"@1 merge
+    // to [0,3] = 4 covered words of 5; doc2 the same span at offset 1;
+    // doc3 shares nothing; doc4 is shorter than k → zero grams.
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),
+      (3L, "p q r s t"),
+      (4L, "u v")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.substringSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((5L, 4L, 0.8)))
+    assert(got(2L) == ((5L, 4L, 0.8)))
+    assert(got(3L) == ((5L, 0L, 0.0)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+  }
+
+  test("substringSpans: disjoint duplicated runs stay separate islands") {
+    // doc1 shares "a b c" with doc2 and "x y z" with doc3, far apart:
+    // covered [0,2] and [6,8] → 6 words, not 9.
+    val df = Seq(
+      (1L, "a b c m n o x y z"),
+      (2L, "a b c"),
+      (3L, "x y z")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.substringSpans(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 6L)
+  }
+
+  test("mixtureSample: rates trained from counts honor target weights") {
+    // strata: A has 4 docs, B has 2; equal target weights 500/500.
+    // T = min(4*1000/500, 2*1000/500) = 4; rate_A = 4*500/4 = 500,
+    // rate_B = 4*500/2 = 1000 → every B row survives.
+    val df = (0L until 4L).map(i => (i, "A")) ++ Seq((10L, "B"), (11L, "B"))
+    val docs = df.toDF("doc_id", "stratum")
+    val out = TextPipeline.mixtureSample(docs, "doc_id", "stratum",
+      Map("A" -> 500, "B" -> 500))
+    val rates = out.select("stratum", "rate_per_mille").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.get("B").contains(1000L))
+    assert(rates.getOrElse("A", 1000L) == 500L || !rates.contains("A"))
+    val kept = out.select("doc_id").as[Long].collect().toSet
+    assert(Set(10L, 11L).subsetOf(kept))
+    // deterministic: the kept set is identical across runs
+    val again = TextPipeline.mixtureSample(docs, "doc_id", "stratum",
+      Map("A" -> 500, "B" -> 500)).select("doc_id").as[Long].collect().toSet
+    assert(kept == again)
+    // unweighted strata are dropped entirely
+    val noW = TextPipeline.mixtureSample(docs, "doc_id", "stratum", Map("B" -> 1000))
+      .select("stratum").distinct().as[String].collect().toSet
+    assert(noW == Set("B"))
+  }
+
+  test("vocabTopK: counts, ranks, cumulative share") {
+    val df = Seq((1L, "a a b"), (2L, "b a")).toDF("doc_id", "text")
+    val got = TextPipeline.vocabTopK(df, "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(("a", 3L, 1L, 0.6), ("b", 2L, 2L, 1.0)))
+  }
+
+  test("quantizeInt8: hand-computed scales, exact norms, zero-dim guard") {
+    val embs = Seq(
+      (1L, Seq(1.0, -2.0, 0.0)),
+      (2L, Seq(0.5, 2.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(embs, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // dim scales: 1/127, 2/127, 0 (all-zero dim quantizes to 0)
+    // vec1 → q = (127, -127, 0): exact reconstruction, err 0
+    // vec2 → q = (64, 127, 0): 64·(1/127) − 0.5 ≈ 0.003937
+    assert(got(1L) == ((127L * 127 + 127L * 127, 0.0)))
+    assert(got(2L) == ((64L * 64 + 127L * 127, 0.003937)))
+  }
+
   test("semanticDedup: near-identical cell-mate drops the higher id") {
     val base = Array.fill(8)(0.1)
     def v(scale: Double, tweak: Int): Seq[Double] =
