@@ -257,18 +257,29 @@ object Similarity {
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double): DataFrame = {
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
-    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
-    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("__ida") < col("__idb"))
-      .filter(round(graft.functions.NativeExpressions.cosine_sim(
-        col("__va"), col("__vb")), 6) >= threshold)
-      .select(col("__idb").as(idCol)).distinct()
+    val dropped = cellMatePairs(assigned, idCol, vecCol, threshold)
+      .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
     assigned.select(col(idCol), col("cell"))
       .join(dropped, Seq(idCol), "left_outer")
       .select(col(idCol), col("cell"),
         coalesce(!col("__dropped"), lit(true)).as("is_kept"))
+  }
+
+  /** Ordered similar pairs (id_a < id_b) among cell-mates of an
+    * [[ivfAssign]] output whose 6-rounded cosine clears `threshold` —
+    * the candidate-pair generator [[semanticDedup]] filters and graph
+    * operators (PageRank over the similarity graph) consume as an edge
+    * list. Pair volume is Σ|cell|², bounded by quantizer granularity. */
+  def cellMatePairs(assigned: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    a.join(b, Seq("cell"))
+      .filter(col("__ida") < col("__idb"))
+      .filter(round(graft.functions.NativeExpressions.cosine_sim(
+        col("__va"), col("__vb")), 6) >= threshold)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the vector

@@ -365,5 +365,59 @@ object PipelinePack {
         |FROM q GROUP BY 1
         |""".stripMargin) { (s, dir) =>
       Similarity.quantizeInt8(embs(s, dir), "vec_id", "embedding")
+    },
+
+    // Fixed-point integer PageRank over the IVF cell-mate similarity
+    // graph (same quantizer + rounded-cosine edge policy as
+    // dedup_semantic, threshold 0.2): node importance in the near-dup
+    // neighborhood structure. All-BIGINT arithmetic — both engines
+    // land on identical bits with no float-summation negotiation.
+    QueryDef(
+      "graph_pagerank",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0
+        |), assigned AS (
+        |  SELECT vec_id, v, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |), pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.2
+        |), und AS (
+        |  SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+        |), deg AS (
+        |  SELECT u, CAST(count(*) AS BIGINT) AS degree FROM und GROUP BY 1
+        |), nodes AS (
+        |  SELECT vec_id AS u FROM e
+        |), nd AS (
+        |  SELECT n.u, coalesce(d.degree, 0) AS degree
+        |  FROM nodes n LEFT JOIN deg d USING (u)
+        |), r0 AS (
+        |  SELECT u, CAST(1000000 AS BIGINT) AS pr FROM nodes
+        |)""".stripMargin +
+        (1 to 5).map { i =>
+          s""", r$i AS (
+             |  SELECT n.u, CAST(150000 + 85 * coalesce(s.s, 0) // 100 AS BIGINT) AS pr
+             |  FROM nodes n LEFT JOIN (
+             |    SELECT e.v AS u, sum(r.pr // d.degree) AS s
+             |    FROM und e JOIN r${i - 1} r ON r.u = e.u
+             |    JOIN deg d ON d.u = e.u GROUP BY 1) s ON s.u = n.u
+             |)""".stripMargin
+        }.mkString + """
+        |SELECT nd.u AS node, nd.degree, r5.pr
+        |FROM nd JOIN r5 USING (u)
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      val edges = Similarity.cellMatePairs(assigned, "vec_id", "embedding", 0.2)
+      graft.operators.Graph.pageRankFixedPoint(
+        edges, "id_a", "id_b", e, "vec_id", iters = 5)
     })
 }

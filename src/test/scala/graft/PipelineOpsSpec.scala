@@ -204,6 +204,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(2L) == ((64L * 64 + 127L * 127, 0.003937)))
   }
 
+  test("pageRankFixedPoint: hand-computed integer iterations on a path graph") {
+    // path 1—2—3 plus isolated node 4; degrees 1, 2, 1, 0.
+    // iter1: c(1)=1M/2=500000, c(2)=1M+1M=2M, c(3)=500000
+    //   → pr = 575000, 1850000, 575000; isolated = 150000
+    // iter2: c(1)=1850000/2=925000, c(2)=575000·2=1150000
+    //   → pr = 936250, 1127500, 936250; isolated = 150000
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("a", "b") // dup edge collapses
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val got = operators.Graph.pageRankFixedPoint(edges, "a", "b", nodes, "id", iters = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((1L, 936250L)))
+    assert(got(2L) == ((2L, 1127500L)))
+    assert(got(3L) == ((1L, 936250L)))
+    assert(got(4L) == ((0L, 150000L)))
+  }
+
   test("semanticDedup: near-identical cell-mate drops the higher id") {
     val base = Array.fill(8)(0.1)
     def v(scale: Double, tweak: Int): Seq[Double] =
