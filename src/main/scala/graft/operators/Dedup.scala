@@ -69,6 +69,24 @@ object Dedup {
     * bands must divide numHashes; a pair is a candidate iff some band
     * of the signatures matches exactly. Estimated Jaccard = fraction
     * of matching signature components. */
+  /** LSH band buckets from signatures: (doc, band, bucket) rows.
+    * Banding carries only 24 B/row through the shuffle; the fat
+    * signature arrays join back just for the (few) candidate pairs.
+    * In md5 (oracle-replicable) mode the bucket key is the band slice
+    * itself, exactly as the DuckDB oracle joins. */
+  private def bandBuckets(sigs: DataFrame, idCol: String, bands: Int,
+                          rows: Int, useMd5: Boolean): DataFrame = {
+    val bucketOf: Column => Column =
+      if (useMd5) identity
+      else sl => xxhash64(sl, lit(0))
+    sigs.select(
+      col(idCol).as("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
+        .as(Seq("band", "bucket")))
+      .select(col("doc"), col("band"), col("bucket"))
+  }
+
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
@@ -77,19 +95,7 @@ object Dedup {
     val rows = numHashes / bands
     val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5)
 
-    // banding carries only (doc, band, bucket) — 24 B/row — through the
-    // shuffle; the fat signature arrays are joined back just for the
-    // (few) candidate pairs. In md5 (oracle-replicable) mode the bucket
-    // key is the band slice itself, exactly as the DuckDB oracle joins.
-    val bucketOf: Column => Column =
-      if (useMd5) identity
-      else sl => xxhash64(sl, lit(0))
-    val banded = sigs.select(
-      col(idCol).as("doc"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
-        .as(Seq("band", "bucket")))
-      .select(col("doc"), col("band"), col("bucket"))
+    val banded = bandBuckets(sigs, idCol, bands, rows, useMd5)
 
     // cap pathological buckets (identical boilerplate at scale): the
     // oversized-bucket list is tiny by construction, so a broadcast
@@ -353,6 +359,51 @@ object Dedup {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(compCol), col(idCol), col(scoreCol))
+  }
+
+  // ---- incremental (batch-vs-index) -------------------------------
+
+  /** Incremental MinHash dedup — the PRODUCTION shape: a new batch is
+    * deduped against the existing corpus without recomputing anything
+    * over the old side beyond its (storable, re-usable) band index.
+    * At 100 TB you never re-dedupe the corpus per ingest; you keep
+    * the (band, bucket, doc) index table and this operator is one
+    * equi-join of the batch's bands against it — batch-sized work,
+    * not corpus-sized.
+    *
+    * Plan: signatures are row-local on both sides; candidates come
+    * from the band-bucket equi-join (incoming × index, NOT a
+    * self-join); verification joins the two signature tables only for
+    * candidate rows. Same hash family and banding as [[minhashPairs]],
+    * so an index built by the batch pipeline serves both.
+    *
+    * Output: one row per incoming doc — (idCol, is_dup boolean,
+    * dup_of nullable long = smallest matching existing id).
+    */
+  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 5, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.7,
+                         seed: Long = 42L, useMd5: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val exSigs = minhashSignatures(existing, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    val idx = bandBuckets(exSigs, idCol, bands, rows, useMd5)
+      .select(col("band"), col("bucket"), col("doc").as("__ex"))
+    val probe = bandBuckets(inSigs, idCol, bands, rows, useMd5)
+      .select(col("band"), col("bucket"), col("doc").as("__in"))
+    val cand = probe.join(idx, Seq("band", "bucket"))
+      .select("__in", "__ex").dropDuplicates("__in", "__ex")
+    val matched = cand
+      .join(inSigs.select(col(idCol).as("__in"), col("signature").as("__sa")), "__in")
+      .join(exSigs.select(col(idCol).as("__ex"), col("signature").as("__sb")), "__ex")
+      .filter(graft.functions.NativeExpressions.signature_agreement(
+        col("__sa"), col("__sb")) >= threshold)
+      .groupBy("__in").agg(min("__ex").as("dup_of"))
+    incoming.select(col(idCol))
+      .join(matched.withColumnRenamed("__in", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
   // ---- exact substring spans --------------------------------------

@@ -419,5 +419,66 @@ object PipelinePack {
       val edges = Similarity.cellMatePairs(assigned, "vec_id", "embedding", 0.2)
       graft.operators.Graph.pageRankFixedPoint(
         edges, "id_a", "id_b", e, "vec_id", iters = 5)
+    },
+
+    // Incremental dedup, the production ingest shape: the md5-bucket
+    // >= 80 slice plays the NEW batch, deduped against the < 80 slice
+    // as the existing corpus via the band index — batch-sized work.
+    // Same md5 hash family as dedup_minhash so DuckDB replicates the
+    // signatures, the index join, and the verdicts exactly.
+    QueryDef(
+      "dedup_incremental",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), hs AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh
+        |), params AS (
+        |  SELECT i,
+        |    1 + CAST('0x' || substr(md5('mh_a_' || i), 1, 15) AS BIGINT) % 2147483646 AS a,
+        |    CAST('0x' || substr(md5('mh_b_' || i), 1, 15) AS BIGINT) % 2147483647 AS b
+        |  FROM range(0, 128) r(i)
+        |), sigc AS (
+        |  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS c
+        |  FROM hs, params p GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, list(c ORDER BY i) AS sig FROM sigc GROUP BY 1
+        |), buck AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |), banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS bucket
+        |  FROM sig, range(0, 32) b(band)
+        |), cand AS (
+        |  SELECT DISTINCT n.doc_id AS doc_new, e.doc_id AS doc_ex
+        |  FROM banded n JOIN buck bn ON bn.doc_id = n.doc_id
+        |  JOIN banded e ON e.band = n.band AND e.bucket = n.bucket
+        |  JOIN buck be ON be.doc_id = e.doc_id
+        |  WHERE bn.b >= 80 AND be.b < 80
+        |), est AS (
+        |  SELECT c.doc_new, c.doc_ex,
+        |    list_sum(list_transform(range(1, 129),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 128.0 AS ej
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_new
+        |  JOIN sig sb ON sb.doc_id = c.doc_ex
+        |), mt AS (
+        |  SELECT doc_new, min(doc_ex) AS dup_of FROM est WHERE ej >= 0.7 GROUP BY 1
+        |)
+        |SELECT d.doc_id, mt.dup_of IS NOT NULL AS is_dup, mt.dup_of
+        |FROM documents d JOIN buck ON buck.doc_id = d.doc_id
+        |LEFT JOIN mt ON mt.doc_new = d.doc_id
+        |WHERE buck.b >= 80
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val bucket = graft.functions.TextFunctions.splitBucket(col("doc_id"))
+      graft.operators.Dedup.minhashIncremental(
+        d.filter(bucket < 80), d.filter(bucket >= 80), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
     })
 }

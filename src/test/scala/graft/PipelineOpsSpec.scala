@@ -204,6 +204,29 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(2L) == ((64L * 64 + 127L * 127, 0.003937)))
   }
 
+  test("minhashIncremental: batch finds its near-dup in the index, not in itself") {
+    // long NON-repetitive shared body (repetition would collapse the
+    // distinct-shingle set and sink jaccard); short distinct tails
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val existing = Seq(
+      (1L, shared + " ending one"),
+      (2L, (100 to 160).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, shared + " ending two"),                   // near-dup of existing 1
+      (11L, (200 to 260).map(i => s"n$i").mkString(" ")),
+      (12L, (200 to 260).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text") // 11/12 duplicate EACH OTHER but not the index
+    val got = operators.Dedup.minhashIncremental(existing, incoming, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(10L) == ((true, Some(1L))))
+    // incremental dedup checks the batch against the INDEX only:
+    // intra-batch dups are the batch pipeline's job
+    assert(got(11L) == ((false, None)))
+    assert(got(12L) == ((false, None)))
+  }
+
   test("pageRankFixedPoint: hand-computed integer iterations on a path graph") {
     // path 1—2—3 plus isolated node 4; degrees 1, 2, 1, 0.
     // iter1: c(1)=1M/2=500000, c(2)=1M+1M=2M, c(3)=500000
