@@ -220,6 +220,28 @@ object TextPipeline {
       .select(col("word"), col("n"), col("rnk"), col("cum_share"))
   }
 
+  /** Linear classifier scoring — the model-based quality-filter stage
+    * (fastText/DCLM/FineWeb-Edu class): a hashed bag-of-words linear
+    * model scores every document and the score gates keep/drop. The
+    * weight table here is hash-derived (md5(word) → integer in
+    * [-1000, 1000]) standing in for trained weights; the OPERATOR —
+    * per-token weight lookup by hash, order-independent integer sum,
+    * threshold gate, zero shuffles — is exactly what a trained model
+    * runs at 100 TB. Integer weights make the score engine-exact; a
+    * real deployment swaps the weight expression for a broadcast map
+    * lookup without touching the plan shape.
+    *
+    * Output: (idCol, n_tokens long, raw_score long, keep boolean).
+    */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    val weights = transform(toks, t =>
+      conv(substring(md5(concat(lit("clf_"), t)), 1, 6), 16, 10).cast("long") % 2001 - 1000)
+    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+        aggregate(weights, lit(0L), (a, x) => a + x).as("raw_score"))
+      .withColumn("keep", col("raw_score") > 0)
+  }
+
   /** Concat-and-chunk sequence packing: documents in `orderCol` order
     * are laid end to end and cut into fixed `seqLen`-token training
     * sequences; each doc reports the sequence it starts in and its

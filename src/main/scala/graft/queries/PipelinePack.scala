@@ -480,5 +480,26 @@ object PipelinePack {
       graft.operators.Dedup.minhashIncremental(
         d.filter(bucket < 80), d.filter(bucket >= 80), "doc_id", "text",
         shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
+    },
+
+    // Model-based quality gate: hashed bag-of-words linear classifier,
+    // integer weights from md5 so both engines score bit-identically.
+    QueryDef(
+      "text_classifier_score",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), x AS (
+        |  SELECT doc_id, unnest(w) AS word FROM t
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(
+        |    CAST('0x' || substr(md5('clf_' || word), 1, 6) AS BIGINT) % 2001 - 1000
+        |  ) AS BIGINT) AS raw_score
+        |  FROM x GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  s.raw_score, s.raw_score > 0 AS keep
+        |FROM t JOIN s USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.classifierScore(docs(s, dir), "doc_id", "text")
     })
 }

@@ -227,6 +227,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(12L) == ((false, None)))
   }
 
+  test("classifierScore: HOF sum equals exploded word-weight sum; gate consistent") {
+    val df = Seq((1L, "Alpha beta GAMMA alpha"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextPipeline.classifierScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val expect = df
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("clf_"), col("word"))), 1, 6), 16, 10)
+          .cast("long") % 2001 - 1000).as("w"))
+      .groupBy("doc_id").agg(sum("w").as("raw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L)._1 == 4L && got(2L)._1 == 1L)
+    assert(got.forall { case (id, (_, raw, keep)) =>
+      raw == expect(id) && keep == (raw > 0) })
+  }
+
   test("pageRankFixedPoint: hand-computed integer iterations on a path graph") {
     // path 1—2—3 plus isolated node 4; degrees 1, 2, 1, 0.
     // iter1: c(1)=1M/2=500000, c(2)=1M+1M=2M, c(3)=500000
