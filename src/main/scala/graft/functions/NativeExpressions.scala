@@ -276,6 +276,33 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Hashed bag-of-words linear-classifier raw score from a token
+    * array: Σ over tokens of ((first 24 bits of md5("clf_"+token))
+    * % 2001 − 1000) — one digest loop per row. The HOF form
+    * (conv(substring(md5(...)))  inside a transform lambda) pays
+    * interpreted per-token expression eval plus hex-string parsing;
+    * measured 2.5× DuckDB at sf3 before this kernel. */
+  case class ClassifierScore(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val md = md5Local.get()
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val t = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        md.reset()
+        val d = md.digest(("clf_" + t).getBytes(StandardCharsets.UTF_8))
+        sum += (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+        i += 1
+      }
+      sum
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -848,6 +875,8 @@ object NativeExpressions {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
   def word_shingles_all(tokens: Column, k: Int): Column =
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
+  def classifier_score(tokens: Column): Column =
+    ExpressionUtils.column(ClassifierScore(ExpressionUtils.expression(tokens)))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

@@ -153,8 +153,17 @@ object Similarity {
     * construction: nPlanes sign bits per bucket (precision), nTables
     * independent plane sets unioned (recall: a pair is a candidate if
     * ANY table buckets it together). Verification is identical exact
-    * cosine. One shuffle of nTables·|corpus| bucket rows; no cross
-    * join anywhere in the plan. */
+    * cosine, fused INSIDE the bucket join stage (the SimHash lesson):
+    * bucket rows carry their vector — nTables·|corpus| vector rows,
+    * LINEAR in the corpus — and candidate pairs are scored and killed
+    * where the join emits them, so the O(Σbucket²) candidate volume
+    * never reaches a shuffle; only verified near-dups pay the final
+    * distinct. (The previous ids-only-candidates form paid a
+    * candidate-sized distinct plus two re-attach joins — quadratic
+    * shuffle growth under fixed LSH params: 122 s at sf3 vs 11.3 s
+    * for this plan, identical output.) A pair colliding in k tables is
+    * scored k≤nTables times; redundant cosines are in-stage CPU,
+    * cheaper than shuffling the candidate multiset. */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
@@ -162,21 +171,15 @@ object Similarity {
                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
     val vecs = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
-    // Candidate generation carries IDS ONLY — a bucket-colliding pair
-    // costs 16 bytes through the join and the distinct, not 2×dim
-    // doubles. Vectors re-attach once per SURVIVING pair below; at
-    // sf1 this one change cut the shuffle from GBs to MBs (62s → ~8s).
     val allBucketed = vecs
-      .select(col(idCol),
+      .select(col(idCol), col("__v"),
         posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
     // Optional bucket cap (off by default): a degenerate bucket —
     // near-parallel vector mass, adversarial skew — contributes
     // O(size²) candidate pairs; the cap bounds volume at
-    // n·maxBucketSize per table. It is OPT-IN because the guard's
-    // anti-join measurably slowed the uncapped common case (~2× at
-    // sf3, where no bucket exceeded 845), and the structural answer
-    // to candidate growth is parameter choice: nPlanes should grow
+    // n·maxBucketSize per table. It is OPT-IN: the structural answer
+    // to candidate growth is parameter choice — nPlanes should grow
     // ~log₂(n/targetBucket) with corpus size, nTables recovering
     // recall.
     val bucketed =
@@ -187,19 +190,17 @@ object Similarity {
           .select("__table", "__bucket")
         allBucketed.join(broadcast(oversized), Seq("__table", "__bucket"), "left_anti")
       }
-    val a = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_a"))
-    val b = bucketed.select(col("__table"), col("__bucket"), col(idCol).as("id_b"))
-    val cand = a.join(b, Seq("__table", "__bucket"))
+    val a = bucketed.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_a"), col("__v").as("va"))
+    val b = bucketed.select(col("__table"), col("__bucket"),
+      col(idCol).as("id_b"), col("__v").as("vb"))
+    a.join(b, Seq("__table", "__bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(vecs.select(col(idCol).as("id_a"), col("__v").as("va")), Seq("id_a"))
-      .join(vecs.select(col(idCol).as("id_b"), col("__v").as("vb")), Seq("id_b"))
       .withColumn("cos_sim",
         round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
+      .distinct()
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold — EXACT

@@ -229,16 +229,18 @@ object TextPipeline {
     * threshold gate, zero shuffles — is exactly what a trained model
     * runs at 100 TB. Integer weights make the score engine-exact; a
     * real deployment swaps the weight expression for a broadcast map
-    * lookup without touching the plan shape.
+    * lookup without touching the plan shape. Scoring is one native
+    * digest loop per row ([[graft.functions.NativeExpressions
+    * .ClassifierScore]]); the equivalent transform+aggregate HOF pays
+    * interpreted conv/substring per token and measured 2.5× DuckDB
+    * at sf3 (spec'd equal to this kernel).
     *
     * Output: (idCol, n_tokens long, raw_score long, keep boolean).
     */
   def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
-    val weights = transform(toks, t =>
-      conv(substring(md5(concat(lit("clf_"), t)), 1, 6), 16, 10).cast("long") % 2001 - 1000)
     docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-        aggregate(weights, lit(0L), (a, x) => a + x).as("raw_score"))
+        graft.functions.NativeExpressions.classifier_score(toks).as("raw_score"))
       .withColumn("keep", col("raw_score") > 0)
   }
 
