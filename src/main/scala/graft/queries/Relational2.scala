@@ -335,5 +335,83 @@ object Relational2 {
         element_at(col("mm"), "F").as("n_filled"),
         array_join(array_sort(map_keys(col("mm"))), ",").as("statuses"),
         size(col("mm")).cast("long").as("n_statuses"))
+    },
+
+    // distribution windows: ntile / percent_rank / cume_dist — the
+    // bucket-assignment family (quartiles per order status)
+    QueryDef(
+      "q_window_ntile",
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+    },
+
+    // gap-filled daily series with forward fill: generate the full day
+    // spine between min and max order date, left-join actuals, carry
+    // the last seen value across gaps — the time-series densification
+    // every metrics pipeline runs. Money sums in DECIMAL so both
+    // engines aggregate exactly.
+    QueryDef(
+      "q_gap_fill",
+      """WITH daily AS (
+        |  SELECT o_orderdate AS d,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1
+        |), bounds AS (
+        |  SELECT min(d) AS lo, max(d) AS hi FROM daily
+        |), spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds
+        |)
+        |SELECT CAST(s.d AS VARCHAR) AS day,
+        |  round(CAST(daily.rev AS DOUBLE), 2) AS revenue,
+        |  round(CAST(last_value(daily.rev IGNORE NULLS) OVER (
+        |    ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        |  ) AS DOUBLE), 2) AS revenue_filled
+        |FROM spine s LEFT JOIN daily ON daily.d = s.d
+        |""".stripMargin) { (s, dir) =>
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderdate").as("d"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+      val bounds = daily.agg(min("d").as("lo"), max("d").as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      val w = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("d"), "left_outer")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(col("rev").cast("double"), 2).as("revenue"),
+          round(last(col("rev"), ignoreNulls = true).over(w).cast("double"), 2)
+            .as("revenue_filled"))
+    },
+
+    // fuzzy self-match: near-identical part types by edit distance —
+    // the string-similarity join (entity resolution shape). The
+    // distinct-value domain is tiny, so the quadratic pair space is
+    // bounded by |domain|², never |table|².
+    QueryDef(
+      "q_fuzzy_match",
+      """WITH v AS (SELECT DISTINCT p_type FROM part)
+        |SELECT a.p_type AS type_a, b.p_type AS type_b,
+        |  CAST(levenshtein(a.p_type, b.p_type) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.p_type < b.p_type
+        |WHERE levenshtein(a.p_type, b.p_type) <= 4
+        |""".stripMargin) { (s, dir) =>
+      val v = t(s, dir, "part").select("p_type").distinct()
+      v.select(col("p_type").as("type_a"))
+        .crossJoin(v.select(col("p_type").as("type_b")))
+        .filter(col("type_a") < col("type_b"))
+        .filter(levenshtein(col("type_a"), col("type_b")) <= 4)
+        .select(col("type_a"), col("type_b"),
+          levenshtein(col("type_a"), col("type_b")).cast("long").as("dist"))
     })
 }
