@@ -62,6 +62,30 @@ object StreamingIngest {
     events.withWatermark(tsCol, watermark)
       .dropDuplicates(keyCols :+ tsCol)
 
+  /** Streaming incremental near-dup dedup: every micro-batch of
+    * documents is deduped against the STATIC corpus via
+    * [[graft.operators.Dedup.minhashIncremental]] inside foreachBatch —
+    * the batch operator IS the streaming operator, run per trigger.
+    * The corpus (in production, its precomputed band index) is a
+    * static DataFrame; no stream state exists beyond the checkpoint,
+    * so the continuous form scales exactly like the batch join:
+    * batch-sized signatures + one equi-join against the index per
+    * trigger. Verdict rows (idCol, is_dup, dup_of) go to `sink`.
+    */
+  def incrementalDedupStream(stream: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             checkpointDir: String,
+                             sink: DataFrame => Unit,
+                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Dedup.minhashIncremental(
+          corpus, batch, idCol, textCol))
+      }
+      .start()
+
   /** Session windows (gap-based) — the sessionization the reference's
     * users run in SQL, as a native stateful streaming op. */
   def sessionCounts(events: DataFrame, tsCol: String, gap: String,

@@ -43,6 +43,53 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(catalog.read("db", "s").count() == 3)
   }
 
+  test("streaming incremental dedup: micro-batches verdict against the static corpus") {
+    val tmp = Files.createTempDirectory("graft-incdedup").toString
+    val srcDir = Files.createDirectories(java.nio.file.Paths.get(tmp, "docs"))
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " ending one"),
+      (2L, (100 to 160).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    Files.writeString(srcDir.resolve("b1.ndjson"),
+      s"""{"doc_id": 10, "text": "$shared ending two"}
+         |{"doc_id": 11, "text": "${(200 to 260).map(i => s"n$i").mkString(" ")}"}
+         |""".stripMargin)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = StreamingIngest.incrementalDedupStream(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, schema),
+      corpus, "doc_id", "text", s"$tmp/ckpt",
+      out => out.collect().foreach(r => verdicts.synchronized {
+        verdicts(r.getLong(0)) =
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }))
+    q.awaitTermination(60000)
+    assert(verdicts(10L) == ((true, Some(1L))))
+    assert(verdicts(11L) == ((false, None)))
+
+    // a later file is a NEW trigger pass from the same checkpoint:
+    // only the new batch is verdicted (exactly-once file accounting)
+    verdicts.clear()
+    Files.writeString(srcDir.resolve("b2.ndjson"),
+      s"""{"doc_id": 12, "text": "$shared ending three"}""" + "\n")
+    val q2 = StreamingIngest.incrementalDedupStream(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, schema),
+      corpus, "doc_id", "text", s"$tmp/ckpt",
+      out => out.collect().foreach(r => verdicts.synchronized {
+        verdicts(r.getLong(0)) =
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }))
+    q2.awaitTermination(60000)
+    assert(verdicts.keySet == Set(12L))
+    assert(verdicts(12L) == ((true, Some(1L))))
+  }
+
   test("watermarked tumbling window drops too-late rows, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
