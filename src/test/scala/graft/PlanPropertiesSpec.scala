@@ -29,6 +29,52 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
   }
 
+  test("row-local pipeline operators put no exchange on the corpus branch") {
+    // classifier scoring and mixture sampling must stream through the
+    // scan: the only exchanges allowed are on the tiny rate/agg side
+    // of a broadcast, never between the documents scan and the output.
+    val clf = SparkEntry.queries("text_classifier_score")(spark, dir)
+    val clfPlan = clf.queryExecution.executedPlan.toString
+    assert(!clfPlan.contains("Exchange"),
+      s"classifier score should be shuffle-free:\n$clfPlan")
+
+    val mix = SparkEntry.queries("text_mixture_sample")(spark, dir)
+    mix.collect() // AQE final plan
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    // the corpus joins the trained rates by BROADCAST — a sort-merge
+    // join here would mean the documents scan itself was shuffled
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"mixture sample must broadcast the rates:\n$mixPlan")
+    assert(!mixPlan.contains("SortMergeJoin"),
+      s"corpus side of mixture sample must not shuffle:\n$mixPlan")
+  }
+
+  test("substringSpans windows partition by doc — no global sort") {
+    val df = SparkEntry.queries("dedup_substring")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every Window in the plan must carry a partition spec; a global
+    // (unpartitioned) window would serialize the corpus through one task
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.nonEmpty, s"expected window operators in:\n$plan")
+    val spec = plan.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(spec.forall(_.contains("doc_id")),
+      s"window not partitioned by doc_id:\n${spec.mkString("\n")}")
+  }
+
+  test("incremental dedup probes the index without shuffling signatures wide") {
+    val df = SparkEntry.queries("dedup_incremental")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate generation joins 24 B/row band buckets; the fat
+    // signature arrays attach afterwards. If signatures rode the
+    // band join, the projection above the band exchange would carry
+    // the signature column.
+    val bandJoinSide = plan.linesIterator
+      .filter(_.contains("hashpartitioning(band"))
+    assert(bandJoinSide.forall(!_.contains("signature")),
+      "signature arrays must not ride the band-bucket shuffle")
+  }
+
   test("ndjson sink is safe under concurrent writers") {
     val tmp = Files.createTempDirectory("graft-conc").toString
     val sink = new NdjsonSink(tmp, maxRows = 100000)
