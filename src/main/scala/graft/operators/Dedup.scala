@@ -431,8 +431,23 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val spans = mergedSpanIslands(toks, idCol, k)
+      .groupBy(idCol).agg(sum(col("__e") - col("__s") + 1).as("__span"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+      .join(spans, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("__span"), lit(0L)).as("dup_span_words"),
+        round(coalesce(col("__span"), lit(0L)).cast("double") / col("n_words"), 6)
+          .as("dup_span_frac"))
+  }
+
+  /** Disjoint merged intervals (idCol, __s, __e) of word positions
+    * covered by some cross-doc duplicated k-gram — the shared core of
+    * [[substringSpans]] (which sums them) and [[substringDedupRewrite]]
+    * (which cuts them). `toks` = (idCol, __t array<string>). */
+  private def mergedSpanIslands(toks: DataFrame, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = toks.select(col(idCol),
       posexplode(graft.functions.NativeExpressions.word_shingles_all(col("__t"), k))
         .as(Seq("__pos", "__g")))
@@ -446,19 +461,46 @@ object Dedup {
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(idCol).orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val islands = covered
+    covered
       .withColumn("__new",
         when(col("__s") > coalesce(max(col("__e")).over(wPrev), lit(-1L)), 1L)
           .otherwise(0L))
       .withColumn("__isl", sum(col("__new")).over(wRun))
-    val spans = islands.groupBy(col(idCol), col("__isl"))
-      .agg((max(col("__e")) - min(col("__s")) + 1).as("__len"))
-      .groupBy(idCol).agg(sum("__len").as("__span"))
-    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
-      .join(spans, Seq(idCol), "left_outer")
-      .select(col(idCol), col("n_words"),
-        coalesce(col("__span"), lit(0L)).as("dup_span_words"),
-        round(coalesce(col("__span"), lit(0L)).cast("double") / col("n_words"), 6)
-          .as("dup_span_frac"))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min("__s").as("__s"), max("__e").as("__e"))
+      .drop("__isl")
+  }
+
+  /** The transformation [[substringSpans]] is the signal for: CUT every
+    * cross-doc duplicated k-word run out of the text (Lee et al. remove
+    * the repeated substring from all but one occurrence or all — this
+    * follows the simpler remove-everywhere policy, which is symmetric
+    * and engine-replicable). Covered positions explode from the merged
+    * islands (≤ doc length rows — equi-joins only, no range join) and
+    * anti-join the positional words; survivors re-assemble in position
+    * order.
+    *
+    * Output: (idCol, clean_text, n_removed long) for every doc; a doc
+    * entirely made of duplicated runs yields the empty string.
+    */
+  def substringDedupRewrite(df: DataFrame, idCol: String, textCol: String,
+                            k: Int): DataFrame = {
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val coveredPos = mergedSpanIslands(toks, idCol, k)
+      .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__p"))
+    val words = toks.select(col(idCol),
+      posexplode(col("__t")).as(Seq("__p", "__w")))
+      .withColumn("__p", col("__p").cast("long"))
+    val kept = words.join(coveredPos, Seq(idCol, "__p"), "left_anti")
+      .groupBy(idCol)
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("__p"), col("__w")))),
+        x => x.getField("__w"))).as("clean_text"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("__n"))
+      .join(kept, Seq(idCol), "left_outer")
+      .join(coveredPos.groupBy(idCol).agg(count(lit(1)).as("__rm")), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("__rm"), lit(0L)).as("n_removed"))
   }
 }

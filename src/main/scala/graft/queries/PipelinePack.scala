@@ -295,6 +295,53 @@ object PipelinePack {
       graft.operators.Dedup.substringSpans(docs(s, dir), "doc_id", "text", k = 10)
     },
 
+    // The rewrite the span signal feeds: duplicated 10-word runs are
+    // cut from the text everywhere (symmetric remove-all policy),
+    // survivors re-assemble in position order.
+    QueryDef(
+      "dedup_substring_rewrite",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+        |        FROM t WHERE len(w) >= 10) u
+        |), dup AS (
+        |  SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        |), cov AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 9 AS BIGINT) AS e
+        |  FROM g JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM cov
+        |), num AS (
+        |  SELECT doc_id, s, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+        |  FROM isl
+        |), merged AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e FROM num GROUP BY doc_id, isl
+        |), covp AS (
+        |  SELECT doc_id, unnest(range(s, e + 1)) AS p FROM merged
+        |), words AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, w[i] AS word
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM t) u
+        |), clean AS (
+        |  SELECT wo.doc_id, string_agg(wo.word, ' ' ORDER BY wo.p) AS clean_text
+        |  FROM words wo ANTI JOIN covp c ON c.doc_id = wo.doc_id AND c.p = wo.p
+        |  GROUP BY 1
+        |), removed AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM covp GROUP BY 1
+        |)
+        |SELECT t.doc_id, coalesce(cl.clean_text, '') AS clean_text,
+        |  coalesce(r.n_removed, 0) AS n_removed
+        |FROM t LEFT JOIN clean cl USING (doc_id) LEFT JOIN removed r USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.substringDedupRewrite(docs(s, dir), "doc_id", "text", k = 10)
+    },
+
     // Domain-mixture rebalancing by language: rates trained from the
     // observed counts against target per-mille weights, rows drawn by
     // engine-independent md5 bucket.

@@ -159,6 +159,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) == 6L)
   }
 
+  test("substringDedupRewrite: covered runs cut everywhere, survivors keep order") {
+    // docs 1/2 share "a b c d" → doc1 keeps "e", doc2 keeps "x";
+    // doc3 untouched; doc4 (= doc5) is ENTIRELY one duplicated run → ""
+    val df = Seq(
+      (1L, "a b c d e"),
+      (2L, "x a b c d"),
+      (3L, "p q r s t"),
+      (4L, "m n o m n"),
+      (5L, "m n o m n")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.substringDedupRewrite(df, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("e", 4L)))
+    assert(got(2L) == (("x", 4L)))
+    assert(got(3L) == (("p q r s t", 0L)))
+    assert(got(4L) == (("", 5L)))
+    assert(got(5L) == (("", 5L)))
+  }
+
   test("mixtureSample: rates trained from counts honor target weights") {
     // strata: A has 4 docs, B has 2; equal target weights 500/500.
     // T = min(4*1000/500, 2*1000/500) = 4; rate_A = 4*500/4 = 500,
