@@ -74,4 +74,28 @@ object Behavioral {
         countDistinct(when(col("__dd") === shortDay, col(userCol))).as("d1_retained"),
         countDistinct(when(col("__dd") >= longDay, col(userCol))).as("d7_retained"))
   }
+
+  /** Top event-path transitions — the Sankey/user-flow query: order
+    * each user's events by (ts, tiebreaker), pair each with its
+    * successor via lag/lead, count (from, to) transitions corpus-wide,
+    * rank the top k. One user-partition window + one word-count-shaped
+    * aggregation; the tiebreaker column makes the sequence (and so the
+    * counts) engine-deterministic under equal timestamps.
+    *
+    * Output: (from_type, to_type, n long, rnk long), top k by
+    * (n desc, from, to).
+    */
+  def topTransitions(events: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, tieCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    val counts = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val top = counts.orderBy(col("n").desc, col("from_type"), col("to_type")).limit(k)
+    top.withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("from_type"), col("to_type"))).cast("long"))
+      .select(col("from_type"), col("to_type"), col("n"), col("rnk"))
+  }
 }

@@ -72,6 +72,27 @@ object PipelinePack {
       Behavioral.retentionCohorts(events(s, dir), "user_id", "ts")
     },
 
+    // Top event-path transitions (Sankey / user-flow): successor pairs
+    // per user ordered by (ts, event_id), counted corpus-wide.
+    QueryDef(
+      "q_event_paths",
+      """WITH p AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |), c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_type, to_type, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, from_type, to_type) AS BIGINT) AS rnk
+        |FROM c ORDER BY n DESC, from_type, to_type LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      Behavioral.topTransitions(events(s, dir), "user_id", "ts", "event_type",
+        tieCol = "event_id", k = 20)
+    },
+
     // ---- training-pipeline corpus operators -----------------------
     // Benchmark decontamination: train split (md5 bucket < 80) docs
     // flagged by 8-gram overlap with the test split (bucket >= 90) —

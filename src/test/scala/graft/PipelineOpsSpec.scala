@@ -47,6 +47,19 @@ class PipelineOpsSpec extends SparkTestBase {
       ("2024-01-02", 1L, 0L, 1L)))
   }
 
+  test("topTransitions: successor pairs per user, tie-broken, ranked") {
+    // u1: a→b→a; u2: a→b. Transitions: (a,b)×2, (b,a)×1.
+    // Equal timestamps for u1's last two events — event_id breaks the tie.
+    val events = Seq(
+      (1L, ts(0), 100L, "a"), (1L, ts(5), 101L, "b"), (1L, ts(5), 102L, "a"),
+      (2L, ts(0), 200L, "a"), (2L, ts(9), 201L, "b")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Behavioral.topTransitions(events, "user_id", "ts", "event_type",
+        tieCol = "event_id", k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("a", "b", 2L, 1L), ("b", "a", 1L, 2L)))
+  }
+
   test("contaminationHits: planted 8-gram overlap is found, clean docs report 0") {
     val shared = "alpha beta gamma delta epsilon zeta eta theta"
     val train = Seq(
