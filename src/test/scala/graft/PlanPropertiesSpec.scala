@@ -75,6 +75,20 @@ class PlanPropertiesSpec extends SparkTestBase {
       "signature arrays must not ride the band-bucket shuffle")
   }
 
+  test("inventory sweep: every query plans; no unbounded cartesian products") {
+    // Broadcast nested-loop joins against one-row packed/stat relations
+    // are deliberate (packed kernels, corpus-level scalars); a raw
+    // CartesianProduct between row-sized relations is not — except the
+    // two queries whose SEMANTICS are a cross join over tiny domains.
+    val cartesianOk = Set("q_join_cross", "q_fuzzy_match")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, run) =>
+      val plan = run(spark, dir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct") && !cartesianOk(name)) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
   test("ndjson sink is safe under concurrent writers") {
     val tmp = Files.createTempDirectory("graft-conc").toString
     val sink = new NdjsonSink(tmp, maxRows = 100000)
