@@ -291,6 +291,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 150000L)))
   }
 
+  test("corpus operators tolerate an empty corpus") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(operators.Dedup.substringSpans(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(operators.Dedup.substringDedupRewrite(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(TextPipeline.vocabTopK(noDocs, "text", 10).count() == 0)
+    assert(TextPipeline.classifierScore(noDocs, "doc_id", "text").count() == 0)
+    assert(TextPipeline.mixtureSample(noDocs, "doc_id", "text",
+      Map("en" -> 1000)).count() == 0)
+    val noEdges = Seq.empty[(Long, Long)].toDF("a", "b")
+    val nodes = Seq(1L, 2L).toDF("id")
+    // PageRank over an empty graph: every node keeps the base term
+    val pr = operators.Graph.pageRankFixedPoint(noEdges, "a", "b", nodes, "id", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pr == Map(1L -> 150000L, 2L -> 150000L))
+  }
+
   test("semanticDedup: near-identical cell-mate drops the higher id") {
     val base = Array.fill(8)(0.1)
     def v(scale: Double, tweak: Int): Seq[Double] =
