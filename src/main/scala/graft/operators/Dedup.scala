@@ -380,24 +380,49 @@ object Dedup {
     * Output: one row per incoming doc — (idCol, is_dup boolean,
     * dup_of nullable long = smallest matching existing id).
     */
-  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
-                         idCol: String, textCol: String,
-                         shingleK: Int = 5, numHashes: Int = 128,
-                         bands: Int = 32, threshold: Double = 0.7,
-                         seed: Long = 42L, useMd5: Boolean = false): DataFrame = {
+  /** The storable corpus-side state of incremental dedup: the band
+    * index (band, bucket, doc) and the signature table (doc,
+    * signature). Both are plain DataFrames — write them as tables at
+    * ingest time, read them back for every future batch; appending a
+    * verdicted-clean batch to the index is the same computation run on
+    * the batch alone. */
+  final case class MinhashIndex(bands: DataFrame, sigs: DataFrame)
+
+  /** Build the [[MinhashIndex]] of a corpus — one pass of row-local
+    * signatures, no joins; the thing a production pipeline materializes
+    * ONCE and probes per ingest. */
+  def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, numHashes: Int = 128,
+                        bands: Int = 32, seed: Long = 42L,
+                        useMd5: Boolean = false): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val exSigs = minhashSignatures(existing, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    val sigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    MinhashIndex(
+      bandBuckets(sigs, idCol, bands, rows, useMd5),
+      sigs.select(col(idCol).as("doc"), col("signature")))
+  }
+
+  /** Probe a (possibly re-read-from-storage) [[MinhashIndex]] with a
+    * new batch: batch-side signatures are row-local, candidates come
+    * from one equi-join of batch bands against the index — per-ingest
+    * work scales with the batch, never the corpus. */
+  def minhashIncrementalAgainst(index: MinhashIndex, incoming: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleK: Int = 5, numHashes: Int = 128,
+                                bands: Int = 32, threshold: Double = 0.7,
+                                seed: Long = 42L, useMd5: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
     val inSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5)
-    val idx = bandBuckets(exSigs, idCol, bands, rows, useMd5)
-      .select(col("band"), col("bucket"), col("doc").as("__ex"))
+    val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))
     val probe = bandBuckets(inSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__in"))
     val cand = probe.join(idx, Seq("band", "bucket"))
       .select("__in", "__ex").dropDuplicates("__in", "__ex")
     val matched = cand
       .join(inSigs.select(col(idCol).as("__in"), col("signature").as("__sa")), "__in")
-      .join(exSigs.select(col(idCol).as("__ex"), col("signature").as("__sb")), "__ex")
+      .join(index.sigs.select(col("doc").as("__ex"), col("signature").as("__sb")), "__ex")
       .filter(graft.functions.NativeExpressions.signature_agreement(
         col("__sa"), col("__sb")) >= threshold)
       .groupBy("__in").agg(min("__ex").as("dup_of"))
@@ -405,6 +430,15 @@ object Dedup {
       .join(matched.withColumnRenamed("__in", idCol), Seq(idCol), "left_outer")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
+
+  def minhashIncremental(existing: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleK: Int = 5, numHashes: Int = 128,
+                         bands: Int = 32, threshold: Double = 0.7,
+                         seed: Long = 42L, useMd5: Boolean = false): DataFrame =
+    minhashIncrementalAgainst(
+      buildMinhashIndex(existing, idCol, textCol, shingleK, numHashes, bands, seed, useMd5),
+      incoming, idCol, textCol, shingleK, numHashes, bands, threshold, seed, useMd5)
 
   // ---- exact substring spans --------------------------------------
 

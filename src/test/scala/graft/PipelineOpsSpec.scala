@@ -275,6 +275,35 @@ class PipelineOpsSpec extends SparkTestBase {
       raw == expect(id) && keep == (raw > 0) })
   }
 
+  test("minhash index survives a parquet round-trip; probe verdicts identical") {
+    val shared = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " ending one"),
+      (2L, (100 to 160).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, shared + " ending two"),
+      (11L, (200 to 260).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+
+    val direct = operators.Dedup.minhashIncremental(corpus, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+
+    // materialize the index, re-read it from storage, probe from disk
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    val idx = operators.Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    idx.bands.write.parquet(s"$tmp/bands")
+    idx.sigs.write.parquet(s"$tmp/sigs")
+    val reloaded = operators.Dedup.MinhashIndex(
+      spark.read.parquet(s"$tmp/bands"), spark.read.parquet(s"$tmp/sigs"))
+    val fromDisk = operators.Dedup
+      .minhashIncrementalAgainst(reloaded, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+
+    assert(direct == fromDisk)
+    assert(fromDisk == Set((10L, true), (11L, false)))
+  }
+
   test("pageRankFixedPoint: hand-computed integer iterations on a path graph") {
     // path 1—2—3 plus isolated node 4; degrees 1, 2, 1, 0.
     // iter1: c(1)=1M/2=500000, c(2)=1M+1M=2M, c(3)=500000
