@@ -550,6 +550,30 @@ object PipelinePack {
         shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
     },
 
+    // Corpus diagnostics: doc-length histogram in order-of-magnitude
+    // buckets (decimal digit count of the word count — an integer
+    // bucket rule both engines compute identically; floor(log2) would
+    // hang a bucket edge on libm ulp differences).
+    QueryDef(
+      "text_length_histogram",
+      """WITH n AS (
+        |  SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |)
+        |SELECT CAST(length(CAST(n_words AS VARCHAR)) AS BIGINT) AS magnitude,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(n_words) AS min_words, max(n_words) AS max_words,
+        |  round(avg(n_words), 4) AS avg_words
+        |FROM n GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      docs(s, dir)
+        .select(size(split(lower(col("text")), " ")).cast("long").as("n_words"))
+        .groupBy(length(col("n_words").cast("string")).cast("long").as("magnitude"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_words").as("min_words"), max("n_words").as("max_words"),
+          round(avg("n_words"), 4).as("avg_words"))
+    },
+
     // Model-based quality gate: hashed bag-of-words linear classifier,
     // integer weights from md5 so both engines score bit-identically.
     QueryDef(
