@@ -33,10 +33,20 @@ object ScalableWindow {
 
   /** Adds `out` = 1-based global row number of each row within its
     * group, ordered by orderCols (which must be non-null and unique
-    * per group for rank-family semantics to hold). */
+    * per group for rank-family semantics to hold).
+    *
+    * `checkpoint` pins the ranged partitioning (see the comment at the
+    * call site). The default, `localCheckpoint`, stores blocks on
+    * executors — fastest, but a lost executor forces a recompute that
+    * would re-sample the range boundaries and shear the offsets. On a
+    * cluster job that must survive executor loss, pass a RELIABLE
+    * variant instead, e.g. `df => df.checkpoint()` (after
+    * `sparkContext.setCheckpointDir` on HDFS/object storage): same
+    * pinned boundaries, recoverable from storage. */
   def groupRowNumber(df: DataFrame, groupCols: Seq[String],
                      orderCols: Seq[String], out: String,
-                     numPartitions: Int): DataFrame = {
+                     numPartitions: Int,
+                     checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val keyCols = (groupCols ++ orderCols).map(col)
     val (pid, lrn, off, cnt) = ("__gw_pid", "__gw_lrn", "__gw_off", "__gw_n")
@@ -45,12 +55,10 @@ object ScalableWindow {
     // can pick DIFFERENT ranges — and the offsets below are only
     // valid against the pid assignment they were counted on. The
     // checkpoint pins one set of boundaries for both consumers (and
-    // freezes spark_partition_id into a plain column). On a cluster
-    // job that must survive executor loss, swap for a reliable
-    // checkpoint — a recompute would re-sample and shear the offsets.
-    val ranged = df.repartitionByRange(numPartitions, keyCols: _*)
-      .withColumn(pid, spark_partition_id())
-      .localCheckpoint()
+    // freezes spark_partition_id into a plain column).
+    val ranged = checkpoint(
+      df.repartitionByRange(numPartitions, keyCols: _*)
+        .withColumn(pid, spark_partition_id()))
     val wLocal = Window.partitionBy((pid +: groupCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
     val local = ranged.withColumn(lrn, row_number().over(wLocal).cast("long"))

@@ -63,28 +63,50 @@ object StreamingIngest {
       .dropDuplicates(keyCols :+ tsCol)
 
   /** Streaming incremental near-dup dedup: every micro-batch of
-    * documents is deduped against the STATIC corpus via
-    * [[graft.operators.Dedup.minhashIncremental]] inside foreachBatch —
-    * the batch operator IS the streaming operator, run per trigger.
-    * The corpus (in production, its precomputed band index) is a
-    * static DataFrame; no stream state exists beyond the checkpoint,
-    * so the continuous form scales exactly like the batch join:
-    * batch-sized signatures + one equi-join against the index per
-    * trigger. Verdict rows (idCol, is_dup, dup_of) go to `sink`.
+    * documents is deduped against an existing corpus's
+    * [[graft.operators.Dedup.MinhashIndex]] via
+    * [[graft.operators.Dedup.minhashIncrementalAgainst]] inside
+    * foreachBatch — the batch operator IS the streaming operator, run
+    * per trigger. The index is built (or reloaded from its stored
+    * tables) ONCE, before the stream starts; per-trigger work is
+    * batch-sized signatures + one equi-join against the index — never
+    * corpus-sized. All dedup parameters flow through, so a stream can
+    * probe an index built under any convention (e.g. the md5 family
+    * the dedup_incremental oracle uses). Verdict rows
+    * (idCol, is_dup, dup_of) go to `sink`.
     */
-  def incrementalDedupStream(stream: DataFrame, corpus: DataFrame,
+  def incrementalDedupStream(stream: DataFrame,
+                             index: graft.operators.Dedup.MinhashIndex,
                              idCol: String, textCol: String,
                              checkpointDir: String,
                              sink: DataFrame => Unit,
-                             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+                             trigger: Trigger = Trigger.AvailableNow(),
+                             shingleK: Int = 5, numHashes: Int = 128,
+                             bands: Int = 32, threshold: Double = 0.7,
+                             seed: Long = 42L, useMd5: Boolean = false): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        sink(graft.operators.Dedup.minhashIncremental(
-          corpus, batch, idCol, textCol))
+        sink(graft.operators.Dedup.minhashIncrementalAgainst(
+          index, batch, idCol, textCol,
+          shingleK, numHashes, bands, threshold, seed, useMd5))
       }
       .start()
+
+  /** Convenience overload: build the index from a static corpus once,
+    * then stream against it. The index DataFrames are persisted here —
+    * without that, laziness would re-run the corpus-side signature scan
+    * on every trigger even though the plan object is shared. */
+  def incrementalDedupStream(stream: DataFrame, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             checkpointDir: String,
+                             sink: DataFrame => Unit): StreamingQuery = {
+    val idx = graft.operators.Dedup.buildMinhashIndex(corpus, idCol, textCol)
+    val pinned = graft.operators.Dedup.MinhashIndex(
+      idx.bands.persist(), idx.sigs.persist())
+    incrementalDedupStream(stream, pinned, idCol, textCol, checkpointDir, sink)
+  }
 
   /** Session windows (gap-based) — the sessionization the reference's
     * users run in SQL, as a native stateful streaming op. */

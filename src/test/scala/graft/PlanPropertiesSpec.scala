@@ -62,17 +62,27 @@ class PlanPropertiesSpec extends SparkTestBase {
   }
 
   test("incremental dedup probes the index without shuffling signatures wide") {
-    val df = SparkEntry.queries("dedup_incremental")(spark, dir)
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    // candidate generation joins 24 B/row band buckets; the fat
-    // signature arrays attach afterwards. If signatures rode the
-    // band join, the projection above the band exchange would carry
-    // the signature column.
-    val bandJoinSide = plan.linesIterator
-      .filter(_.contains("hashpartitioning(band"))
-    assert(bandJoinSide.forall(!_.contains("signature")),
-      "signature arrays must not ride the band-bucket shuffle")
+    // At spec scale AQE broadcasts the index side and no band exchange
+    // exists at all (the old assertion was vacuously true). Force the
+    // at-scale physical shape — sort-merge band join — so the property
+    // actually materializes, then assert on it.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("dedup_incremental")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // candidate generation joins 24 B/row band buckets; the fat
+      // signature arrays attach afterwards. If signatures rode the
+      // band join, the projection above the band exchange would carry
+      // the signature column.
+      val bandJoinSide = plan.linesIterator
+        .filter(_.contains("hashpartitioning(band")).toSeq
+      assert(bandJoinSide.nonEmpty,
+        s"expected a band-bucket exchange in the plan:\n$plan")
+      assert(bandJoinSide.forall(!_.contains("signature")),
+        "signature arrays must not ride the band-bucket shuffle")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("inventory sweep: every query plans; no unbounded cartesian products") {

@@ -40,6 +40,32 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(viol == 0, "consecutive row numbers follow the sort order")
   }
 
+  test("reliable-checkpoint variant: ranks survive a recompute after unpersist") {
+    // localCheckpoint blocks live on executors: lose them and the
+    // recompute re-samples the range boundaries, shearing the offsets.
+    // The reliable variant reads the pinned partitioning back from the
+    // checkpoint dir, so dropping every in-memory block and re-running
+    // the SAME plan must still yield the identical dense ranking.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val df = corpus
+    val rn = ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8,
+      checkpoint = d => d.checkpoint())
+    val first = rn.collect().map(_.toSeq).toSet
+    // simulate executor-loss-and-recompute: drop every cached block
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val second = rn.collect().map(_.toSeq).toSet
+    assert(first == second, "ranks must be identical after block loss")
+    val dense = rn.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), countDistinct("rn").as("d"),
+        min("rn").as("mn"), max("rn").as("mx")).collect()
+    dense.foreach { r =>
+      assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n")
+        && r.getAs[Long]("d") == r.getAs[Long]("n"), s"dense per group: $r")
+    }
+  }
+
   test("distributed rank-family path equals the window operator, ties included") {
     val df = corpus.cache()
     try {

@@ -90,6 +90,48 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(verdicts(12L) == ((true, Some(1L))))
   }
 
+  test("streaming incremental dedup: prebuilt index + parameter passthrough") {
+    // the production shape: the index is materialized once (here:
+    // built + persisted; in production: written/reloaded as tables)
+    // under a NON-default convention (md5 family, 16 bands), and the
+    // stream must probe it with the SAME parameters — a mismatched
+    // family would see no candidates at all.
+    val tmp = Files.createTempDirectory("graft-incdedup2").toString
+    val srcDir = Files.createDirectories(java.nio.file.Paths.get(tmp, "docs"))
+    val shared = (1 to 60).map(i => s"m$i").mkString(" ")
+    val corpus = Seq(
+      (1L, shared + " ending one"),
+      (2L, (100 to 160).map(i => s"x$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val idx = graft.operators.Dedup.buildMinhashIndex(
+      corpus, "doc_id", "text", shingleK = 5, numHashes = 128,
+      bands = 16, useMd5 = true)
+    val pinned = graft.operators.Dedup.MinhashIndex(
+      idx.bands.persist(), idx.sigs.persist())
+    Files.writeString(srcDir.resolve("b1.ndjson"),
+      s"""{"doc_id": 20, "text": "$shared ending two"}
+         |{"doc_id": 21, "text": "${(300 to 360).map(i => s"y$i").mkString(" ")}"}
+         |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val verdicts = scala.collection.mutable.Map[Long, (Boolean, Option[Long])]()
+    val q = StreamingIngest.incrementalDedupStream(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, schema),
+      pinned, "doc_id", "text", s"$tmp/ckpt",
+      out => out.collect().foreach(r => verdicts.synchronized {
+        verdicts(r.getLong(0)) =
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))
+      }),
+      bands = 16, useMd5 = true)
+    q.awaitTermination(60000)
+    pinned.bands.unpersist(); pinned.sigs.unpersist()
+    assert(verdicts(20L) == ((true, Some(1L))))
+    assert(verdicts(21L) == ((false, None)))
+  }
+
   test("watermarked tumbling window drops too-late rows, keeps state bounded") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
