@@ -363,6 +363,83 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** One-permutation MinHash (OPH) with rotation densification —
+    * Li, Owen & Zhang, "One Permutation Hashing" (NeurIPS 2012) and
+    * Shrivastava & Li's densification (ICML 2014): instead of
+    * `numHashes` independent hash functions per shingle (the
+    * [[MinHashFromTokens]] kernel, 128 multiply-mods per shingle),
+    * each shingle is hashed ONCE; its hash picks a bin
+    * (`h % numHashes`) and contributes `h / numHashes` as the value;
+    * each bin keeps its minimum. Empty bins densify by borrowing from
+    * the nearest non-empty bin to the right (circularly), offset by
+    * `distance * 2^53` so different rotation distances never collide
+    * (values are < 2^53: both hash families fold to 60 bits and
+    * divide by numHashes ≥ 128 — see require below).
+    * Estimated Jaccard = component agreement, exactly as with the
+    * k-family signature; the estimator stays unbiased and the CPU
+    * cost of the dominant dedup kernel drops ~numHashes-fold.
+    *
+    * useMd5 switches the shingle hash to the md5-derived 60-bit value
+    * so the DuckDB oracle reproduces signatures (including the
+    * densification arithmetic) bit-for-bit; seed only affects the
+    * xxhash family. */
+  case class OnePermMinHash(child: Expression, k: Int, numHashes: Int,
+      seed: Long, useMd5: Boolean = false)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes >= 128, "OPH offset arithmetic needs numHashes >= 128")
+    private val Offset = 1L << 53
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        i += 1
+      }
+      val m = numHashes
+      val sig = Array.fill(m)(-1L)
+      val sb = new java.lang.StringBuilder()
+      def update(shingle: String): Unit = {
+        // both families fold to 60 bits so value = h / m < 2^53 and
+        // the j * 2^53 densification offsets can never collide with it
+        val h =
+          if (useMd5) md5Hex60(shingle)
+          else (org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            UTF8String.fromString(shingle), StringType, seed) & Long.MaxValue) >>> 3
+        val bin = (h % m).toInt
+        val value = h / m
+        if (sig(bin) < 0 || value < sig(bin)) sig(bin) = value
+      }
+      if (n >= k) {
+        var s = 0
+        while (s <= n - k) {
+          sb.setLength(0)
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
+          update(sb.toString)
+          s += 1
+        }
+      } else update(toks.mkString(" "))
+      // rotation densification: empty bin i borrows from the nearest
+      // non-empty bin at (i + j) % m, value offset by j * 2^53
+      val dense = new Array[Long](m)
+      var b = 0
+      while (b < m) {
+        if (sig(b) >= 0) dense(b) = sig(b)
+        else {
+          var j = 1
+          while (j < m && sig((b + j) % m) < 0) j += 1
+          dense(b) = if (j < m) sig((b + j) % m) + j * Offset else 0L
+        }
+        b += 1
+      }
+      new GenericArrayData(dense)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Rolling md5 fingerprint: lexicographic min of md5-hex over every
     * k-char window of the text (same algorithm as the SQL
     * transform+array_min form, one digest loop per row instead of 2M
@@ -880,6 +957,9 @@ object NativeExpressions {
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))
+  def oneperm_minhash(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
+      useMd5: Boolean = false): Column =
+    ExpressionUtils.column(OnePermMinHash(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))
   def hyperplane_buckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
       seed: Int = 42): Column =
     ExpressionUtils.column(HyperplaneBuckets(
@@ -918,6 +998,8 @@ object NativeExpressions {
       es => WordShingles(es.head, 5), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_from_tokens",
       es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false), "scala_udf")
+    reg.createOrReplaceTempFunction("oneperm_minhash",
+      es => OnePermMinHash(es.head, 5, 128, 42L, useMd5 = false), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42), "scala_udf")
     reg.createOrReplaceTempFunction("pii_scan",
@@ -952,6 +1034,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       es => WordShingles(es.head, 5)))
     e.injectFunction((FunctionIdentifier("minhash_from_tokens"), info("minhash_from_tokens"),
       es => MinHashFromTokens(es.head, 5, 128, 42L, useMd5 = false)))
+    e.injectFunction((FunctionIdentifier("oneperm_minhash"), info("oneperm_minhash"),
+      es => OnePermMinHash(es.head, 5, 128, 42L, useMd5 = false)))
     e.injectFunction((FunctionIdentifier("hyperplane_buckets"), info("hyperplane_buckets"),
       es => HyperplaneBuckets(es.head, 64, 8, 4, 42)))
     e.injectFunction((FunctionIdentifier("pii_scan"), info("pii_scan"),

@@ -50,20 +50,37 @@ object Dedup {
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** (doc id, minhash signature array, shingle count). Signature i is
-    * min over shingles of ((a_i * h + b_i) mod p), h = xxhash64 of the
-    * shingle folded into [0, p). Computed ROW-LOCAL by a native
-    * Catalyst expression (graft.functions.NativeExpressions) — no
-    * shingle explode, no shuffle at all in the signature stage. */
+  /** (doc id, minhash signature array, shingle count). Computed
+    * ROW-LOCAL by a native Catalyst expression
+    * (graft.functions.NativeExpressions) — no shingle explode, no
+    * shuffle at all in the signature stage.
+    *
+    * Two signature kernels, same banding/verification downstream:
+    *   - oph = true (DEFAULT, the fast path): one-permutation hashing
+    *     with rotation densification — ONE hash per shingle, the
+    *     hash's bin keeps the running min. ~numHashes× less CPU on
+    *     the dominant dedup kernel at identical sketch quality
+    *     (estimator unbiased; spec'd error bound in MinHashOphSpec).
+    *   - oph = false (the k-hash-family form): signature i is min
+    *     over shingles of ((a_i * h + b_i) mod p). Kept for sketch
+    *     compatibility with indexes built before OPH and for the
+    *     pinned dedup_minhash / dedup_incremental oracles.
+    * Signatures from the two kernels are NOT mutually comparable —
+    * an index must be probed with the kernel that built it. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
-                        seed: Long = 42L, useMd5: Boolean = false): DataFrame =
+                        seed: Long = 42L, useMd5: Boolean = false,
+                        oph: Boolean = true): DataFrame = {
+    val sigExpr =
+      if (oph) graft.functions.NativeExpressions
+        .oneperm_minhash(col("__t"), shingleK, numHashes, seed, useMd5)
+      else graft.functions.NativeExpressions
+        .minhash_from_tokens(col("__t"), shingleK, numHashes, seed, useMd5)
     df.select(col(idCol), tokens(col(textCol)).as("__t"))
-      .select(col(idCol),
-        graft.functions.NativeExpressions
-          .minhash_from_tokens(col("__t"), shingleK, numHashes, seed, useMd5).as("signature"),
+      .select(col(idCol), sigExpr.as("signature"),
         size(graft.functions.NativeExpressions.word_shingles(col("__t"), shingleK))
           .cast("long").as("n_shingles"))
+  }
 
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * bands must divide numHashes; a pair is a candidate iff some band
@@ -90,10 +107,20 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
-                   maxBucketSize: Int = 10000, useMd5: Boolean = false): DataFrame = {
+                   maxBucketSize: Int = 10000, useMd5: Boolean = false,
+                   oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    // The signature table feeds FIVE consumers (bucket-size agg, the
+    // anti-join, both self-join sides, and the est-Jaccard joins);
+    // without pinning, each one re-runs the hash kernel over the whole
+    // corpus — measured 5-6 corpus scans per query. A lazy local
+    // checkpoint materializes the sketch once (~1 KB/doc — the same
+    // artifact buildMinhashIndex hands to callers to store as a table)
+    // and every consumer reads blocks. Deterministic kernel, so a
+    // block-loss recompute cannot change values.
+    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+      .localCheckpoint(eager = false)
 
     val banded = bandBuckets(sigs, idCol, bands, rows, useMd5)
 
@@ -125,9 +152,10 @@ object Dedup {
     * (Single LSH pass — transitive closure would iterate this plan.) */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7, useMd5: Boolean = false): DataFrame = {
+                   threshold: Double = 0.7, useMd5: Boolean = false,
+                   oph: Boolean = true): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
-      threshold, useMd5 = useMd5)
+      threshold, useMd5 = useMd5, oph = oph)
     val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
       .agg(min("doc_a").as("__nb"))
     df.select(col(idCol))
@@ -296,8 +324,9 @@ object Dedup {
     * collapse to one group (cf. minhashDedup, which is one hop). */
   def minhashDedupGroups(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                         threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold)
+                         threshold: Double = 0.7, oph: Boolean = true): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands, threshold,
+      oph = oph)
     val comp = connectedComponents(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", idCol)
     df.select(col(idCol))
@@ -394,10 +423,14 @@ object Dedup {
   def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
                         bands: Int = 32, seed: Long = 42L,
-                        useMd5: Boolean = false): MinhashIndex = {
+                        useMd5: Boolean = false, oph: Boolean = true): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    // pinned for the same reason as in minhashPairs: bands + sigs are
+    // two consumers of one kernel pass (callers persist/write the
+    // returned tables for anything longer-lived than one probe)
+    val sigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+      .localCheckpoint(eager = false)
     MinhashIndex(
       bandBuckets(sigs, idCol, bands, rows, useMd5),
       sigs.select(col(idCol).as("doc"), col("signature")))
@@ -411,10 +444,11 @@ object Dedup {
                                 idCol: String, textCol: String,
                                 shingleK: Int = 5, numHashes: Int = 128,
                                 bands: Int = 32, threshold: Double = 0.7,
-                                seed: Long = 42L, useMd5: Boolean = false): DataFrame = {
+                                seed: Long = 42L, useMd5: Boolean = false,
+                                oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5)
+    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
     val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))
     val probe = bandBuckets(inSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__in"))
@@ -435,10 +469,11 @@ object Dedup {
                          idCol: String, textCol: String,
                          shingleK: Int = 5, numHashes: Int = 128,
                          bands: Int = 32, threshold: Double = 0.7,
-                         seed: Long = 42L, useMd5: Boolean = false): DataFrame =
+                         seed: Long = 42L, useMd5: Boolean = false,
+                         oph: Boolean = true): DataFrame =
     minhashIncrementalAgainst(
-      buildMinhashIndex(existing, idCol, textCol, shingleK, numHashes, bands, seed, useMd5),
-      incoming, idCol, textCol, shingleK, numHashes, bands, threshold, seed, useMd5)
+      buildMinhashIndex(existing, idCol, textCol, shingleK, numHashes, bands, seed, useMd5, oph),
+      incoming, idCol, textCol, shingleK, numHashes, bands, threshold, seed, useMd5, oph)
 
   // ---- exact substring spans --------------------------------------
 

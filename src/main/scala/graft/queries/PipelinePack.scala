@@ -547,7 +547,8 @@ object PipelinePack {
       val bucket = graft.functions.TextFunctions.splitBucket(col("doc_id"))
       graft.operators.Dedup.minhashIncremental(
         d.filter(bucket < 80), d.filter(bucket >= 80), "doc_id", "text",
-        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true,
+        oph = false) // pinned to the k-family this oracle replicates
     },
 
     // Corpus diagnostics: doc-length histogram in order-of-magnitude

@@ -79,7 +79,63 @@ object TrainingOps {
         |FROM documents d LEFT JOIN nb USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
-        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true)
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true,
+        oph = false) // pinned to the k-family this oracle replicates
+    },
+
+    // One-permutation MinHash (Li et al. 2012) with rotation
+    // densification (Shrivastava & Li 2014) — the fast default kernel:
+    // ONE hash per shingle picks a bin (h % 128) and contributes
+    // h // 128 as the value; empty bins borrow circularly with a
+    // j * 2^53 offset. The md5 family makes the whole pipeline —
+    // binning, densification arithmetic, banding, est-Jaccard —
+    // bit-replicable in DuckDB, so the ~128× cheaper kernel gets the
+    // same full value oracle as the k-family form above.
+    QueryDef(
+      "dedup_minhash_oph",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), hs AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h FROM sh
+        |), bins AS (
+        |  SELECT doc_id, h % 128 AS b, min(h // 128) AS c FROM hs GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT d.doc_id, r.i
+        |  FROM (SELECT DISTINCT doc_id FROM bins) d, range(0, 128) r(i)
+        |), dense AS (
+        |  SELECT g.doc_id, g.i,
+        |    arg_min(s.c, (s.b - g.i + 128) % 128)
+        |      + min((s.b - g.i + 128) % 128) * 9007199254740992 AS v
+        |  FROM grid g JOIN bins s USING (doc_id) GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, list(v ORDER BY i) AS sig FROM dense GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS bucket
+        |  FROM sig, range(0, 32) b(band)
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |), est AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    list_sum(list_transform(range(1, 129),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 128.0 AS ej
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b
+        |), nb AS (
+        |  SELECT doc_b AS doc_id, min(doc_a) AS mn FROM est WHERE ej >= 0.7 GROUP BY 1
+        |)
+        |SELECT d.doc_id, least(d.doc_id, coalesce(nb.mn, d.doc_id)) AS dup_group
+        |FROM documents d LEFT JOIN nb USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      Dedup.minhashDedup(docs(s, dir), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.7, useMd5 = true,
+        oph = true)
     },
 
     // SimHash dedup, also fully oracled: banded candidates have exact

@@ -83,14 +83,15 @@ object StreamingIngest {
                              trigger: Trigger = Trigger.AvailableNow(),
                              shingleK: Int = 5, numHashes: Int = 128,
                              bands: Int = 32, threshold: Double = 0.7,
-                             seed: Long = 42L, useMd5: Boolean = false): StreamingQuery =
+                             seed: Long = 42L, useMd5: Boolean = false,
+                             oph: Boolean = true): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         sink(graft.operators.Dedup.minhashIncrementalAgainst(
           index, batch, idCol, textCol,
-          shingleK, numHashes, bands, threshold, seed, useMd5))
+          shingleK, numHashes, bands, threshold, seed, useMd5, oph))
       }
       .start()
 
