@@ -540,6 +540,36 @@ object Dedup {
       .drop("__isl")
   }
 
+  /** Variable-length duplicated-run report — the maximal-run form of
+    * Lee et al.'s suffix-array dedup (their ExactSubstr finds repeated
+    * runs of AT LEAST some length; the fixed-k form above only knows
+    * "covered or not"). Adjacent/overlapping duplicated k-gram anchors
+    * merge into maximal islands (the shared [[mergedSpanIslands]]
+    * machinery), and each island's LENGTH is the length of the maximal
+    * duplicated run it witnesses: a 25-word run shared verbatim
+    * between two docs yields 16 anchored 10-grams whose union is
+    * exactly the 25-word interval. Per doc: the longest such run and
+    * how many maximal runs reach `minRun` words — the thresholded
+    * signal pipelines use to cut or drop (k bounds the minimum
+    * detectable run; minRun ≥ k is the reporting threshold).
+    *
+    * Output: (idCol, n_words, longest_run, n_runs_min), one row per
+    * doc; docs with no cross-doc duplicated run report (0, 0). */
+  def substringRuns(df: DataFrame, idCol: String, textCol: String,
+                    k: Int, minRun: Int): DataFrame = {
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val runs = mergedSpanIslands(toks, idCol, k)
+      .select(col(idCol), (col("__e") - col("__s") + 1).as("__len"))
+    val agg = runs.groupBy(idCol).agg(
+      max("__len").as("__longest"),
+      sum(when(col("__len") >= minRun, 1L).otherwise(0L)).as("__n"))
+    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol), col("n_words"),
+        coalesce(col("__longest"), lit(0L)).as("longest_run"),
+        coalesce(col("__n"), lit(0L)).as("n_runs_min"))
+  }
+
   /** The transformation [[substringSpans]] is the signal for: CUT every
     * cross-doc duplicated k-word run out of the text (Lee et al. remove
     * the repeated substring from all but one occurrence or all — this

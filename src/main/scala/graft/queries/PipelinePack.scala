@@ -363,6 +363,49 @@ object PipelinePack {
       graft.operators.Dedup.substringDedupRewrite(docs(s, dir), "doc_id", "text", k = 10)
     },
 
+    // Variable-length duplicated runs (the maximal-run form of the
+    // suffix-array dedup signal): adjacent duplicated 10-gram anchors
+    // merge into maximal islands whose lengths ARE the run lengths;
+    // per doc, the longest run and the count of runs >= 20 words.
+    QueryDef(
+      "dedup_substring_runs",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), g AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+9], ' ') AS g
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 8)) AS i
+        |        FROM t WHERE len(w) >= 10) u
+        |), dup AS (
+        |  SELECT g FROM g GROUP BY g HAVING min(doc_id) <> max(doc_id)
+        |), cov AS (
+        |  SELECT doc_id, CAST(pos AS BIGINT) AS s, CAST(pos + 9 AS BIGINT) AS e
+        |  FROM g JOIN dup USING (g)
+        |), isl AS (
+        |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+        |      PARTITION BY doc_id ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS nw
+        |  FROM cov
+        |), num AS (
+        |  SELECT doc_id, s, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+        |  FROM isl
+        |), runs AS (
+        |  SELECT doc_id, max(e) - min(s) + 1 AS len FROM num GROUP BY doc_id, isl
+        |), agg AS (
+        |  SELECT doc_id, max(len) AS longest_run,
+        |    CAST(sum(CASE WHEN len >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |  FROM runs GROUP BY 1
+        |)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+        |  coalesce(a.longest_run, 0) AS longest_run,
+        |  coalesce(a.n_runs, 0) AS n_runs_min
+        |FROM t LEFT JOIN agg a USING (doc_id)
+        |""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.substringRuns(docs(s, dir), "doc_id", "text",
+        k = 10, minRun = 20)
+    },
+
     // Domain-mixture rebalancing by language: rates trained from the
     // observed counts against target per-mille weights, rows drawn by
     // engine-independent md5 bucket.

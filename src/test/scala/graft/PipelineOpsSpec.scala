@@ -172,6 +172,36 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(1L) == 6L)
   }
 
+  test("substringRuns: island lengths are exact maximal run lengths, thresholded") {
+    // doc1 and doc2 share a 6-word run (r1..r6) and, far apart, a
+    // 3-word run (s1 s2 s3); with k=3 the anchors merge back to runs
+    // of exactly 6 and 3 words -> longest_run 6; minRun=5 counts only
+    // the first. doc3 shares nothing.
+    val df = Seq(
+      (1L, "r1 r2 r3 r4 r5 r6 f1 f2 f3 f4 s1 s2 s3"),
+      (2L, "g1 g2 r1 r2 r3 r4 r5 r6 g3 g4 g5 s1 s2 s3"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.substringRuns(df, "doc_id", "text", k = 3, minRun = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((13L, 6L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((14L, 6L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((9L, 0L, 0L)), s"doc3: ${got(3L)}")
+  }
+
+  test("substringRuns: minRun at k counts every island; longest tracks the max") {
+    // a 4-word and a 5-word shared run: longest 5, both count at minRun=3
+    val df = Seq(
+      (1L, "a b c d z1 z2 z3 e f g h i"),
+      (2L, "a b c d y1 y2 y3 e f g h i")
+    ).toDF("doc_id", "text")
+    val got = operators.Dedup.substringRuns(df, "doc_id", "text", k = 3, minRun = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((5L, 2L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((5L, 2L)), s"doc2: ${got(2L)}")
+  }
+
   test("substringDedupRewrite: covered runs cut everywhere, survivors keep order") {
     // docs 1/2 share "a b c d" → doc1 keeps "e", doc2 keeps "x";
     // doc3 untouched; doc4 (= doc5) is ENTIRELY one duplicated run → ""
@@ -323,6 +353,7 @@ class PipelineOpsSpec extends SparkTestBase {
   test("corpus operators tolerate an empty corpus") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(operators.Dedup.substringSpans(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(operators.Dedup.substringRuns(noDocs, "doc_id", "text", 3, 5).count() == 0)
     assert(operators.Dedup.substringDedupRewrite(noDocs, "doc_id", "text", 3).count() == 0)
     assert(TextPipeline.vocabTopK(noDocs, "text", 10).count() == 0)
     assert(TextPipeline.classifierScore(noDocs, "doc_id", "text").count() == 0)
