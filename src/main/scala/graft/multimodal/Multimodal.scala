@@ -176,6 +176,148 @@ object Multimodal {
       }(enc)
   }
 
+  /** Difference-hash (dHash) over REAL decoded rasters: full pixel
+    * decode via javax.imageio, integer luma per pixel
+    * ((299r + 587g + 114b) / 1000), exact area-average down to the
+    * canonical 9×8 grid (integer sum / count per cell), then one bit
+    * per horizontal gradient: bit (y*8 + x) = 1 iff cell(x+1, y) >
+    * cell(x, y). 64 bits → one long; undecodable payloads yield a
+    * null hash. The classic perceptual near-dup fingerprint —
+    * resize-invariant by construction — and its banding/verify plan
+    * is EXACTLY [[graft.operators.Dedup.hammingPairs64]], the same
+    * 4×16-bit bands the text SimHash path uses. */
+  def dhashImages(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binaryTable.select("media_id", "payload")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+          if (img == null) Row(id, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            // exact area-average into the 9x8 grid: cell (cx, cy)
+            // covers pixel columns [cx*w/9, (cx+1)*w/9) etc., integer
+            // boundaries, so constant-block test images average exactly
+            val cell = Array.ofDim[Long](8, 9)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 9) {
+                val (x0, x1) = (cx * w / 9, math.max((cx + 1) * w / 9, cx * w / 9 + 1))
+                val (y0, y1) = (cy * h / 8, math.max((cy + 1) * h / 8, cy * h / 8 + 1))
+                var sum = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                      114L * (rgb & 0xff)) / 1000L
+                    x += 1
+                  }
+                  y += 1
+                }
+                cell(cy)(cx) = sum / ((x1 - x0).toLong * (y1 - y0))
+                cx += 1
+              }
+              cy += 1
+            }
+            var hash = 0L
+            var j = 0
+            while (j < 64) {
+              if (cell(j / 8)(j % 8 + 1) > cell(j / 8)(j % 8)) hash |= (1L << j)
+              j += 1
+            }
+            Row(id, hash)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode one REAL PNG per row whose dHash is a deterministic,
+    * engine-replicable function of the id — the test-image generator
+    * for the image near-dup pipeline (the container ships no image
+    * corpus, and single-color fills would make every dHash identical).
+    *
+    * Construction: ids form groups of 4 (gid = id - id % 4). A group's
+    * 64 base gradient bits come from md5("img_" + gid) (first/second
+    * 8 hex chars = two 32-bit words, bit j = word(j/32) >> (j%32));
+    * member m = id % 4 XOR-flips 0/1/2/8 bit positions derived from
+    * md5("flip_gid_m_i") % 64 — members 0-2 stay within Hamming 3 of
+    * each other (near-dups), member 3 almost surely escapes. The bits
+    * render as a 9×8 grid of constant-luma blocks, v(0,y) = 120 and
+    * v(x+1,y) = v(x,y) ± 8 by bit (range [56,184]), scaled sx×sy per
+    * block so image sizes vary while the exact block averages — and
+    * therefore the decoded dHash — stay pinned to the arithmetic the
+    * DuckDB oracle reproduces. */
+  def encodeTestPatternImages(df: DataFrame, idCol: String,
+                              sxCol: String, syCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(sxCol).cast("int").as("__sx"), col(syCol).cast("int").as("__sy"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val (sx, sy) = (r.getAs[Int]("__sx"), r.getAs[Int]("__sy"))
+          val gid = id - (id % 4)
+          val m = (id % 4).toInt
+          val hex = md5hex(s"img_$gid")
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          val bits = Array.tabulate(64) { j =>
+            (if (j < 32) (h1 >> j) & 1L else (h2 >> (j - 32)) & 1L) == 1L
+          }
+          val flips = m match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => 8 }
+          var i = 0
+          while (i < flips) {
+            val p = (java.lang.Long.parseLong(
+              md5hex(s"flip_${gid}_${m}_$i").substring(0, 6), 16) % 64).toInt
+            bits(p) = !bits(p)
+            i += 1
+          }
+          val img = new java.awt.image.BufferedImage(
+            9 * sx, 8 * sy, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          var cy = 0
+          while (cy < 8) {
+            var v = 120
+            var cx = 0
+            while (cx < 9) {
+              g.setColor(new java.awt.Color(v, v, v))
+              g.fillRect(cx * sx, cy * sy, sx, sy)
+              if (cx < 8) v += (if (bits(cy * 8 + cx)) 8 else -8)
+              cx += 1
+            }
+            cy += 1
+          }
+          g.dispose()
+          val out = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", out)
+          val bytes = out.toByteArray
+          Row(id, bytes, "image", bytes.length.toLong)
+        }
+      }(enc)
+  }
+
   val audioFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("fmt", StringType),

@@ -178,13 +178,23 @@ object Dedup {
     * at most three of the four bands, so one band always collides —
     * which is why an all-pairs Hamming oracle can verify this plan. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, useMd5: Boolean = false): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"),
-      simhash(tokens(col(textCol)), useMd5).as("sh"))
-    val banded = sigs.select(col("doc"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
-        .as(Seq("band", "bucket")))
+                   maxHamming: Int = 3, useMd5: Boolean = false): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol), simhash(tokens(col(textCol)), useMd5).as("__sh64")),
+      idCol, "__sh64", maxHamming)
+
+  /** The banding/verify core of [[simhashPairs]], over ANY 64-bit
+    * per-row fingerprint column (SimHash over tokens, dHash over
+    * image rasters, audio chroma hashes, ...): 4×16-bit band buckets
+    * generate candidates, xor+popcount verifies. Exact recall for
+    * maxHamming ≤ 3 by the pigeonhole over 4 bands. */
+  def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val banded = sigs.select(col(idCol).as("doc"), col(hashCol).as("sh"))
+      .select(col("doc"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
+          .as(Seq("band", "bucket")))
     val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
     // Hamming-verify BEFORE the pair dedup: short docs make 16-bit

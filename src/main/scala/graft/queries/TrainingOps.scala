@@ -590,6 +590,59 @@ object TrainingOps {
         .select(col("media_id"), col("fmt"), col("width"), col("height"))
     },
 
+    // Image NEAR-DUP dedup over real rasters: PNGs are rendered whose
+    // 9×8 block-luma gradient signs encode an md5-derived bit pattern
+    // (groups of 4 ids; members XOR-flip 0/1/2/8 positions), dHash
+    // decodes ACTUAL PIXELS back (luma → exact area-average → gradient
+    // sign), and near-dup pairs come from the same 4×16-bit Hamming
+    // banding the text SimHash path uses. The oracle recomputes the
+    // bit arithmetic — it can only match if the render/decode
+    // round-trip through real image bytes is genuine. Members 0-2 of
+    // each group land within Hamming 3 (found); member 3 escapes.
+    QueryDef(
+      "mm_dedup_image",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - (doc_id % 4) AS gid, doc_id % 4 AS m
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, gid, m,
+        |    CAST('0x' || substr(md5('img_' || gid), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5('img_' || gid), 9, 8) AS BIGINT) AS h2
+        |  FROM d
+        |), bits AS (
+        |  SELECT doc_id, j.j,
+        |    CAST(CASE WHEN j.j < 32 THEN (h1 >> j.j) & 1
+        |              ELSE (h2 >> (j.j - 32)) & 1 END AS BIGINT) AS bit
+        |  FROM base, range(0, 64) j(j)
+        |), fl AS (
+        |  SELECT d.doc_id,
+        |    CAST('0x' || substr(md5('flip_' || gid || '_' || m || '_' || i.i), 1, 6) AS BIGINT) % 64 AS p
+        |  FROM d, range(0, 8) i(i)
+        |  WHERE i.i < (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END)
+        |), fc AS (
+        |  SELECT doc_id, p, count(*) AS c FROM fl GROUP BY 1, 2
+        |), fb AS (
+        |  SELECT b.doc_id, b.j,
+        |    CASE WHEN coalesce(fc.c, 0) % 2 = 1 THEN 1 - b.bit ELSE b.bit END AS bit
+        |  FROM bits b LEFT JOIN fc ON fc.doc_id = b.doc_id AND fc.p = b.j
+        |), hs AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN bit = 1 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS h
+        |  FROM fb GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(1) + pmod(col("doc_id"), lit(3))).as("__sx"),
+        (lit(1) + pmod(col("n_chars"), lit(3))).as("__sy"))
+      val images = Multimodal.encodeTestPatternImages(d, "doc_id", "__sx", "__sy")
+      Dedup.hammingPairs64(Multimodal.dhashImages(s, images), "media_id", "dhash",
+        maxHamming = 3)
+    },
+
     // Real WAV round-trip, same contract as mm_decode_image: Spark
     // ENCODES genuine RIFF/PCM clips with id-derived parameters and
     // DECODES them via javax.sound.sampled; the oracle recomputes the

@@ -390,6 +390,41 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(r.isNullAt(r.fieldIndex("fmt")) && r.isNullAt(r.fieldIndex("width")))
   }
 
+  test("image dHash: scale-invariant on real rasters, group structure detected") {
+    import spark.implicits._
+    // same id at three block scales → identical dHash (the exact
+    // area-average must undo the upscaling); different group → far
+    val h = (for ((id, sx, sy) <- Seq((4L, 1, 1), (4L, 3, 2), (4L, 2, 3), (8L, 1, 1))) yield {
+      val one = Seq((id, sx, sy)).toDF("id", "sx", "sy")
+      val img = Multimodal.encodeTestPatternImages(one, "id", "sx", "sy")
+      val out = Multimodal.dhashImages(spark, img).collect().head
+      (id, sx, sy, out.getLong(1))
+    })
+    val id4 = h.filter(_._1 == 4L).map(_._4).distinct
+    assert(id4.size == 1, s"dHash must be invariant to block scale: $h")
+    val id8 = h.find(_._1 == 8L).get._4
+    assert(java.lang.Long.bitCount(id4.head ^ id8) > 10,
+      "different groups must be far in Hamming space")
+  }
+
+  test("image dHash near-dup groups: members 0-2 pair up, member 3 escapes") {
+    import spark.implicits._
+    // one full group (ids 100..103) + one unrelated group (ids 200..203)
+    val df = (Seq(100L, 101L, 102L, 103L, 200L, 201L) map (i => (i, 1 + (i % 3).toInt, 1)))
+      .toDF("id", "sx", "sy")
+    val imgs = Multimodal.encodeTestPatternImages(df, "id", "sx", "sy")
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      Multimodal.dhashImages(spark, imgs), "media_id", "dhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 102L))
+      && pairs.contains((101L, 102L)), s"in-group near-dups: $pairs")
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L),
+      s"member 3 (8 flips) must escape: $pairs")
+    assert(pairs.contains((200L, 201L)))
+    assert(!pairs.exists(p => p._1 < 200L && p._2 >= 200L),
+      s"no cross-group pairs: $pairs")
+  }
+
   test("audio decode is real: wav round-trip rate/channels/frames; garbage -> nulls") {
     import spark.implicits._
     val params = Seq((1L, 8000, 1, 120), (2L, 16000, 2, 77), (3L, 44100, 1, 441))
