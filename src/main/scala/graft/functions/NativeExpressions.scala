@@ -440,6 +440,64 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Split a string into per-code-point strings — the BPE initial
+    * alphabet. Code points (not UTF-16 units): engines that index
+    * strings by character (DuckDB `w[i:i]`, Python) see code points,
+    * so surrogate pairs must stay whole for cross-engine equality. */
+  case class CodepointSplit(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val out = new scala.collection.mutable.ArrayBuffer[UTF8String](s.length)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += UTF8String.fromString(s.substring(i, i + n))
+        i += n
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** One BPE merge step applied to a symbol array: every left-to-right
+    * NON-OVERLAPPING adjacent occurrence of (left, right) becomes the
+    * concatenated symbol (greedy from the left — in a run like "aaa"
+    * under merge (a,a), the first pair wins and the tail survives,
+    * matching the alternate-position-within-run form the SQL oracle
+    * computes with windows). */
+  case class BpeMergeStep(child: Expression, left: String, right: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    @transient private lazy val merged = left + right
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val out = new scala.collection.mutable.ArrayBuffer[UTF8String](n)
+      var i = 0
+      while (i < n) {
+        val cur = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        if (i < n - 1 && cur == left) {
+          val nxt = if (arr.isNullAt(i + 1)) "" else arr.getUTF8String(i + 1).toString
+          if (nxt == right) {
+            out += UTF8String.fromString(merged)
+            i += 2
+          } else {
+            out += UTF8String.fromString(cur)
+            i += 1
+          }
+        } else {
+          out += UTF8String.fromString(cur)
+          i += 1
+        }
+      }
+      new GenericArrayData(out.toArray[Any])
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Rolling md5 fingerprint: lexicographic min of md5-hex over every
     * k-char window of the text (same algorithm as the SQL
     * transform+array_min form, one digest loop per row instead of 2M
@@ -960,6 +1018,10 @@ object NativeExpressions {
   def oneperm_minhash(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(OnePermMinHash(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))
+  def codepoint_split(s: Column): Column =
+    ExpressionUtils.column(CodepointSplit(ExpressionUtils.expression(s)))
+  def bpe_merge_step(sym: Column, left: String, right: String): Column =
+    ExpressionUtils.column(BpeMergeStep(ExpressionUtils.expression(sym), left, right))
   def hyperplane_buckets(vec: Column, dim: Int, nPlanes: Int, nTables: Int,
       seed: Int = 42): Column =
     ExpressionUtils.column(HyperplaneBuckets(

@@ -262,4 +262,93 @@ object TextPipeline {
         floor(col("__cum") / seqLen).cast("long").as("seq_id"),
         pmod(col("__cum"), lit(seqLen.toLong)).as("seq_offset"))
   }
+
+  // ---- byte-pair encoding ------------------------------------------
+
+  /** Deterministic BPE (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units"): greedy highest-count adjacent
+    * symbol-pair merges, ties broken by lexicographically smallest
+    * (left, right). Pair counts include every adjacent position
+    * (so "aaa" counts (a,a) twice); merge application is greedy
+    * left-to-right non-overlapping. Both rules are engine-replicable,
+    * which is what makes the whole training loop value-oracle-able.
+    *
+    * SCALE SHAPE: the corpus is touched ONCE (word counts); all
+    * `numMerges` iterations run on the DISTINCT-WORD table — vocab-
+    * sized, not corpus-sized — with the symbol arrays advanced by one
+    * row-local native merge step per round and re-pinned so iteration
+    * r+1 never replays rounds 1..r. The chosen merge is a 1-row
+    * argmax collect per round (the merge TABLE is the driver-sized
+    * training artifact, like any trained model).
+    *
+    * Returns (vocab after all merges, merge table rows
+    * (merge_rank, lhs, rhs, pair_count)). */
+  private[graft] def bpeTrainCore(corpus: DataFrame, textCol: String,
+                                  numMerges: Int):
+      (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val ne = graft.functions.NativeExpressions
+    var words = corpus
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"), ne.codepoint_split(col("w")).as("sym"))
+      .localCheckpoint(eager = false)
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 0
+    var exhausted = false
+    while (r < numMerges && !exhausted) {
+      val top = words
+        .select(col("c"),
+          explode(zip_with(
+            slice(col("sym"), lit(1), greatest(size(col("sym")) - 1, lit(0))),
+            slice(col("sym"), lit(2), greatest(size(col("sym")) - 1, lit(0))),
+            (l, rr) => struct(l.as("lhs"), rr.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("c").as("pc"))
+        .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r + 1L, l, rr, pc))
+        words = words
+          .withColumn("sym", ne.bpe_merge_step(col("sym"), l, rr))
+          .localCheckpoint(eager = false)
+        r += 1
+      }
+    }
+    (words, merges.toSeq)
+  }
+
+  /** The trained merge table: (merge_rank, lhs, rhs, pair_count), one
+    * row per merge in training order. */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    bpeTrainCore(corpus, textCol, numMerges)._2
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Tokenize the corpus under the trained merges: per doc, the word
+    * count and total BPE token count. Per-word token counts come from
+    * the trained vocab table (distinct words), so the corpus-side work
+    * is one word explode + one word-count-shaped join — the merges
+    * never re-run over full documents.
+    *
+    * Output: (idCol, n_words, n_bpe), zero for whitespace-only docs. */
+  def bpeEncode(corpus: DataFrame, idCol: String, textCol: String,
+                numMerges: Int): DataFrame = {
+    val (vocab, _) = bpeTrainCore(corpus, textCol, numMerges)
+    val perWord = vocab.select(col("w"), size(col("sym")).cast("long").as("__ns"))
+    val docWords = corpus.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val agg = docWords.join(perWord, "w")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__nw"), sum("__ns").as("__nb"))
+    corpus.select(col(idCol)).join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nb"), lit(0L)).as("n_bpe"))
+  }
 }

@@ -20,6 +20,61 @@ object PipelinePack {
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "events")
 
+  /** The BPE training loop as unrolled DuckDB CTEs: per round, pair
+    * counts over the distinct-word symbol table, the argmax merge
+    * (ties lexicographic), greedy-left-to-right application via the
+    * consecutive-run/alternate-position window trick (a match at i is
+    * taken iff its offset within its run of consecutive matches is
+    * even — exactly the greedy semantics, since runs only form when
+    * lhs = rhs). Shared by the train and encode oracles.
+    *
+    * Every multi-consumer CTE is AS MATERIALIZED: s{r} feeds three
+    * round-(r+1) consumers, so inlining re-expands the whole prefix
+    * 3^rounds times — the un-hinted form never finished at sf0.01. */
+  private def bpeCtes(n: Int): String = {
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) u
+        |  WHERE w <> '' GROUP BY 1
+        |), s0 AS MATERIALIZED (
+        |  SELECT w, c, list_transform(range(1, length(w) + 1), i -> w[i:i]) AS sym
+        |  FROM w0
+        |)""".stripMargin
+    head + (1 to n).map { r =>
+      s""", p$r AS (
+         |  SELECT sym[i] AS lhs, sym[i + 1] AS rhs, CAST(sum(c) AS BIGINT) AS pc
+         |  FROM (SELECT c, sym, unnest(range(1, len(sym))) AS i FROM s${r - 1}) u
+         |  GROUP BY 1, 2
+         |), m$r AS MATERIALIZED (
+         |  SELECT lhs, rhs, pc FROM p$r ORDER BY pc DESC, lhs, rhs LIMIT 1
+         |), mt$r AS (
+         |  SELECT u.w, u.i
+         |  FROM (SELECT w, sym, unnest(range(1, len(sym))) AS i FROM s${r - 1}) u, m$r
+         |  WHERE u.sym[u.i] = m$r.lhs AND u.sym[u.i + 1] = m$r.rhs
+         |), g$r AS (
+         |  SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+         |  FROM mt$r
+         |), sel$r AS MATERIALIZED (
+         |  SELECT w, i FROM (
+         |    SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS mn FROM g$r) t
+         |  WHERE (i - mn) % 2 = 0
+         |), rb$r AS (
+         |  SELECT s.w, s.c, s.i,
+         |    CASE WHEN sj.i IS NOT NULL THEN s.sym[s.i] || s.sym[s.i + 1]
+         |         ELSE s.sym[s.i] END AS tok,
+         |    sp.i IS NOT NULL AS skip
+         |  FROM (SELECT w, c, sym, unnest(range(1, len(sym) + 1)) AS i FROM s${r - 1}) s
+         |  LEFT JOIN sel$r sj ON sj.w = s.w AND sj.i = s.i
+         |  LEFT JOIN sel$r sp ON sp.w = s.w AND sp.i = s.i - 1
+         |), s$r AS MATERIALIZED (
+         |  SELECT w, c, list(tok ORDER BY i) AS sym FROM rb$r WHERE NOT skip GROUP BY 1, 2
+         |)""".stripMargin
+    }.mkString
+  }
+
+  private val BpeMerges = 6
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- behavioral analytics -------------------------------------
@@ -451,6 +506,45 @@ object PipelinePack {
         |FROM top, tot
         |""".stripMargin) { (s, dir) =>
       TextPipeline.vocabTopK(docs(s, dir), "text", k = 256)
+    },
+
+    // Deterministic BPE training: greedy highest-count merges, ties
+    // lexicographic; pair counts over the distinct-word table. The
+    // merge table is the trained artifact a real tokenizer pipeline
+    // ships; DuckDB replays all rounds via unrolled CTEs, so counts
+    // AND the chosen merges are value-checked.
+    QueryDef(
+      "text_bpe_train",
+      bpeCtes(BpeMerges) +
+        (1 to BpeMerges).map { r =>
+          s"""
+             |SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, pc AS pair_count
+             |FROM m$r""".stripMargin
+        }.mkString("\n", "\nUNION ALL", "\n")) { (s, dir) =>
+      TextPipeline.bpeTrain(docs(s, dir), "text", numMerges = BpeMerges)
+    },
+
+    // Tokenization under the trained merges: per doc, words and total
+    // BPE tokens. Corpus-side work is one word-count-shaped join
+    // against the trained vocab — the merge loop never touches
+    // full documents.
+    QueryDef(
+      "text_bpe_encode",
+      bpeCtes(BpeMerges) +
+        s""", vx AS (
+           |  SELECT w, CAST(len(sym) AS BIGINT) AS ns FROM s$BpeMerges
+           |), dw AS (
+           |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+           |), dj AS (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           |    CAST(sum(ns) AS BIGINT) AS n_bpe
+           |  FROM dw JOIN vx USING (w) GROUP BY 1
+           |)
+           |SELECT d.doc_id, coalesce(dj.n_words, 0) AS n_words,
+           |  coalesce(dj.n_bpe, 0) AS n_bpe
+           |FROM documents d LEFT JOIN dj USING (doc_id)
+           |""".stripMargin) { (s, dir) =>
+      TextPipeline.bpeEncode(docs(s, dir), "doc_id", "text", numMerges = BpeMerges)
     },
 
     // Int8 scalar quantization of the embedding corpus: per-dimension

@@ -350,6 +350,67 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 150000L)))
   }
 
+  test("bpeTrain: classic merge sequence on a hand-computed corpus") {
+    // corpus: "aaab" x3, "ab" x2 (as repeated words in docs)
+    // round 1 pairs: (a,a): 2 per "aaab" x3 = 6; (a,b): 3+2 = 5
+    //   -> merge (a,a) pc=6; "aaab" -> [aa,a,b], "ab" -> [a,b]
+    // round 2 pairs: (aa,a) 3, (a,b) 3+2=5 -> merge (a,b) pc=5
+    //   "aaab" -> [aa,ab]... wait: [aa,a,b] has pairs (aa,a),(a,b) ->
+    //   merge (a,b): [aa,ab]; "ab" -> [ab]
+    // round 3 pairs: (aa,ab) 3 -> merge (aa,ab) pc=3
+    val df = Seq(
+      (1L, "aaab aaab"),
+      (2L, "aaab ab"),
+      (3L, "ab")
+    ).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(df, "text", numMerges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(merges.toSeq == Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 5L), (3L, "aa", "ab", 3L)), s"got ${merges.toSeq}")
+  }
+
+  test("bpeTrain: tie on count breaks to the lexicographically smallest pair") {
+    // "xy" x2 and "ab" x2: counts tie at 2, (a,b) < (x,y)
+    val df = Seq((1L, "xy ab"), (2L, "ab xy")).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(df, "text", numMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq == Seq(("a", "b")))
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(df, "text", numMerges = 5)
+    assert(merges.count() == 0, "single-char words have no pairs to merge")
+  }
+
+  test("bpeEncode: token counts match the hand-traced merges") {
+    // after 3 merges above: "aaab" -> [aaab] wait round3 merged
+    // (aa,ab) -> "aaab" is ONE token; "ab" -> [ab] one token
+    val df = Seq(
+      (1L, "aaab aaab"),
+      (2L, "aaab ab"),
+      (3L, "ab"),
+      (4L, " ")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.bpeEncode(df, "doc_id", "text", numMerges = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)), s"doc1 ${out(1L)}") // two words, one token each
+    assert(out(2L) == ((2L, 2L)), s"doc2 ${out(2L)}")
+    assert(out(3L) == ((1L, 1L)), s"doc3 ${out(3L)}")
+    assert(out(4L) == ((0L, 0L)), s"whitespace-only doc ${out(4L)}")
+  }
+
+  test("bpe greedy merge matches the run/alternate semantics on self-pairs") {
+    // "aaaa" under merge (a,a): greedy -> [aa,aa]; "aaa" -> [aa,a]
+    val df = Seq((1L, "aaaa aaa aaaa aaa aaa")).toDF("doc_id", "text")
+    // 1 merge: pairs (a,a): 3x2 + 2x3 = 12 -> merge (a,a)
+    val enc = TextPipeline.bpeEncode(df, "doc_id", "text", numMerges = 1)
+      .collect().head
+    // aaaa -> 2 tokens x2, aaa -> 2 tokens x3 -> 10 tokens, 5 words
+    assert((enc.getLong(1), enc.getLong(2)) == ((5L, 10L)), s"got $enc")
+  }
+
   test("corpus operators tolerate an empty corpus") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(operators.Dedup.substringSpans(noDocs, "doc_id", "text", 3).count() == 0)
