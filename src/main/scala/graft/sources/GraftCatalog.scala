@@ -93,6 +93,39 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     }
   }
 
+  // ---- per-table ingest dedup policy ------------------------------
+
+  private def dedupFile(db: String, table: String): Path =
+    tableDir(db, table).resolve("dedup.json")
+
+  /** Where the table's dedup index lives: two raw parquet dirs (bands,
+    * sigs) under the table dir — internal state, not user tables. */
+  def dedupIndexDir(db: String, table: String): Path =
+    tableDir(db, table).resolve("dedup_index")
+
+  def setDedupPolicy(db: String, table: String,
+                     policy: GraftCatalog.DedupPolicy): Unit = synchronized {
+    ensureTable(db, table)
+    require(policy.mode == "tag" || policy.mode == "drop",
+      s"dedup mode must be tag|drop: ${policy.mode}")
+    Files.writeString(dedupFile(db, table),
+      s"""{"textCol":${quote(policy.textCol)},"mode":${quote(policy.mode)},""" +
+        s""""threshold":${policy.threshold}}""")
+  }
+
+  def dedupPolicyOf(db: String, table: String): Option[GraftCatalog.DedupPolicy] = {
+    import graft.functions.JValue, graft.functions.JValue._
+    if (!Files.exists(dedupFile(db, table))) None
+    else JValue.parse(Files.readString(dedupFile(db, table))) match {
+      case o: JObj =>
+        Some(GraftCatalog.DedupPolicy(
+          o.get("textCol").collect { case JStr(s) => s }.get,
+          o.get("mode").collect { case JStr(s) => s }.getOrElse("tag"),
+          o.get("threshold").collect { case JNum(n) => n.toDouble }.getOrElse(0.7)))
+      case other => throw new IllegalStateException(s"bad dedup sidecar: $other")
+    }
+  }
+
   /** Append a batch: project to catalog columns (missing → NULL), cast
     * to catalog types, write parquet part-files (Hive-layout when the
     * table declares partitioning). */
@@ -211,4 +244,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+}
+
+object GraftCatalog {
+  /** Opt-in near-dup policy for the ingest path: batches probe the
+    * table's stored MinHash band index before appending. mode "tag"
+    * appends every row with (__is_dup, __dup_of) columns; mode "drop"
+    * appends survivors only. Either way only non-dup rows join the
+    * index, so re-ingesting the same document any number of times
+    * grows the index once — the reference's at-least-once-with-
+    * duplicates ingest upgraded to effectively-once. */
+  final case class DedupPolicy(textCol: String, mode: String = "tag",
+                               threshold: Double = 0.7)
 }

@@ -66,6 +66,66 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("ingest dedup policy (tag): re-ingested doc tagged over HTTP; index grows once") {
+    val (srv, base) = newServer()
+    try {
+      val shared = (1 to 40).map(i => s"dw$i").mkString(" ")
+      srv.catalog.setDedupPolicy("default", "docs_dedup",
+        graft.sources.GraftCatalog.DedupPolicy(textCol = "text", mode = "tag"))
+
+      post(s"$base/api/data/insert/docs_dedup?api_key=localkey",
+        s"""{"text": "$shared ending one", "tag": "first"}""")
+      assert(srv.drain(), "first batch drains")
+      post(s"$base/api/data/insert/docs_dedup?api_key=localkey",
+        s"""{"text": "$shared ending two", "tag": "second"}""")
+      assert(srv.drain(), "second batch drains")
+      post(s"$base/api/data/insert/docs_dedup?api_key=localkey",
+        s"""{"text": "${(100 to 140).map(i => s"zz$i").mkString(" ")}", "tag": "third"}""")
+      assert(srv.drain(), "third batch drains")
+
+      val dups = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_dedup where __is_dup order by tag", "UTF-8"))
+      assert(dups.body() == """[{"tag":"second"}]""", dups.body())
+      val kept = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_dedup where not __is_dup order by tag", "UTF-8"))
+      assert(kept.body() == """[{"tag":"first"},{"tag":"third"}]""", kept.body())
+
+      // dup_of must point at the FIRST doc's row id
+      val link = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select count(*) as n from docs_dedup a join docs_dedup b " +
+            "on a.__dup_of = b.__row_id where a.tag = 'second' and b.tag = 'first'",
+          "UTF-8"))
+      assert(link.body() == """[{"n":1}]""", link.body())
+
+      // the index holds the two survivors only — the re-ingest never joined
+      val bands = spark.read.parquet(
+        srv.catalog.dedupIndexDir("default", "docs_dedup").resolve("bands").toString)
+      assert(bands.select("doc").distinct().count() == 2,
+        "index grows once per distinct document")
+    } finally srv.stop()
+  }
+
+  test("ingest dedup policy (drop): re-ingested doc never lands in the table") {
+    val (srv, base) = newServer()
+    try {
+      val shared = (1 to 40).map(i => s"dd$i").mkString(" ")
+      srv.catalog.setDedupPolicy("default", "docs_drop",
+        graft.sources.GraftCatalog.DedupPolicy(textCol = "text", mode = "drop"))
+      post(s"$base/api/data/insert/docs_drop?api_key=localkey",
+        s"""{"text": "$shared", "tag": "a"}""")
+      assert(srv.drain())
+      post(s"$base/api/data/insert/docs_drop?api_key=localkey",
+        s"""{"text": "$shared", "tag": "a-again"}""")
+      assert(srv.drain())
+      val rows = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode("select tag from docs_drop order by tag", "UTF-8"))
+      assert(rows.body() == """[{"tag":"a"}]""", rows.body())
+    } finally srv.stop()
+  }
+
   test("destination isolation: same table name in two databases never collides") {
     val (srv, base) = newServer()
     try {
