@@ -283,6 +283,119 @@ object Similarity {
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
   }
 
+  // ---- product quantization (IVF-PQ) ------------------------------
+
+  /** Deterministic PQ codebooks (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search"): the corpus rows at
+    * `id % stride == 0` serve as the shared codeword pool; every
+    * subspace uses its own `dim/m`-wide slice of the same pool. Seeded
+    * (no Lloyd float-averaging) so ANY engine reproduces the codebook,
+    * the assignment, and the ADC values bit-for-bit — the same
+    * determinism contract as [[seedCentroids]]. */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  stride: Int): DataFrame =
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+      .select(col(idCol).as("code_id"),
+        col(vecCol).cast("array<double>").as("code_vec"))
+
+  private def subSlices(df: DataFrame, idCol: String, vecCol: String,
+                        outId: String, outVec: String, m: Int, sub: Int): DataFrame =
+    df.select(col(idCol).as(outId),
+      explode(sequence(lit(0), lit(m - 1))).as("__s"),
+      col(vecCol).cast("array<double>").as("__full"))
+      .select(col(outId), col("__s"),
+        slice(col("__full"), col("__s") * sub + 1, lit(sub)).as(outVec))
+
+  /** Squared L2 over two already-sliced subvectors — a left-to-right
+    * fold, the same evaluation order engines' list_sum uses, so
+    * assignment argmins compare identical doubles cross-engine. */
+  private def subDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ encode: m codes per vector — per subspace, the codeword
+    * minimizing squared L2, ties to the smallest code id.
+    *
+    * Plan: corpus subvector rows stream through a BROADCAST join with
+    * the (small) sliced codebook; the argmin is a map-side-combining
+    * min_by aggregation, so the only corpus-sized shuffle carries
+    * m rows per vector (the codes), never the |corpus|·|codewords|
+    * scored intermediate. Encode cost is inherently corpus×ksub —
+    * that is PQ — but it runs scan-shaped.
+    *
+    * Output: (idCol, codes array<long> of length m). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val vs = subSlices(corpus, idCol, vecCol, "__vid", "__vs", m, sub)
+    val cs = subSlices(codebooks, "code_id", "code_vec", "__cid", "__cs", m, sub)
+    vs.join(broadcast(cs), Seq("__s"))
+      .select(col("__vid"), col("__s"),
+        col("__cid"), subDist(col("__vs"), col("__cs")).as("__d"))
+      .groupBy("__vid", "__s")
+      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__c"))
+      .groupBy("__vid")
+      .agg(array_sort(collect_list(struct(col("__s"), col("__c")))).as("__sc"))
+      .select(col("__vid").as(idCol),
+        transform(col("__sc"), p => p.getField("__c")).as("codes"))
+  }
+
+  /** IVF-PQ search — the production ANN index family next to IVF-flat
+    * ([[ivfTopK]]) and IVF-SQ8 ([[quantizeInt8]]): queries route to
+    * their nProbe nearest coarse cells, and candidates within those
+    * cells are ranked by ASYMMETRIC distance — per query, one small
+    * table d(subspace, codeword) = squared L2 of the query's slice to
+    * the codeword's slice; a candidate's approximate distance is the
+    * sum of its m codes' table entries. The corpus side never touches
+    * floats at query time: codes are m small ints per vector (the
+    * 64:1-style compression PQ exists for).
+    *
+    * Per-entry distances quantize to integer micro-units
+    * (⌊d·10⁶ + ½⌋) BEFORE summing: integer sums are order-independent,
+    * so the ranking — and the DuckDB value oracle — cannot wobble on
+    * float summation order.
+    *
+    * Output: (query_id, neighbor_id, approx_dist_micro, rnk), top-k
+    * ascending per query. */
+  def ivfpqTopK(assigned: DataFrame, idCol: String, centroids: DataFrame,
+                codes: DataFrame, codebooks: DataFrame,
+                queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                k: Int, nProbe: Int, m: Int, dim: Int): DataFrame = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+        col("centroid_id"), cosine(col(queryVecCol), col("centroid_vec")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc, col("centroid_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("cell"))
+
+    val qs = subSlices(queries, queryIdCol, queryVecCol, "query_id", "__qs", m, sub)
+    val cs = subSlices(codebooks, "code_id", "code_vec", "__cid", "__cs", m, sub)
+    val dtab = qs.join(cs, Seq("__s"))
+      .select(col("query_id"), col("__s"), col("__cid"),
+        floor(subDist(col("__qs"), col("__cs")) * 1000000d + 0.5)
+          .cast("long").as("__dmic"))
+
+    val cand = assigned.select(col(idCol), col("cell"))
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol))
+      .join(codes.select(col(idCol), col("codes")), Seq(idCol))
+    val scored = cand
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("__s", "__cid")))
+      .join(broadcast(dtab), Seq("query_id", "__s", "__cid"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("__dmic").as("approx_dist_micro"))
+    scored.withColumn("rnk", row_number().over(
+      Window.partitionBy("query_id")
+        .orderBy(col("approx_dist_micro").asc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "approx_dist_micro", "rnk")
+  }
+
   /** Symmetric int8 quantization of an embedding column — the vector
     * compression step ANN indexes (IVF-SQ8, scalar-quantized HNSW)
     * run before storing 100 TB of float vectors: per DIMENSION, scale

@@ -411,6 +411,87 @@ object TrainingOps {
         "query_vec_id", "query_embedding", k = 10, nProbe = 3)
     },
 
+    // IVF-PQ: coarse cells route the query (same quantizer as
+    // ann_ivf_topk), candidates rank by asymmetric PQ distance —
+    // per-query (subspace, codeword) tables of squared L2, corpus side
+    // reduced to 8 codes/vector. Table entries quantize to integer
+    // micro-units BEFORE summing so the ranking is order-independent
+    // and DuckDB replicates codebooks, codes, and distances exactly.
+    QueryDef(
+      "ann_ivfpq_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |),
+        |cb AS (SELECT vec_id AS code_id, v AS codev FROM e WHERE vec_id % 8 = 0),
+        |vsub AS (
+        |  SELECT vec_id, s.s, e.v[s.s*8+1 : s.s*8+8] AS vs
+        |  FROM e, range(0, 8) s(s)
+        |),
+        |csub AS (
+        |  SELECT code_id, s.s, codev[s.s*8+1 : s.s*8+8] AS cs
+        |  FROM cb, range(0, 8) s(s)
+        |),
+        |enc AS (
+        |  SELECT vec_id, s, code_id FROM (
+        |    SELECT v.vec_id, v.s, c.code_id,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+        |        list_sum(list_transform(range(1, 9),
+        |          i -> (v.vs[i] - c.cs[i]) * (v.vs[i] - c.cs[i]))) ASC,
+        |        c.code_id ASC) AS r
+        |    FROM vsub v, csub c WHERE v.s = c.s) t WHERE r = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |qcells AS (
+        |  SELECT query_id, centroid_id AS cell FROM (
+        |    SELECT q.query_id, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+        |    FROM q, cent c) t WHERE r <= 3
+        |),
+        |dtab AS (
+        |  SELECT q.query_id, c.s, c.code_id,
+        |    CAST(floor(list_sum(list_transform(range(1, 9),
+        |      i -> (q.qv[c.s*8+i] - c.cs[i]) * (q.qv[c.s*8+i] - c.cs[i])))
+        |      * 1000000 + 0.5) AS BIGINT) AS dmic
+        |  FROM q, csub c
+        |),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id AS neighbor_id
+        |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |  WHERE qc.query_id <> a.vec_id
+        |),
+        |scored AS (
+        |  SELECT cd.query_id, cd.neighbor_id,
+        |    CAST(sum(dt.dmic) AS BIGINT) AS approx_dist_micro
+        |  FROM cand cd
+        |  JOIN enc en ON en.vec_id = cd.neighbor_id
+        |  JOIN dtab dt ON dt.query_id = cd.query_id
+        |    AND dt.s = en.s AND dt.code_id = en.code_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT query_id, neighbor_id, approx_dist_micro, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY approx_dist_micro ASC, neighbor_id) AS rnk
+        |      FROM scored) t
+        |WHERE rnk <= 10
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      val codebooks = Similarity.pqCodebooks(e, "vec_id", "embedding", stride = 8)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", codebooks, m = 8, dim = 64)
+      Similarity.ivfpqTopK(assigned, "vec_id", centroids, codes, codebooks,
+        e.filter(col("vec_id") < 5).select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding")),
+        "query_vec_id", "query_embedding", k = 10, nProbe = 3, m = 8, dim = 64)
+    },
+
     // ---- text analysis --------------------------------------------
     QueryDef(
       "text_quality",

@@ -152,6 +152,64 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(recall >= 0.5, s"k-means IVF recall $recall")
   }
 
+  test("IVF-PQ: exhaustive codebook reproduces exact L2 ranking; real codebook keeps recall") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 5).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // exact L2 top-10 per query, computed driver-side at fixed seeds
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exact = (0L until 5L).map { qid =>
+      qid -> vecs.keys.filter(_ != qid).toSeq
+        .sortBy(v => (l2(vecs(qid), vecs(v)), v)).take(10).toSet
+    }.toMap
+
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    def pq(stride: Int, nProbe: Int): Map[Long, Set[Long]] = {
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", stride)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8, dim = 64)
+      Similarity.ivfpqTopK(assigned, "vec_id", centroids, codes, cb,
+        q, "qid", "qvec", k = 10, nProbe = nProbe, m = 8, dim = 64)
+        .select("query_id", "neighbor_id")
+        .collect().groupBy(_.getLong(0))
+        .map { case (k2, rs) => k2 -> rs.map(_.getLong(1)).toSet }
+    }
+
+    // stride 1 = every vector is a codeword: each vector encodes to
+    // itself (d = 0 argmin), so ADC IS exact L2 up to per-subspace
+    // micro-rounding; probing every cell must reproduce the exact set
+    val exhaustive = pq(stride = 1, nProbe = 100)
+    val exactRecall = (0L until 5L).map(qid =>
+      (exhaustive(qid) intersect exact(qid)).size).sum / 50.0
+    assert(exactRecall >= 0.9, s"exhaustive-codebook recall $exactRecall")
+
+    // realistic codebook (|corpus|/8 codewords), all cells probed:
+    // isolates PQ quantization loss from IVF routing loss. The test
+    // embeddings are near-random — PQ's worst case (no cluster
+    // structure for codewords to exploit) — so the measured recall
+    // (0.32 at these fixed seeds, identical with and without routing:
+    // the coarse cells lose nothing) is the honest bound, not the
+    // 0.9+ a clustered real corpus would give.
+    val pqOnly = pq(stride = 8, nProbe = 100)
+    val pqRecall = (0L until 5L).map(qid =>
+      (pqOnly(qid) intersect exact(qid)).size).sum / 50.0
+    assert(pqRecall >= 0.3, s"PQ-only recall $pqRecall too low")
+
+    // full IVF-PQ (nProbe 3 of 10): compounded routing + PQ loss
+    val real = pq(stride = 8, nProbe = 3)
+    val recall = (0L until 5L).map(qid =>
+      (real(qid) intersect exact(qid)).size).sum / 50.0
+    assert(recall >= 0.25, s"IVF-PQ recall $recall too low")
+    assert(real.values.forall(_.size == 10), "k rows per query")
+  }
+
   test("hyperplane LSH near-dup finds planted duplicates, skips orthogonal vectors") {
     val base = Array.tabulate(16)(i => math.sin(i * 1.7).toFloat)
     val nearDup = base.clone(); nearDup(3) = nearDup(3) + 0.001f
