@@ -498,6 +498,89 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Fused PQ encode over a packed chunk (same blocked shape as
+    * [[NearestCentroidBlock]], which replaced the 158 s interpreted
+    * IVF assignment): a CHUNK of vectors against the broadcast packed
+    * codeword pool, m subspace argmins per vector in one primitive
+    * loop. Per subspace s of width len/m, distance is the LEFT-TO-
+    * RIGHT fold of squared component differences (the order engines'
+    * list_sum uses, so the DuckDB oracle compares identical doubles);
+    * ties break to the smallest code id, order-independently. */
+  case class PqEncodeBlock(cents: Expression, chunk: Expression, m: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = cents
+    override def right: Expression = chunk
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("codes", ArrayType(LongType, containsNull = false),
+        nullable = false))), containsNull = false)
+
+    @transient private var ids: Array[Long] = _
+    @transient private var vecs: Array[Array[Double]] = _
+
+    private def ensureUnpacked(a: ArrayData): Unit = {
+      val n = a.numElements()
+      if (ids != null && ids.length == n && (n == 0 ||
+        (ids(0) == a.getStruct(0, 2).getLong(0) &&
+         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      val idA = new Array[Long](n)
+      val vA = new Array[Array[Double]](n)
+      var i = 0
+      while (i < n) {
+        val row = a.getStruct(i, 2)
+        idA(i) = row.getLong(0)
+        vA(i) = row.getArray(1).toDoubleArray()
+        i += 1
+      }
+      ids = idA; vecs = vA
+    }
+
+    override def nullSafeEval(centsV: Any, chunkV: Any): Any = {
+      ensureUnpacked(centsV.asInstanceOf[ArrayData])
+      val probes = chunkV.asInstanceOf[ArrayData]
+      val out = new Array[Any](probes.numElements())
+      var p = 0
+      while (p < probes.numElements()) {
+        val probe = probes.getStruct(p, 2)
+        val myId = probe.getLong(0)
+        val a = probe.getArray(1).toDoubleArray()
+        val sub = a.length / m
+        val codes = new Array[Long](m)
+        var s = 0
+        while (s < m) {
+          val off = s * sub
+          var bestId = Long.MaxValue
+          var bestD = Double.PositiveInfinity
+          var i = 0
+          while (i < ids.length) {
+            val b = vecs(i)
+            if (b.length >= off + sub) {
+              var d = 0.0
+              var j = 0
+              while (j < sub) {
+                val x = a(off + j) - b(off + j)
+                d += x * x
+                j += 1
+              }
+              if (d < bestD || (d == bestD && ids(i) < bestId)) {
+                bestD = d; bestId = ids(i)
+              }
+            }
+            i += 1
+          }
+          codes(s) = bestId
+          s += 1
+        }
+        out(p) = InternalRow(myId, new GenericArrayData(codes))
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(cents = newLeft, chunk = newRight)
+  }
+
   /** Rolling md5 fingerprint: lexicographic min of md5-hex over every
     * k-char window of the text (same algorithm as the SQL
     * transform+array_min form, one digest loop per row instead of 2M
@@ -1026,6 +1109,9 @@ object NativeExpressions {
       seed: Int = 42): Column =
     ExpressionUtils.column(HyperplaneBuckets(
       ExpressionUtils.expression(vec), dim, nPlanes, nTables, seed))
+  def pq_encode_block(cents: Column, chunk: Column, m: Int): Column =
+    ExpressionUtils.column(PqEncodeBlock(ExpressionUtils.expression(cents),
+      ExpressionUtils.expression(chunk), m))
   def near_dup_block(all: Column, chunk: Column, threshold: Double): Column =
     ExpressionUtils.column(NearDupBlock(ExpressionUtils.expression(all),
       ExpressionUtils.expression(chunk), threshold))

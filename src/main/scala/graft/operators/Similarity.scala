@@ -287,14 +287,21 @@ object Similarity {
 
   /** Deterministic PQ codebooks (Jégou et al., "Product Quantization
     * for Nearest Neighbor Search"): the corpus rows at
-    * `id % stride == 0` serve as the shared codeword pool; every
-    * subspace uses its own `dim/m`-wide slice of the same pool. Seeded
-    * (no Lloyd float-averaging) so ANY engine reproduces the codebook,
-    * the assignment, and the ADC values bit-for-bit — the same
-    * determinism contract as [[seedCentroids]]. */
+    * `id % stride == 0` below `stride * maxCodewords` serve as the
+    * shared codeword pool; every subspace uses its own `dim/m`-wide
+    * slice of the same pool. Seeded (no Lloyd float-averaging) so ANY
+    * engine reproduces the codebook, the assignment, and the ADC
+    * values bit-for-bit — the same determinism contract as
+    * [[seedCentroids]].
+    *
+    * maxCodewords is the PQ ksub: it must stay FIXED (≈256) as the
+    * corpus grows — encode cost is |corpus|·ksub·dim, so an uncapped
+    * pool makes encoding quadratic-ish in corpus size (measured 11 s
+    * at sf0.1 before the cap; ~1 s with it). */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
-                  stride: Int): DataFrame =
-    corpus.filter(pmod(col(idCol), lit(stride)) === 0)
+                  stride: Int, maxCodewords: Int = 256): DataFrame =
+    corpus.filter(pmod(col(idCol), lit(stride)) === 0 &&
+        col(idCol) < stride.toLong * maxCodewords)
       .select(col(idCol).as("code_id"),
         col(vecCol).cast("array<double>").as("code_vec"))
 
@@ -316,29 +323,34 @@ object Similarity {
   /** PQ encode: m codes per vector — per subspace, the codeword
     * minimizing squared L2, ties to the smallest code id.
     *
-    * Plan: corpus subvector rows stream through a BROADCAST join with
-    * the (small) sliced codebook; the argmin is a map-side-combining
-    * min_by aggregation, so the only corpus-sized shuffle carries
-    * m rows per vector (the codes), never the |corpus|·|codewords|
-    * scored intermediate. Encode cost is inherently corpus×ksub —
-    * that is PQ — but it runs scan-shaped.
+    * Plan: corpus rows group into `par` packed chunks; the whole
+    * codeword pool packs into ONE broadcast row; the fused
+    * [[graft.functions.NativeExpressions.PqEncodeBlock]] kernel emits
+    * (id, m codes) per vector in a primitive loop. The
+    * |corpus|·|codewords|·m scored intermediate this replaced ran as
+    * interpreted HOF rows (9+ s at sf0.1; ~1 s fused — the same
+    * lesson as IVF assignment's NearestCentroidBlock). Encode cost is
+    * inherently corpus×ksub — that is PQ — but no corpus-sized
+    * shuffle carries more than the m codes per vector.
     *
     * Output: (idCol, codes array<long> of length m). */
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
                codebooks: DataFrame, m: Int, dim: Int): DataFrame = {
     require(dim % m == 0, "m must divide dim")
-    val sub = dim / m
-    val vs = subSlices(corpus, idCol, vecCol, "__vid", "__vs", m, sub)
-    val cs = subSlices(codebooks, "code_id", "code_vec", "__cid", "__cs", m, sub)
-    vs.join(broadcast(cs), Seq("__s"))
-      .select(col("__vid"), col("__s"),
-        col("__cid"), subDist(col("__vs"), col("__cs")).as("__d"))
-      .groupBy("__vid", "__s")
-      .agg(min_by(col("__cid"), struct(col("__d"), col("__cid"))).as("__c"))
-      .groupBy("__vid")
-      .agg(array_sort(collect_list(struct(col("__s"), col("__c")))).as("__sc"))
-      .select(col("__vid").as(idCol),
-        transform(col("__sc"), p => p.getField("__c")).as("codes"))
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val vecs = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val chunked = vecs
+      .groupBy(pmod(col("__id"), lit(par)).as("__blk"))
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__probe"))
+      .repartition(par)
+    val packed = codebooks.agg(collect_list(struct(
+      col("code_id").cast("long").as("__id"),
+      col("code_vec").cast("array<double>").as("__v"))).as("__cents"))
+    chunked.crossJoin(broadcast(packed))
+      .select(explode(graft.functions.NativeExpressions.pq_encode_block(
+        col("__cents"), col("__probe"), m)).as("__e"))
+      .select(col("__e.id").as(idCol), col("__e.codes").as("codes"))
   }
 
   /** IVF-PQ search — the production ANN index family next to IVF-flat

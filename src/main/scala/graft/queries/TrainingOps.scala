@@ -428,7 +428,8 @@ object TrainingOps {
         |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
         |    FROM e, cent c) t WHERE r = 1
         |),
-        |cb AS (SELECT vec_id AS code_id, v AS codev FROM e WHERE vec_id % 8 = 0),
+        |cb AS (SELECT vec_id AS code_id, v AS codev
+        |       FROM e WHERE vec_id % 8 = 0 AND vec_id < 2048),
         |vsub AS (
         |  SELECT vec_id, s.s, e.v[s.s*8+1 : s.s*8+8] AS vs
         |  FROM e, range(0, 8) s(s)

@@ -173,7 +173,9 @@ class TrainingOpsSpec extends SparkTestBase {
     val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 50)
     val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
     def pq(stride: Int, nProbe: Int): Map[Long, Set[Long]] = {
-      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", stride)
+      // uncapped pool: the spec wants stride=1 to mean EVERY vector
+      val cb = Similarity.pqCodebooks(e, "vec_id", "embedding", stride,
+        maxCodewords = Int.MaxValue)
       val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, m = 8, dim = 64)
       Similarity.ivfpqTopK(assigned, "vec_id", centroids, codes, cb,
         q, "qid", "qvec", k = 10, nProbe = nProbe, m = 8, dim = 64)
