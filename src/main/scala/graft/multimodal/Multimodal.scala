@@ -403,6 +403,140 @@ object Multimodal {
       }(enc)
   }
 
+  /** 64-bit audio fingerprint over REAL decoded PCM: the payload runs
+    * through `AudioSystem.getAudioInputStream` (actual sample decode,
+    * not the header-only metadata path above), the clip's frames
+    * split into 65 equal blocks, each block reports its exact integer
+    * mean |amplitude|, and bit j is the sign of the block-energy
+    * gradient (mean(j+1) > mean(j)) — the 1-D time-domain analog of
+    * the image dHash, invariant to the per-block sample count. The
+    * banding/verify plan is [[graft.operators.Dedup.hammingPairs64]],
+    * shared with SimHash and the image path. Undecodable payloads and
+    * clips shorter than 65 frames yield a null hash. */
+  def ahashAudio(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("ahash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binaryTable.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(payload))
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
+              Row(id, null)
+            else {
+              val raw = in.readAllBytes()
+              val n = raw.length / 2
+              if (n < 65) Row(id, null)
+              else {
+                val spb = n / 65
+                val means = new Array[Long](65)
+                var b = 0
+                while (b < 65) {
+                  var sum = 0L
+                  var i = b * spb
+                  val end = i + spb
+                  while (i < end) {
+                    val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
+                    sum += math.abs(s)
+                    i += 1
+                  }
+                  means(b) = sum / spb
+                  b += 1
+                }
+                var hash = 0L
+                var j = 0
+                while (j < 64) {
+                  if (means(j + 1) > means(j)) hash |= (1L << j)
+                  j += 1
+                }
+                Row(id, hash)
+              }
+            }
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException |
+                 _: java.io.IOException => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
+  /** Encode one REAL mono PCM-16 WAV per row whose block-energy
+    * fingerprint is a deterministic, engine-replicable function of the
+    * id — the audio sibling of [[encodeTestPatternImages]], same
+    * group-of-4 scheme with "aud_"/"aflip_" md5 salts: 65 blocks of a
+    * ±amplitude square wave, amp(0) = 10000 and amp(j+1) = amp(j) ±
+    * 120 by bit j (range [2320, 17680] ⊂ int16, never flat), `spb`
+    * samples per block so clip lengths vary while exact block means —
+    * and therefore the decoded fingerprint — stay pinned to the
+    * arithmetic the DuckDB oracle reproduces. */
+  def encodeTestPatternWavs(df: DataFrame, idCol: String,
+                            spbCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(spbCol).cast("int").as("__spb"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val spb = r.getAs[Int]("__spb")
+          val gid = id - (id % 4)
+          val m = (id % 4).toInt
+          val hex = md5hex(s"aud_$gid")
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          val bits = Array.tabulate(64) { j =>
+            (if (j < 32) (h1 >> j) & 1L else (h2 >> (j - 32)) & 1L) == 1L
+          }
+          val flips = m match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => 8 }
+          var i = 0
+          while (i < flips) {
+            val p = (java.lang.Long.parseLong(
+              md5hex(s"aflip_${gid}_${m}_$i").substring(0, 6), 16) % 64).toInt
+            bits(p) = !bits(p)
+            i += 1
+          }
+          val frames = 65 * spb
+          val buf = java.nio.ByteBuffer.allocate(44 + frames * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1.toShort).putShort(1.toShort)
+            .putInt(8000).putInt(8000 * 2)
+            .putShort(2.toShort).putShort(16.toShort)
+            .put("data".getBytes("US-ASCII")).putInt(frames * 2)
+          var amp = 10000
+          var b = 0
+          while (b < 65) {
+            var s = 0
+            while (s < spb) {
+              buf.putShort((if (s % 2 == 0) amp else -amp).toShort)
+              s += 1
+            }
+            if (b < 64) amp += (if (bits(b)) 120 else -120)
+            b += 1
+          }
+          val bytes = buf.array()
+          Row(id, bytes, "audio", bytes.length.toLong)
+        }
+      }(enc)
+  }
+
   /** Frame sampling plan over decoded video features: every
     * `stride`-th frame index up to the REAL frame count — the
     * explode-style fan-out of per-frame work units that downstream

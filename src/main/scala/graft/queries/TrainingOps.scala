@@ -725,6 +725,56 @@ object TrainingOps {
         maxHamming = 3)
     },
 
+    // Audio NEAR-DUP dedup over real decoded PCM — the audio sibling
+    // of mm_dedup_image, same contract: WAVs are rendered whose
+    // 65-block energy gradient encodes an md5-derived bit pattern,
+    // ahashAudio decodes ACTUAL SAMPLES back (exact block means →
+    // gradient signs), and pairs come from the shared Hamming banding.
+    // The oracle replays the bit arithmetic; a match certifies the
+    // PCM round-trip through real RIFF bytes.
+    QueryDef(
+      "mm_dedup_audio",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - (doc_id % 4) AS gid, doc_id % 4 AS m
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, gid, m,
+        |    CAST('0x' || substr(md5('aud_' || gid), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5('aud_' || gid), 9, 8) AS BIGINT) AS h2
+        |  FROM d
+        |), bits AS (
+        |  SELECT doc_id, j.j,
+        |    CAST(CASE WHEN j.j < 32 THEN (h1 >> j.j) & 1
+        |              ELSE (h2 >> (j.j - 32)) & 1 END AS BIGINT) AS bit
+        |  FROM base, range(0, 64) j(j)
+        |), fl AS (
+        |  SELECT d.doc_id,
+        |    CAST('0x' || substr(md5('aflip_' || gid || '_' || m || '_' || i.i), 1, 6) AS BIGINT) % 64 AS p
+        |  FROM d, range(0, 8) i(i)
+        |  WHERE i.i < (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END)
+        |), fc AS (
+        |  SELECT doc_id, p, count(*) AS c FROM fl GROUP BY 1, 2
+        |), fb AS (
+        |  SELECT b.doc_id, b.j,
+        |    CASE WHEN coalesce(fc.c, 0) % 2 = 1 THEN 1 - b.bit ELSE b.bit END AS bit
+        |  FROM bits b LEFT JOIN fc ON fc.doc_id = b.doc_id AND fc.p = b.j
+        |), hs AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN bit = 1 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS h
+        |  FROM fb GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(20) + pmod(col("n_chars"), lit(3)) * 10).as("__spb"))
+      val wavs = Multimodal.encodeTestPatternWavs(d, "doc_id", "__spb")
+      Dedup.hammingPairs64(Multimodal.ahashAudio(s, wavs), "media_id", "ahash",
+        maxHamming = 3)
+    },
+
     // Real WAV round-trip, same contract as mm_decode_image: Spark
     // ENCODES genuine RIFF/PCM clips with id-derived parameters and
     // DECODES them via javax.sound.sampled; the oracle recomputes the

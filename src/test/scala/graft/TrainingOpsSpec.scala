@@ -485,6 +485,41 @@ class TrainingOpsSpec extends SparkTestBase {
       s"no cross-group pairs: $pairs")
   }
 
+  test("audio fingerprint: invariant to clip length, group structure detected, garbage null") {
+    import spark.implicits._
+    // same id at three samples-per-block → identical hash (the exact
+    // block means must undo the length change); different group → far
+    val h = (for ((id, spb) <- Seq((4L, 20), (4L, 40), (4L, 30), (8L, 20))) yield {
+      val one = Seq((id, spb)).toDF("id", "spb")
+      val wav = Multimodal.encodeTestPatternWavs(one, "id", "spb")
+      (id, spb, Multimodal.ahashAudio(spark, wav).collect().head.getLong(1))
+    })
+    val id4 = h.filter(_._1 == 4L).map(_._3).distinct
+    assert(id4.size == 1, s"audio hash must be invariant to clip length: $h")
+    assert(java.lang.Long.bitCount(id4.head ^ h.find(_._1 == 8L).get._3) > 10,
+      "different groups must be far in Hamming space")
+    // undecodable bytes -> null, not task failure
+    val junk = Seq((9L, Array[Byte](9, 9, 9, 9))).toDF("media_id", "payload")
+    val r = Multimodal.ahashAudio(spark, junk).collect().head
+    assert(r.isNullAt(1))
+  }
+
+  test("audio near-dup groups: members 0-2 pair up, member 3 escapes") {
+    import spark.implicits._
+    val df = Seq(100L, 101L, 102L, 103L, 200L, 201L)
+      .map(i => (i, 20 + (i % 3).toInt * 10)).toDF("id", "spb")
+    val wavs = Multimodal.encodeTestPatternWavs(df, "id", "spb")
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      Multimodal.ahashAudio(spark, wavs), "media_id", "ahash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 102L))
+      && pairs.contains((101L, 102L)), s"in-group near-dups: $pairs")
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L),
+      s"member 3 (8 flips) must escape: $pairs")
+    assert(!pairs.exists(p => p._1 < 200L && p._2 >= 200L),
+      s"no cross-group pairs: $pairs")
+  }
+
   test("audio decode is real: wav round-trip rate/channels/frames; garbage -> nulls") {
     import spark.implicits._
     val params = Seq((1L, 8000, 1, 120), (2L, 16000, 2, 77), (3L, 44100, 1, 441))
