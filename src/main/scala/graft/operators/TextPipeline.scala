@@ -263,6 +263,52 @@ object TextPipeline {
         pmod(col("__cum"), lit(seqLen.toLong)).as("seq_offset"))
   }
 
+  /** Repeated-n-gram coverage fractions (the Gopher repetition-filter
+    * family, Rae et al. 2021: "fraction of words in duplicated
+    * n-grams"): per doc and per n, the fraction of word positions
+    * covered by an n-gram that occurs ≥2 times WITHIN the doc —
+    * overlapping occurrences union via the same per-doc
+    * gaps-and-islands windows the substring-dedup family uses.
+    *
+    * Plan, per n: positional n-grams row-local (native
+    * WordShinglesAll), within-doc duplicates a word-count-shaped
+    * (doc, gram) aggregate, coverage one per-doc interval union —
+    * windows partitioned by doc, nothing corpus-wide but the scan.
+    *
+    * Output: (idCol, n_words, dup{n}_frac per requested n). */
+  def repeatedNgramFractions(df: DataFrame, idCol: String, textCol: String,
+                             ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
+    val base = toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+    val covs = ns.map { n =>
+      val grams = toks.select(col(idCol),
+        posexplode(graft.functions.NativeExpressions.word_shingles_all(col("__t"), n))
+          .as(Seq("__pos", "__g")))
+      val dup = grams.groupBy(col(idCol), col("__g"))
+        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+        .select(col(idCol), col("__g"))
+      val covered = grams.join(dup, Seq(idCol, "__g"))
+        .select(col(idCol), col("__pos").cast("long").as("__s"),
+          (col("__pos") + n - 1).cast("long").as("__e"))
+      val wPrev = Window.partitionBy(idCol).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(idCol).orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      covered
+        .withColumn("__new",
+          when(col("__s") > coalesce(max(col("__e")).over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("__isl", sum(col("__new")).over(wRun))
+        .groupBy(col(idCol), col("__isl"))
+        .agg(min("__s").as("__s"), max("__e").as("__e"))
+        .groupBy(idCol).agg(sum(col("__e") - col("__s") + 1).as(s"__cov$n"))
+    }
+    val joined = covs.foldLeft(base)((acc, c) => acc.join(c, Seq(idCol), "left_outer"))
+    joined.select(col(idCol) +: col("n_words") +: ns.map(n =>
+      round(coalesce(col(s"__cov$n"), lit(0L)).cast("double") / col("n_words"), 6)
+        .as(s"dup${n}_frac")): _*)
+  }
+
   // ---- byte-pair encoding ------------------------------------------
 
   /** Deterministic BPE (Sennrich et al., "Neural Machine Translation

@@ -508,6 +508,52 @@ object PipelinePack {
       TextPipeline.vocabTopK(docs(s, dir), "text", k = 256)
     },
 
+    // Gopher-family repetition filter: per doc, the fraction of word
+    // positions covered by an n-gram repeated WITHIN the doc, for
+    // n = 2, 3, 4 — overlaps union via per-doc islands.
+    QueryDef(
+      "text_repetition_ngrams",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |)""".stripMargin +
+        Seq(2, 3, 4).map { n =>
+          s""", g$n AS (
+             |  SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+${n - 1}], ' ') AS g
+             |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - ${n - 2})) AS i
+             |        FROM t WHERE len(w) >= $n) u
+             |), d$n AS (
+             |  SELECT doc_id, g FROM g$n GROUP BY doc_id, g HAVING count(*) >= 2
+             |), c$n AS (
+             |  SELECT g.doc_id, CAST(g.pos AS BIGINT) AS s,
+             |    CAST(g.pos + ${n - 1} AS BIGINT) AS e
+             |  FROM g$n g JOIN d$n USING (doc_id, g)
+             |), i$n AS (
+             |  SELECT doc_id, s, e, CASE WHEN s > coalesce(max(e) OVER (
+             |      PARTITION BY doc_id ORDER BY s
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+             |    THEN 1 ELSE 0 END AS nw
+             |  FROM c$n
+             |), m$n AS (
+             |  SELECT doc_id, s, e,
+             |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s) AS isl
+             |  FROM i$n
+             |), sp$n AS (
+             |  SELECT doc_id, CAST(sum(len) AS BIGINT) AS cov FROM (
+             |    SELECT doc_id, isl, max(e) - min(s) + 1 AS len
+             |    FROM m$n GROUP BY 1, 2) x GROUP BY 1
+             |)""".stripMargin
+        }.mkString +
+        """
+          |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+          |  round(coalesce(sp2.cov, 0) * 1.0 / len(t.w), 6) AS dup2_frac,
+          |  round(coalesce(sp3.cov, 0) * 1.0 / len(t.w), 6) AS dup3_frac,
+          |  round(coalesce(sp4.cov, 0) * 1.0 / len(t.w), 6) AS dup4_frac
+          |FROM t LEFT JOIN sp2 USING (doc_id)
+          |LEFT JOIN sp3 USING (doc_id) LEFT JOIN sp4 USING (doc_id)
+          |""".stripMargin) { (s, dir) =>
+      TextPipeline.repeatedNgramFractions(docs(s, dir), "doc_id", "text")
+    },
+
     // Deterministic BPE training: greedy highest-count merges, ties
     // lexicographic; pair counts over the distinct-word table. The
     // merge table is the trained artifact a real tokenizer pipeline

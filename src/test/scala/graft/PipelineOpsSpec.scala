@@ -350,6 +350,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 150000L)))
   }
 
+  test("repeatedNgramFractions: hand-computed coverage, overlaps union, short docs zero") {
+    // doc1 "a b a b a b": dup 2-grams "a b"(x3), "b a"(x2) cover all 6
+    //   words -> dup2 = 1.0; dup 3-grams "a b a"(x2), "b a b"(x2)
+    //   cover all -> dup3 = 1.0; 4-grams "a b a b"(x2 at 0,2),
+    //   "b a b a"(x1)... "a b a b" at pos 0 and 2 -> covers [0,5] ->
+    //   dup4 = 1.0
+    // doc2 "x y z x y q": dup 2-gram "x y" at 0,3 -> covers
+    //   [0,1]∪[3,4] = 4 of 6 -> dup2 = 4/6; no repeated 3/4-grams
+    // doc3: no repeats at all
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x y z x y q"),
+      (3L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repeatedNgramFractions(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((6L, 1.0, 1.0, 1.0)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((6L, 0.666667, 0.0, 0.0)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((6L, 0.0, 0.0, 0.0)), s"doc3: ${got(3L)}")
+  }
+
   test("bpeTrain: classic merge sequence on a hand-computed corpus") {
     // corpus: "aaab" x3, "ab" x2 (as repeated words in docs)
     // round 1 pairs: (a,a): 2 per "aaab" x3 = 6; (a,b): 3+2 = 5
