@@ -26,6 +26,7 @@ import java.util.concurrent.ConcurrentHashMap
   *   GET  /share/{uuid}/data.{format} (no auth, expiring)
   *   GET  /api/tables
   *   GET  /api/tables/{table}/columns
+  *   GET|POST /api/tables/{table}/dedup   {text_col, mode, threshold}
   *   GET  /healthcheck
   */
 final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
@@ -280,6 +281,47 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
           case Some(cs) => respond(ex, 200,
             cs.map { case (n, t) => s"""{"name":"$n","type":"$t"}""" }
               .mkString("[", ",", "]"), "application/json")
+        }
+      // Per-table ingest dedup policy (the effectively-once upgrade of
+      // the at-least-once insert path). Tenant-scoped: a key can only
+      // configure tables of its own database; jdbc destinations load
+      // engine-side and don't run the probe.
+      case ("POST", p) if p.startsWith("/api/tables/") && p.endsWith("/dedup") =>
+        val table = p.stripPrefix("/api/tables/").stripSuffix("/dedup")
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val obj = try JValue.parseObject(body) catch {
+          case _: Exception => JObj(Vector.empty)
+        }
+        def str(k: String, dflt: String) =
+          obj.get(k).collect { case JStr(s) => s }.getOrElse(dflt)
+        val textCol = str("text_col", "")
+        val mode = str("mode", "tag")
+        val threshold = obj.get("threshold")
+          .collect { case graft.functions.JValue.JNum(n) => n.toDouble }.getOrElse(0.7)
+        if (!validIdent(table)) respond(ex, 400, "valid table name required", "text/plain")
+        else if (destInfo(db)._1 == "jdbc")
+          respond(ex, 400, "dedup policy applies to spark destinations only", "text/plain")
+        else if (!validIdent(textCol))
+          respond(ex, 400, "text_col required", "text/plain")
+        else if (mode != "tag" && mode != "drop")
+          respond(ex, 400, "mode must be tag|drop", "text/plain")
+        else if (threshold <= 0.0 || threshold > 1.0)
+          respond(ex, 400, "threshold must be in (0, 1]", "text/plain")
+        else {
+          catalog.setDedupPolicy(db, table,
+            graft.sources.GraftCatalog.DedupPolicy(textCol, mode, threshold))
+          respond(ex, 200,
+            s"""{"table":"$table","text_col":"$textCol","mode":"$mode","threshold":$threshold}""",
+            "application/json")
+        }
+      case ("GET", p) if p.startsWith("/api/tables/") && p.endsWith("/dedup") =>
+        val table = p.stripPrefix("/api/tables/").stripSuffix("/dedup")
+        if (!validIdent(table)) respond(ex, 400, "valid table name required", "text/plain")
+        else catalog.dedupPolicyOf(db, table) match {
+          case None => respond(ex, 404, "no dedup policy", "text/plain")
+          case Some(pol) => respond(ex, 200,
+            s"""{"table":"$table","text_col":"${pol.textCol}","mode":"${pol.mode}","threshold":${pol.threshold}}""",
+            "application/json")
         }
       case _ => respond(ex, 404, "not found", "text/plain")
     }

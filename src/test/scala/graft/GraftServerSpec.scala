@@ -70,8 +70,17 @@ class GraftServerSpec extends SparkTestBase {
     val (srv, base) = newServer()
     try {
       val shared = (1 to 40).map(i => s"dw$i").mkString(" ")
-      srv.catalog.setDedupPolicy("default", "docs_dedup",
-        graft.sources.GraftCatalog.DedupPolicy(textCol = "text", mode = "tag"))
+      // the policy is set over HTTP, tenant-scoped to the key's db
+      val set = post(s"$base/api/tables/docs_dedup/dedup?api_key=localkey",
+        """{"text_col": "text", "mode": "tag"}""")
+      assert(set.statusCode() == 200, set.body())
+      val got = get(s"$base/api/tables/docs_dedup/dedup?api_key=localkey")
+      assert(got.body().contains(""""mode":"tag""""), got.body())
+      // validation: bad mode and bad threshold are rejected
+      assert(post(s"$base/api/tables/docs_dedup/dedup?api_key=localkey",
+        """{"text_col": "text", "mode": "purge"}""").statusCode() == 400)
+      assert(post(s"$base/api/tables/docs_dedup/dedup?api_key=localkey",
+        """{"text_col": "text", "threshold": 1.5}""").statusCode() == 400)
 
       post(s"$base/api/data/insert/docs_dedup?api_key=localkey",
         s"""{"text": "$shared ending one", "tag": "first"}""")
