@@ -209,6 +209,55 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     (parts.length, parquetParts(dataPath).length)
   }
 
+  /** Compact the table's dedup-index dirs (bands, sigs): the ingest
+    * path appends one parquet part per batch, so at a
+    * batch-every-few-seconds rate the index accretes tiny files until
+    * probe PLANNING (listing + footers) dominates probe time — the
+    * same disease [[compact]] cures for tables, applied to the raw
+    * index dirs. Same non-transactional dir-swap caveat: serialize
+    * through the control-plane queue in deployments. Returns
+    * (files before, files after) summed over both dirs. */
+  def compactDedupIndex(db: String, table: String,
+                        targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sparkContext.hadoopConfiguration
+    var (before, after) = (0, 0)
+    for (part <- Seq("bands", "sigs")) {
+      val dir = new HPath(dedupIndexDir(db, table).resolve(part).toString)
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) {
+        def parts(p: HPath): Int = {
+          var n = 0
+          val it = fs.listFiles(p, false)
+          while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+          n
+        }
+        val nIn = parts(dir)
+        before += nIn
+        if (nIn <= 1) after += nIn
+        else {
+          val bytes = {
+            var s = 0L
+            val it = fs.listFiles(dir, false)
+            while (it.hasNext) { val st = it.next(); if (st.getPath.getName.endsWith(".parquet")) s += st.getLen }
+            s
+          }
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+          val tmp = new HPath(dedupIndexDir(db, table).resolve(s"$part.compacting").toString)
+          val old = new HPath(dedupIndexDir(db, table).resolve(s"$part.old").toString)
+          fs.delete(tmp, true); fs.delete(old, true)
+          spark.read.parquet(dir.toString).repartition(nOut)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.rename(dir, old)
+          fs.rename(tmp, dir)
+          fs.delete(old, true)
+          after += parts(dir)
+        }
+      }
+    }
+    (before, after)
+  }
+
   /** Register all tables of a db as temp views for SQL passthrough. */
   def registerViews(db: String): Unit =
     listTables(db).foreach(t => read(db, t).createOrReplaceTempView(t))

@@ -110,10 +110,26 @@ class GraftServerSpec extends SparkTestBase {
       assert(link.body() == """[{"n":1}]""", link.body())
 
       // the index holds the two survivors only — the re-ingest never joined
-      val bands = spark.read.parquet(
-        srv.catalog.dedupIndexDir("default", "docs_dedup").resolve("bands").toString)
+      val bandsDir = srv.catalog.dedupIndexDir("default", "docs_dedup").resolve("bands")
+      val bands = spark.read.parquet(bandsDir.toString)
       assert(bands.select("doc").distinct().count() == 2,
         "index grows once per distinct document")
+
+      // three batches appended three part files per dir; compaction
+      // rewrites to ~one without changing the probe's view of the index
+      val (before, after) = srv.catalog.compactDedupIndex("default", "docs_dedup")
+      assert(before > after && after >= 2, s"compacted $before -> $after")
+      val bandsAfter = spark.read.parquet(bandsDir.toString)
+      assert(bandsAfter.select("doc").distinct().count() == 2,
+        "compaction preserves the index content")
+      post(s"$base/api/data/insert/docs_dedup?api_key=localkey",
+        s"""{"text": "$shared ending four", "tag": "fourth"}""")
+      assert(srv.drain(), "post-compaction batch drains")
+      val dups2 = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_dedup where __is_dup order by tag", "UTF-8"))
+      assert(dups2.body() == """[{"tag":"fourth"},{"tag":"second"}]""",
+        s"probe against the compacted index: ${dups2.body()}")
     } finally srv.stop()
   }
 

@@ -85,6 +85,34 @@ class PlanPropertiesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PQ encode runs as the fused packed kernel, codebook broadcast") {
+    val df = SparkEntry.queries("ann_ivfpq_topk")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the corpus x ksub scoring must be the packed-kernel explode
+    // against a broadcast one-row codebook — a sort-merge join with
+    // the codebook (or any interpreted per-candidate scoring join)
+    // would mean the 40M-row HOF regression came back
+    assert(plan.toLowerCase.contains("pqencodeblock"),
+      s"expected the fused PQ kernel in:\n$plan")
+    assert(!plan.contains("hashpartitioning(__cid"),
+      "codeword rows must never drive a corpus-sized shuffle")
+  }
+
+  test("BPE rounds run on the pinned vocab, never re-scanning documents") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val (vocab, merges) = graft.operators.TextPipeline.bpeTrainCore(docs, "text", 3)
+    assert(merges.size == 3)
+    val plan = vocab.queryExecution.executedPlan.toString
+    // the final vocab (3 merge layers deep) must read the checkpointed
+    // word table — if the documents parquet scan appears, every round
+    // was replaying the corpus tokenization
+    assert(plan.contains("Scan ExistingRDD"),
+      s"vocab must read from the checkpoint:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"merge rounds must not re-scan the corpus:\n$plan")
+  }
+
   test("inventory sweep: every query plans; no unbounded cartesian products") {
     // Broadcast nested-loop joins against one-row packed/stat relations
     // are deliberate (packed kernels, corpus-level scalars); a raw
