@@ -283,6 +283,37 @@ object Similarity {
       .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
   }
 
+  /** kNN label classification over the embedding corpus — the probe
+    * task pipelines run to judge embedding quality: each query's label
+    * is predicted by majority vote among its top-k cosine neighbors
+    * (ties → smallest label), compared to the true label.
+    *
+    * Plan: neighbors come from [[bruteForceTopK]] (queries broadcast,
+    * corpus scanned once); votes and the argmax are |queries|·k-row
+    * work. Swap in [[ivfTopK]] for the same interface at scale.
+    *
+    * Output: (query_id, true_label, pred_label, correct). */
+  def knnClassify(corpus: DataFrame, idCol: String, vecCol: String,
+                  labelCol: String,
+                  queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                  k: Int): DataFrame = {
+    val topk = bruteForceTopK(corpus, idCol, vecCol, queries, queryIdCol, queryVecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    // no hint: the |q|·k topk side is the broadcast candidate, the
+    // label projection is corpus-sized — AQE picks the right side
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("query_id").orderBy(col("__c").desc, col("__nl").asc)
+    val pred = votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    val truth = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("true_label"))
+    pred.join(truth, Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   // ---- product quantization (IVF-PQ) ------------------------------
 
   /** Deterministic PQ codebooks (Jégou et al., "Product Quantization

@@ -309,6 +309,34 @@ object TextPipeline {
         .as(s"dup${n}_frac")): _*)
   }
 
+  /** Per-source curation aggregates — the domain-level gate pipelines
+    * apply before any per-doc filter (drop whole domains whose
+    * aggregate stats are bad): per source, doc count, exact-dup rate
+    * (1 − distinct content hashes / docs), total and mean classifier
+    * score, mean length, and the keep verdict. One scan + one
+    * source-keyed aggregation (map-side combining; |sources| ≪
+    * |docs|); every aggregate is integer-derived so the verdicts are
+    * engine-exact.
+    *
+    * Output: (source, n_docs, dup_rate, sum_score, avg_score,
+    * avg_chars, keep). */
+  def sourceQuality(df: DataFrame, textCol: String, sourceCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"), md5(col(textCol)).as("__h"),
+        graft.functions.NativeExpressions.classifier_score(
+          split(lower(col(textCol)), " ")).as("__sc"),
+        length(col(textCol)).cast("long").as("__nc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__h")).as("__uniq"),
+        sum("__sc").as("sum_score"),
+        sum("__nc").as("__chars"))
+      .select(col("source"), col("n_docs"),
+        round(lit(1.0) - col("__uniq").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("sum_score"),
+        round(col("sum_score").cast("double") / col("n_docs"), 4).as("avg_score"),
+        round(col("__chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
+        (col("sum_score") > 0 && (col("__uniq") * 2 > col("n_docs"))).as("keep"))
+
   // ---- byte-pair encoding ------------------------------------------
 
   /** Deterministic BPE (Sennrich et al., "Neural Machine Translation

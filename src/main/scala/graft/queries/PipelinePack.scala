@@ -508,6 +508,74 @@ object PipelinePack {
       TextPipeline.vocabTopK(docs(s, dir), "text", k = 256)
     },
 
+    // Domain-level curation gate: per source, exact-dup rate, hashed
+    // classifier score aggregates, and the keep verdict — all
+    // integer-derived, so both engines agree on every boundary.
+    QueryDef(
+      "text_source_quality",
+      """WITH s AS (
+        |  SELECT d.source, md5(d.text) AS h, length(d.text) AS nc,
+        |    (SELECT CAST(coalesce(sum(
+        |       CAST('0x' || substr(md5('clf_' || w.w), 1, 6) AS BIGINT) % 2001 - 1000
+        |     ), 0) AS BIGINT)
+        |     FROM unnest(string_split(lower(d.text), ' ')) w(w)) AS sc
+        |  FROM documents d
+        |), a AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT h) AS BIGINT) AS uniq,
+        |    CAST(sum(sc) AS BIGINT) AS sum_score,
+        |    CAST(sum(nc) AS BIGINT) AS chars
+        |  FROM s GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |  round(1.0 - uniq * 1.0 / n_docs, 6) AS dup_rate,
+        |  sum_score,
+        |  round(sum_score * 1.0 / n_docs, 4) AS avg_score,
+        |  round(chars * 1.0 / n_docs, 4) AS avg_chars,
+        |  (sum_score > 0 AND uniq * 2 > n_docs) AS keep
+        |FROM a
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.sourceQuality(docs(s, dir), "text", "source")
+    },
+
+    // kNN label classification over the embeddings — the probe task
+    // that judges embedding quality: majority label among the top-10
+    // cosine neighbors (ties -> smallest label) vs the true label.
+    QueryDef(
+      "ann_knn_classify",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lb
+        |  FROM embeddings
+        |), q AS (SELECT vec_id AS query_id, v AS qv, lb AS true_label
+        |         FROM e WHERE vec_id < 50),
+        |cand AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id, e.lb,
+        |    round(list_cosine_similarity(e.v, q.qv), 6) AS cs
+        |  FROM q, e WHERE e.vec_id <> q.query_id
+        |), topk AS (
+        |  SELECT query_id, neighbor_id, lb FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS r FROM cand) t
+        |  WHERE r <= 10
+        |), votes AS (
+        |  SELECT query_id, lb, count(*) AS c FROM topk GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, lb AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, lb) AS r FROM votes) t
+        |  WHERE r = 1
+        |)
+        |SELECT q.query_id, q.true_label, p.pred_label,
+        |  q.true_label = p.pred_label AS correct
+        |FROM q JOIN pred p USING (query_id)
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.knnClassify(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")),
+        "qid", "qvec", k = 10)
+    },
+
     // Gopher-family repetition filter: per doc, the fraction of word
     // positions covered by an n-gram repeated WITHIN the doc, for
     // n = 2, 3, 4 — overlaps union via per-doc islands.

@@ -433,6 +433,43 @@ class PipelineOpsSpec extends SparkTestBase {
     assert((enc.getLong(1), enc.getLong(2)) == ((5L, 10L)), s"got $enc")
   }
 
+  test("knnClassify: planted label clusters classify correctly; ties break to smaller label") {
+    // two tight direction clusters: label 1 along e0, label 2 along e1;
+    // every member's neighbors are its cluster-mates -> perfect accuracy
+    def v(axis: Int, jitter: Double): Seq[Double] =
+      (0 until 8).map(i => (if (i == axis) 1.0 else 0.0) + (if (i == 7) jitter else 0.0))
+    val rows = (0 until 6).map(i => (i.toLong, v(0, 0.01 * i), 1)) ++
+      (6 until 12).map(i => (i.toLong, v(1, 0.01 * i), 2))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val out = operators.Similarity.knnClassify(e, "vec_id", "embedding", "label",
+      e.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(out.length == 12)
+    assert(out.forall(_._4), s"all queries should classify correctly: ${out.toSeq}")
+  }
+
+  test("sourceQuality: hand-computed dup rate and keep verdicts") {
+    // source A: 3 docs, 2 identical -> dup_rate 1/3; source B: all unique
+    val df = Seq(
+      (1L, "alpha beta gamma", "A"),
+      (2L, "alpha beta gamma", "A"),
+      (3L, "delta epsilon", "A"),
+      (4L, "one two", "B"),
+      (5L, "three four", "B")
+    ).toDF("doc_id", "text", "source")
+    val got = TextPipeline.sourceQuality(df, "text", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("A") == ((3L, 0.333333)), s"A: ${got("A")}")
+    assert(got("B") == ((2L, 0.0)), s"B: ${got("B")}")
+    // degenerate all-dup source fails the uniq*2 > n gate
+    val spam = Seq.fill(4)("same text").zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "S") }.toDF("doc_id", "text", "source")
+    val keep = TextPipeline.sourceQuality(spam, "text", "source")
+      .collect().head.getBoolean(6)
+    assert(!keep, "an all-duplicate source must not be kept")
+  }
+
   test("corpus operators tolerate an empty corpus") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(operators.Dedup.substringSpans(noDocs, "doc_id", "text", 3).count() == 0)
