@@ -209,6 +209,81 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     (parts.length, parquetParts(dataPath).length)
   }
 
+  /** Append honoring the table's [[GraftCatalog.DedupPolicy]] — the
+    * ONE policy-aware entry shared by every ingest surface (HTTP batch
+    * loads via Loader, structured-streaming micro-batches via
+    * StreamingIngest): no policy, or a batch without the text column,
+    * is a plain [[append]]; otherwise the batch probes the table's
+    * stored MinHash band index (batch-sized work, never corpus-sized
+    * — [[graft.operators.Dedup.minhashIncrementalAgainst]]), near-dups
+    * are tagged `__is_dup`/`__dup_of` or dropped, and ONLY survivors'
+    * band/sig rows join the index — re-ingesting a document any
+    * number of times grows the index once, upgrading at-least-once
+    * delivery to effectively-once. Returns appended row count. */
+  def appendWithPolicy(db: String, table: String, df: DataFrame): Long =
+    dedupPolicyOf(db, table) match {
+      case Some(p) if df.columns.contains(p.textCol) =>
+        appendDeduped(db, table, df, p)
+      case _ =>
+        append(db, table, df)
+        df.count()
+    }
+
+  /** The policy-gated append. The id-stamped batch is pinned
+    * (localCheckpoint) before probing: snowflake ids are time-derived,
+    * so an unpinned plan recomputed between the probe and the append
+    * could re-stamp rows. */
+  private def appendDeduped(db: String, table: String, df: DataFrame,
+                            policy: GraftCatalog.DedupPolicy): Long = {
+    val idCol = RowIdColumn
+    // streaming batches arrive without row ids; batch loads pre-stamp
+    val stamped =
+      if (df.columns.contains(idCol)) df
+      else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
+    val batch = stamped.localCheckpoint()
+    val dir = dedupIndexDir(db, table)
+    val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
+    val haveIndex = Files.exists(bandsPath)
+
+    val verdicts =
+      if (!haveIndex)
+        batch.select(col(idCol), lit(false).as("__is_dup"),
+          lit(null).cast("long").as("__dup_of"))
+      else {
+        val index = graft.operators.Dedup.MinhashIndex(
+          spark.read.parquet(bandsPath.toString),
+          spark.read.parquet(sigsPath.toString))
+        graft.operators.Dedup.minhashIncrementalAgainst(
+          index, batch, idCol, policy.textCol, threshold = policy.threshold)
+          .select(col(idCol), col("is_dup").as("__is_dup"),
+            col("dup_of").as("__dup_of"))
+      }
+    val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val survivors = tagged.filter(!col("__is_dup"))
+
+    // TABLE append happens BEFORE the index append: if the worker dies
+    // between the two, the retry re-probes an index that does not yet
+    // know the batch, re-appends, and converges (a duplicate table row
+    // at worst — the at-least-once baseline). The reverse order could
+    // tag the retry as a dup of an index entry whose table row never
+    // landed, silently losing the document.
+    val appended =
+      if (policy.mode == "drop") {
+        append(db, table, survivors.drop("__is_dup", "__dup_of"))
+        survivors.count()
+      } else {
+        addColumns(db, table, Map(
+          "__is_dup" -> TypeLattice.Bool, "__dup_of" -> TypeLattice.Int))
+        append(db, table, tagged)
+        tagged.count()
+      }
+    val survivorIndex = graft.operators.Dedup.buildMinhashIndex(
+      survivors, idCol, policy.textCol)
+    survivorIndex.bands.write.mode("append").parquet(bandsPath.toString)
+    survivorIndex.sigs.write.mode("append").parquet(sigsPath.toString)
+    appended
+  }
+
   /** Compact the table's dedup-index dirs (bands, sigs): the ingest
     * path appends one parquet part per batch, so at a
     * batch-every-few-seconds rate the index accretes tiny files until

@@ -53,74 +53,7 @@ final class Loader(catalog: GraftCatalog,
       if (types.contains(catalog.RowIdColumn)) df0
       else df0.withColumn(catalog.RowIdColumn,
         graft.functions.NativeExpressions.snowflake_id())
-    catalog.dedupPolicyOf(database, table) match {
-      case Some(p) if types.contains(p.textCol) =>
-        loadWithDedup(database, table, df, p)
-      case _ =>
-        catalog.append(database, table, df)
-        df.count()
-    }
-  }
-
-  /** The policy-gated ingest shape: probe the table's stored MinHash
-    * band index with the batch (work scales with the batch, never the
-    * corpus — [[graft.operators.Dedup.minhashIncrementalAgainst]]),
-    * tag or drop near-dups, and append ONLY the survivors' band/sig
-    * rows to the index. Re-ingesting a document any number of times
-    * grows the index once; "drop" mode also keeps it out of the table
-    * — at-least-once delivery upgraded to effectively-once.
-    *
-    * The stamped batch is pinned (localCheckpoint) before probing:
-    * snowflake ids are time-derived, so an unpinned plan recomputed
-    * between the probe and the append could re-stamp rows. */
-  private def loadWithDedup(database: String, table: String,
-                            stamped: org.apache.spark.sql.DataFrame,
-                            policy: GraftCatalog.DedupPolicy): Long = {
-    import org.apache.spark.sql.functions._
-    val spark = catalog.spark
-    val idCol = catalog.RowIdColumn
-    val batch = stamped.localCheckpoint()
-    val dir = catalog.dedupIndexDir(database, table)
-    val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
-    val haveIndex = Files.exists(bandsPath)
-
-    val verdicts =
-      if (!haveIndex)
-        batch.select(col(idCol), lit(false).as("__is_dup"),
-          lit(null).cast("long").as("__dup_of"))
-      else {
-        val index = graft.operators.Dedup.MinhashIndex(
-          spark.read.parquet(bandsPath.toString),
-          spark.read.parquet(sigsPath.toString))
-        graft.operators.Dedup.minhashIncrementalAgainst(
-          index, batch, idCol, policy.textCol, threshold = policy.threshold)
-          .select(col(idCol), col("is_dup").as("__is_dup"),
-            col("dup_of").as("__dup_of"))
-      }
-    val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
-    val survivors = tagged.filter(!col("__is_dup"))
-
-    // TABLE append happens BEFORE the index append: if the worker dies
-    // between the two, the retry re-probes an index that does not yet
-    // know the batch, re-appends, and converges (a duplicate table row
-    // at worst — the at-least-once baseline). The reverse order could
-    // tag the retry as a dup of an index entry whose table row never
-    // landed, silently losing the document.
-    val appended =
-      if (policy.mode == "drop") {
-        catalog.append(database, table, survivors.drop("__is_dup", "__dup_of"))
-        survivors.count()
-      } else {
-        catalog.addColumns(database, table, Map(
-          "__is_dup" -> TypeLattice.Bool, "__dup_of" -> TypeLattice.Int))
-        catalog.append(database, table, tagged)
-        tagged.count()
-      }
-    val survivorIndex = graft.operators.Dedup.buildMinhashIndex(
-      survivors, idCol, policy.textCol)
-    survivorIndex.bands.write.mode("append").parquet(bandsPath.toString)
-    survivorIndex.sigs.write.mode("append").parquet(sigsPath.toString)
-    appended
+    catalog.appendWithPolicy(database, table, df)
   }
 
   /** Bulk NDJSON load into a federated jdbc destination: same lattice

@@ -28,8 +28,11 @@ object StreamingIngest {
       .json(dir)
 
   /** Continuous ingest into a catalog table: every micro-batch goes
-    * through GraftCatalog.append (projection + casts identical to the
-    * batch loader, so batch/streaming rows are indistinguishable). */
+    * through GraftCatalog.appendWithPolicy (projection + casts
+    * identical to the batch loader, AND the same per-table dedup
+    * policy the HTTP batch path honors — a table configured for
+    * tag/drop near-dup handling behaves identically whether rows
+    * arrive by file rotation or by stream). */
   def ingestToCatalog(stream: DataFrame, catalog: GraftCatalog,
                       db: String, table: String,
                       checkpointDir: String,
@@ -38,7 +41,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        catalog.append(db, table, batch)
+        catalog.appendWithPolicy(db, table, batch): Unit
       }
       .start()
 

@@ -90,6 +90,39 @@ class StreamingIngestSpec extends SparkTestBase {
     assert(verdicts(12L) == ((true, Some(1L))))
   }
 
+  test("streaming ingest honors the table dedup policy across triggers") {
+    val tmp = Files.createTempDirectory("graft-streampol").toString
+    val srcDir = Files.createDirectories(java.nio.file.Paths.get(tmp, "src"))
+    val catalog = new GraftCatalog(spark, s"$tmp/wh")
+    val types = Map("text" -> TypeLattice.String, "tag" -> TypeLattice.String)
+    catalog.ensureTable("db", "sdocs")
+    catalog.addColumns("db", "sdocs", types)
+    catalog.setDedupPolicy("db", "sdocs",
+      graft.sources.GraftCatalog.DedupPolicy(textCol = "text", mode = "tag"))
+    val shared = (1 to 50).map(i => s"sp$i").mkString(" ")
+    Files.writeString(srcDir.resolve("b1.ndjson"),
+      s"""{"text": "$shared one", "tag": "first"}""" + "\n")
+    val schema = TypeLattice.toStructType(types)
+    val q = StreamingIngest.ingestToCatalog(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, schema),
+      catalog, "db", "sdocs", s"$tmp/ckpt")
+    q.awaitTermination(60000)
+    // second trigger re-delivers the same content with a new tag
+    Files.writeString(srcDir.resolve("b2.ndjson"),
+      s"""{"text": "$shared two", "tag": "second"}""" + "\n")
+    val q2 = StreamingIngest.ingestToCatalog(
+      StreamingIngest.streamNdjsonDir(spark, srcDir.toString, schema),
+      catalog, "db", "sdocs", s"$tmp/ckpt")
+    q2.awaitTermination(60000)
+    val rows = catalog.read("db", "sdocs").select("tag", "__is_dup")
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(rows == Map("first" -> false, "second" -> true), s"got $rows")
+    val bands = spark.read.parquet(
+      catalog.dedupIndexDir("db", "sdocs").resolve("bands").toString)
+    assert(bands.select("doc").distinct().count() == 1,
+      "only the survivor joins the index")
+  }
+
   test("streaming incremental dedup: prebuilt index + parameter passthrough") {
     // the production shape: the index is materialized once (here:
     // built + persisted; in production: written/reloaded as tables)
