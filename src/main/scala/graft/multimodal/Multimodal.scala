@@ -94,6 +94,7 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("media_id"),
       col(widthCol).cast("int").as("__w"), col(heightCol).cast("int").as("__h"),
       col(framesCol).cast("int").as("__frames"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
@@ -157,6 +158,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col(idCol).cast("long").as("media_id"),
       col(widthCol).cast("int").as("__w"), col(heightCol).cast("int").as("__h"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
@@ -268,6 +270,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col(idCol).cast("long").as("media_id"),
       col(sxCol).cast("int").as("__sx"), col(syCol).cast("int").as("__sy"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false)
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -330,9 +333,16 @@ object Multimodal {
   /** REAL audio decode: container format, sample rate, channels, bit
     * depth and frame count parsed from the payload bytes via
     * `javax.sound.sampled.AudioSystem` (JDK built-in — WAV/AIFF/AU),
-    * header-only: `getAudioFileFormat` never decodes samples, so cost
-    * per clip is O(header). duration_ms derives from frames/rate.
-    * Unrecognized payloads yield null features, not task failures. */
+    * header-only: cost per clip is O(header). duration_ms derives
+    * from frames/rate. Unrecognized payloads yield null features, not
+    * task failures.
+    *
+    * RIFF/WAVE payloads parse through the hand-rolled chunk walk
+    * ([[RiffWave]], the same approach as VideoMeta's MP4/EBML walks):
+    * `AudioSystem` synchronizes on a global provider registry, so
+    * per-row calls SERIALIZE across executor threads — measured
+    * SLOWER with 16 threads than with one. AudioSystem remains the
+    * fallback for the non-WAV formats it knows (AIFF/AU). */
   def decodeAudio(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
     binaryTable.select("media_id", "payload")
@@ -340,19 +350,25 @@ object Multimodal {
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
           val payload = r.getAs[Array[Byte]]("payload")
-          try {
-            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-              new java.io.ByteArrayInputStream(payload))
-            val f = aff.getFormat
-            val frames = aff.getFrameLength.toLong
-            val rate = f.getSampleRate.toLong
-            Row(id, aff.getType.toString.toLowerCase, rate,
-              f.getChannels.toLong, f.getSampleSizeInBits.toLong, frames,
-              if (rate > 0) frames * 1000L / rate else null)
-          } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException =>
-              Row(id, null, null, null, null, null, null)
+          RiffWave.parse(payload) match {
+            case Some(w) =>
+              Row(id, "wave", w.rate.toLong, w.channels.toLong, w.bits.toLong,
+                w.nFrames, if (w.rate > 0) w.nFrames * 1000L / w.rate else null)
+            case None =>
+              try {
+                val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+                  new java.io.ByteArrayInputStream(payload))
+                val f = aff.getFormat
+                val frames = aff.getFrameLength.toLong
+                val rate = f.getSampleRate.toLong
+                Row(id, aff.getType.toString.toLowerCase, rate,
+                  f.getChannels.toLong, f.getSampleSizeInBits.toLong, frames,
+                  if (rate > 0) frames * 1000L / rate else null)
+              } catch {
+                case _: javax.sound.sampled.UnsupportedAudioFileException |
+                     _: java.io.IOException =>
+                  Row(id, null, null, null, null, null, null)
+              }
           }
         }
       }(enc)
@@ -375,6 +391,7 @@ object Multimodal {
       col(rateCol).cast("int").as("__rate"),
       col(channelsCol).cast("int").as("__ch"),
       col(framesCol).cast("int").as("__frames"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
@@ -423,44 +440,36 @@ object Multimodal {
         rows.map { r =>
           val id = r.getAs[Long]("media_id")
           val payload = r.getAs[Array[Byte]]("payload")
-          try {
-            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(payload))
-            val f = in.getFormat
-            if (f.getSampleSizeInBits != 16 || f.getChannels != 1 || f.isBigEndian)
-              Row(id, null)
-            else {
-              val raw = in.readAllBytes()
-              val n = raw.length / 2
-              if (n < 65) Row(id, null)
-              else {
-                val spb = n / 65
-                val means = new Array[Long](65)
-                var b = 0
-                while (b < 65) {
-                  var sum = 0L
-                  var i = b * spb
-                  val end = i + spb
-                  while (i < end) {
-                    val s = ((raw(2 * i + 1) << 8) | (raw(2 * i) & 0xff)).toShort.toLong
-                    sum += math.abs(s)
-                    i += 1
-                  }
-                  means(b) = sum / spb
-                  b += 1
+          // hand-rolled RIFF walk, NOT AudioSystem: its global
+          // provider-registry lock serializes per-row calls across
+          // executor threads (measured slower with 16 threads than 1)
+          RiffWave.parse(payload) match {
+            case Some(w) if w.bits == 16 && w.channels == 1 && w.nFrames >= 65 =>
+              val n = w.nFrames.toInt
+              val spb = n / 65
+              val means = new Array[Long](65)
+              var b = 0
+              while (b < 65) {
+                var sum = 0L
+                var i = b * spb
+                val end = i + spb
+                while (i < end) {
+                  val o = w.dataOff + 2 * i
+                  val s = ((payload(o + 1) << 8) | (payload(o) & 0xff)).toShort.toLong
+                  sum += math.abs(s)
+                  i += 1
                 }
-                var hash = 0L
-                var j = 0
-                while (j < 64) {
-                  if (means(j + 1) > means(j)) hash |= (1L << j)
-                  j += 1
-                }
-                Row(id, hash)
+                means(b) = sum / spb
+                b += 1
               }
-            }
-          } catch {
-            case _: javax.sound.sampled.UnsupportedAudioFileException |
-                 _: java.io.IOException => Row(id, null)
+              var hash = 0L
+              var j = 0
+              while (j < 64) {
+                if (means(j + 1) > means(j)) hash |= (1L << j)
+                j += 1
+              }
+              Row(id, hash)
+            case _ => Row(id, null)
           }
         }
       }(enc)
@@ -485,6 +494,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(schema)
     df.select(col(idCol).cast("long").as("media_id"),
       col(spbCol).cast("int").as("__spb"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .mapPartitions { rows =>
         val md = java.security.MessageDigest.getInstance("MD5")
         def md5hex(s: String): String = {
@@ -551,6 +561,48 @@ object Multimodal {
 /** Byte-level video container parsers/builders (no codecs): ISO BMFF
   * (MP4) box structure per the public ISO/IEC 14496-12 layout, and
   * Matroska/WebM EBML per the public RFC 8794 varint encoding. */
+/** Hand-rolled RIFF/WAVE chunk walk (the audio sibling of VideoMeta's
+  * MP4 box walk): "RIFF"…"WAVE" header, then word-aligned chunks —
+  * "fmt " yields PCM format/channels/rate/bits, "data" the sample
+  * window. Strict: non-RIFF, truncated, or non-PCM payloads → None. */
+private[multimodal] object RiffWave {
+  final case class Wav(rate: Int, channels: Int, bits: Int, nFrames: Long,
+                       dataOff: Int, dataLen: Int)
+
+  def parse(b: Array[Byte]): Option[Wav] = {
+    def le16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    var off = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // audioFormat, ch, rate, bits
+    var data: Option[(Int, Int)] = None
+    while (off + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val size = le32(off + 4)
+      if (size < 0 || size > Int.MaxValue || off + 8 + size > b.length) return None
+      val sz = size.toInt
+      id match {
+        case "fmt " if sz >= 16 =>
+          fmt = Some((le16(off + 8), le16(off + 10), le32(off + 12).toInt, le16(off + 22)))
+        case "data" => data = Some((off + 8, sz))
+        case _ => ()
+      }
+      off += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((af, ch, rate, bits)), Some((dOff, dLen)))
+          if af == 1 && ch > 0 && bits > 0 && (bits % 8) == 0 =>
+        val blockAlign = ch * (bits / 8)
+        Some(Wav(rate, ch, bits, dLen.toLong / blockAlign, dOff, dLen))
+      case _ => None
+    }
+  }
+}
+
 private[multimodal] object VideoMeta {
 
   final case class Meta(fmt: String, width: java.lang.Long,
