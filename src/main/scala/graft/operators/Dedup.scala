@@ -351,9 +351,12 @@ object Dedup {
     * pairs sharing ≥1 shingle (blocked by dropping shingles that occur
     * in more than maxShingleFreq docs — rare-shingle blocking keeps the
     * self-join near-linear at scale). */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        shingleK: Int = 5, threshold: Double = 0.5,
-                        maxShingleFreq: Int = 100): DataFrame = {
+  /** Shared candidate core of the exact set-overlap family:
+    * (doc_a, doc_b, size_a, size_b, n_common) for every pair sharing
+    * ≥1 (rare-)shingle — the input [[ngramJaccardPairs]] turns into
+    * Jaccard and [[containmentPairs]] into directed containment. */
+  private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
+                                   shingleK: Int, maxShingleFreq: Int): DataFrame = {
     // set_size rides along with each exploded shingle (row-local, the
     // shingle array is already distinct), so pair rows carry both set
     // sizes out of the self-join — no separate size joins at all
@@ -367,17 +370,38 @@ object Dedup {
     val rare = sh.groupBy("s").agg(count(lit(1)).as("__f"))
       .filter(col("__f") <= maxShingleFreq).select("s")
     val blocked = sh.join(rare, "s")
-    val inter = blocked
+    blocked
       .select(col("s"), col("doc").as("doc_a"), col("set_size").as("size_a"))
       .join(blocked.select(col("s"), col("doc").as("doc_b"), col("set_size").as("size_b")), "s")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "size_a", "size_b").agg(count(lit(1)).as("n_common"))
-    inter
+  }
+
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleK: Int = 5, threshold: Double = 0.5,
+                        maxShingleFreq: Int = 100): DataFrame =
+    shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
       .withColumn("jaccard", round(col("n_common").cast("double") /
         (col("size_a") + col("size_b") - col("n_common")), 6))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "n_common", "jaccard")
-  }
+
+  /** Directed containment C(X ⊆ Y) = |X∩Y| / |X| — the asymmetric
+    * overlap Jaccard is blind to: a short doc quoted whole inside a
+    * long one has tiny Jaccard but containment 1.0. A pair reports
+    * when EITHER direction clears the threshold; both directions ship
+    * so the caller knows which side is the quote. Same rare-shingle
+    * blocking and plan shape as [[ngramJaccardPairs]]. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int = 5, threshold: Double = 0.5,
+                       maxShingleFreq: Int = 100): DataFrame =
+    shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
+      .filter(greatest(
+        col("n_common").cast("double") / col("size_a"),
+        col("n_common").cast("double") / col("size_b")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("size_a"), 6).as("containment_a"),
+        round(col("n_common").cast("double") / col("size_b"), 6).as("containment_b"))
 
   /** Post-dedup representative selection: one kept doc per dup
     * cluster (the C4/Dolma-style "keep the best, drop the rest"

@@ -337,6 +337,38 @@ object TextPipeline {
         round(col("__chars").cast("double") / col("n_docs"), 4).as("avg_chars"),
         (col("sum_score") > 0 && (col("__uniq") * 2 > col("n_docs"))).as("keep"))
 
+  /** Cross-doc duplicated-sentence stats — the C4-style span filter
+    * signal (Raffel et al. dedupe three-sentence spans; the unit here
+    * is the sentence): split on '.', trim, keep sentences ≥ minChars,
+    * mark those appearing in ≥2 DISTINCT docs, report per doc the
+    * count and fraction of its sentences that are corpus-duplicated.
+    * Word-count-shaped: one sentence-keyed aggregate + one equi-join;
+    * within-doc repeats alone do NOT count (that's
+    * [[repeatedNgramFractions]]' job).
+    *
+    * Output: (idCol, n_sentences, n_dup_sentences, dup_sentence_frac),
+    * zeros for docs with no qualifying sentence. */
+  def duplicatedSentenceStats(df: DataFrame, idCol: String, textCol: String,
+                              minChars: Int = 20): DataFrame = {
+    val sents = df.select(col(idCol), explode(split(col(textCol), "\\.")).as("__raw"))
+      .select(col(idCol), trim(col("__raw")).as("__sent"))
+      .filter(length(col("__sent")) >= minChars)
+    val dup = sents.groupBy("__sent")
+      .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("__sent"), lit(1L).as("__isdup"))
+    val per = sents.join(dup, Seq("__sent"), "left_outer")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("__n"), sum(coalesce(col("__isdup"), lit(0L))).as("__nd"))
+    df.select(col(idCol)).join(per, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("__n"), lit(0L)).as("n_sentences"),
+        coalesce(col("__nd"), lit(0L)).as("n_dup_sentences"),
+        when(coalesce(col("__n"), lit(0L)) > 0,
+          round(coalesce(col("__nd"), lit(0L)).cast("double") / col("__n"), 6))
+          .otherwise(lit(0.0)).as("dup_sentence_frac"))
+  }
+
   // ---- byte-pair encoding ------------------------------------------
 
   /** Deterministic BPE (Sennrich et al., "Neural Machine Translation

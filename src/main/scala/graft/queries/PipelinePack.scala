@@ -508,6 +508,73 @@ object PipelinePack {
       TextPipeline.vocabTopK(docs(s, dir), "text", k = 256)
     },
 
+    // Asymmetric containment: |A∩B| / |A| per direction — catches the
+    // doc-quotes-doc subsets Jaccard is blind to. Same rare-shingle
+    // blocking as dedup_ngram_jaccard.
+    QueryDef(
+      "dedup_containment",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+        |), rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        |), blocked AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(n_common * 1.0 / sa.set_size, 6) AS containment_a,
+        |  round(n_common * 1.0 / sb.set_size, 6) AS containment_b
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE greatest(n_common * 1.0 / sa.set_size,
+        |               n_common * 1.0 / sb.set_size) >= 0.5
+        |""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.containmentPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 5, threshold = 0.5, maxShingleFreq = 100)
+    },
+
+    // C4-style duplicated-sentence signal: fraction of a doc's
+    // sentences (split on '.', trimmed, >= 20 chars) that appear
+    // verbatim in at least one OTHER doc.
+    QueryDef(
+      "dedup_sentences",
+      """WITH sents AS (
+        |  SELECT doc_id, trim(x) AS sent
+        |  FROM (SELECT doc_id, unnest(string_split(text, '.')) AS x
+        |        FROM documents) u
+        |  WHERE length(trim(x)) >= 20
+        |), d AS (
+        |  SELECT sent FROM sents GROUP BY sent HAVING min(doc_id) <> max(doc_id)
+        |), per AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sentences,
+        |    CAST(sum(CASE WHEN d.sent IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sents s LEFT JOIN d ON d.sent = s.sent
+        |  GROUP BY 1
+        |)
+        |SELECT doc.doc_id,
+        |  coalesce(per.n_sentences, 0) AS n_sentences,
+        |  coalesce(per.n_dup, 0) AS n_dup_sentences,
+        |  CASE WHEN coalesce(per.n_sentences, 0) > 0
+        |       THEN round(per.n_dup * 1.0 / per.n_sentences, 6)
+        |       ELSE 0.0 END AS dup_sentence_frac
+        |FROM documents doc LEFT JOIN per ON per.doc_id = doc.doc_id
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.duplicatedSentenceStats(docs(s, dir), "doc_id", "text",
+        minChars = 20)
+    },
+
     // Domain-level curation gate: per source, exact-dup rate, hashed
     // classifier score aggregates, and the keep verdict — all
     // integer-derived, so both engines agree on every boundary.

@@ -433,6 +433,40 @@ class PipelineOpsSpec extends SparkTestBase {
     assert((enc.getLong(1), enc.getLong(2)) == ((5L, 10L)), s"got $enc")
   }
 
+  test("containmentPairs: a quoted subset scores 1.0 where jaccard stays low") {
+    // doc 2 contains ALL of doc 1's text plus 3x more: containment of
+    // 1-in-2 is 1.0, jaccard ~ 0.25 — the asymmetric case the
+    // symmetric metric misses. doc 3 shares nothing.
+    val quote = (0 until 20).map(i => s"q$i").mkString(" ")
+    val long = quote + " " + (100 until 160).map(i => s"f$i").mkString(" ")
+    val df = Seq((1L, quote), (2L, long), (3L, (200 until 240).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.containmentPairs(df, "doc_id", "text",
+      shingleK = 5, threshold = 0.9, maxShingleFreq = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getDouble(4)))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    assert(pairs((1L, 2L))._1 == 1.0, s"containment of the quote: ${pairs((1L, 2L))}")
+    assert(pairs((1L, 2L))._2 < 0.5, "the long side is NOT contained")
+    val jac = operators.Dedup.ngramJaccardPairs(df, "doc_id", "text",
+      shingleK = 5, threshold = 0.9, maxShingleFreq = 100).count()
+    assert(jac == 0, "jaccard at the same threshold misses the quote")
+  }
+
+  test("duplicatedSentenceStats: cross-doc sentences flagged, within-doc repeats ignored") {
+    val shared = "this exact sentence is shared verbatim across documents"
+    val df = Seq(
+      (1L, s"$shared. unique one here today definitely. short"),
+      (2L, s"prefix text for document two goes here. $shared."),
+      (3L, s"a self repeated sentence inside one doc. a self repeated sentence inside one doc.")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.duplicatedSentenceStats(df, "doc_id", "text", minChars = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)), s"doc1: ${got(1L)}")  // 'short' filtered
+    assert(got(2L) == ((2L, 1L, 0.5)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((2L, 0L, 0.0)), s"within-doc repeat only: ${got(3L)}")
+  }
+
   test("knnClassify: planted label clusters classify correctly; ties break to smaller label") {
     // two tight direction clusters: label 1 along e0, label 2 along e1;
     // every member's neighbors are its cluster-mates -> perfect accuracy
