@@ -8,26 +8,69 @@ package graft.api
   * assets (zero-egress container), no templating engine needed.
   */
 object Dashboard {
+
+  /** Shared plain-CSS design system — the visual parity pass for the
+    * reference's Tailwind-styled pages (cards on a gray canvas,
+    * accent buttons, soft borders) without any external asset: the
+    * container is zero-egress, so everything ships inline. */
+  private[api] val sharedCss =
+    """ :root { --accent: #4f46e5; --accent-dark: #4338ca; --ink: #111827;
+      |   --muted: #6b7280; --line: #e5e7eb; --canvas: #f9fafb; --card: #ffffff; }
+      | * { box-sizing: border-box; }
+      | body { font-family: system-ui, -apple-system, sans-serif; margin: 0;
+      |   background: var(--canvas); color: var(--ink); }
+      | main { max-width: 62rem; margin: 1.5rem auto; padding: 0 1rem; }
+      | h1 { font-size: 1.3rem; margin: 0.5rem 0 1rem; }
+      | nav { background: var(--card); border-bottom: 1px solid var(--line);
+      |   padding: 0.7rem 1.2rem; display: flex; gap: 1rem; align-items: baseline; }
+      | nav .brand { font-weight: 700; color: var(--accent); margin-right: 1rem;
+      |   text-decoration: none; font-size: 1.05rem; }
+      | nav a { color: var(--muted); text-decoration: none; }
+      | nav a:hover { color: var(--ink); }
+      | .card { background: var(--card); border: 1px solid var(--line);
+      |   border-radius: 0.5rem; padding: 1rem 1.2rem; margin: 1rem 0;
+      |   box-shadow: 0 1px 2px rgba(0,0,0,0.04); }
+      | textarea { width: 100%; height: 7rem; font-family: ui-monospace, monospace;
+      |   font-size: 0.9rem; border: 1px solid var(--line); border-radius: 0.4rem;
+      |   padding: 0.6rem; }
+      | input, select { font-size: 0.9rem; padding: 0.4rem 0.6rem;
+      |   border: 1px solid var(--line); border-radius: 0.4rem; background: var(--card); }
+      | button { font-size: 0.9rem; padding: 0.4rem 0.9rem; border: 0;
+      |   border-radius: 0.4rem; background: var(--accent); color: #fff; cursor: pointer; }
+      | button:hover { background: var(--accent-dark); }
+      | pre { background: #f3f4f6; border: 1px solid var(--line); border-radius: 0.4rem;
+      |   padding: 1rem; overflow-x: auto; min-height: 3rem; }
+      | table { border-collapse: collapse; margin: 0.5rem 0; width: 100%; }
+      | td, th { border-bottom: 1px solid var(--line); padding: 0.45rem 0.7rem;
+      |   text-align: left; }
+      | th { color: var(--muted); font-weight: 600; font-size: 0.85rem;
+      |   text-transform: uppercase; letter-spacing: 0.03em; }
+      | tr:hover td { background: var(--canvas); }
+      | label { display: block; margin-top: 0.6rem; color: var(--muted); }
+      | .bar { margin: 0.75rem 0; display: flex; align-items: center;
+      |   flex-wrap: wrap; gap: 0.4rem; }
+      | .err, .flash { color: #b91c1c; }""".stripMargin
+
+  // head is interpolated (it carries the stylesheet); the body stays a
+  // RAW string — its JavaScript is full of `$(...)` lookups that the
+  // s-interpolator would reject
   val html: String =
-    """<!doctype html>
-      |<html lang="en">
-      |<head>
-      |<meta charset="utf-8">
-      |<title>graft console</title>
-      |<style>
-      | body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
-      | textarea { width: 100%; height: 7rem; font-family: monospace; font-size: 0.9rem; }
-      | input, select, button { font-size: 0.9rem; padding: 0.3rem 0.5rem; margin-right: 0.5rem; }
-      | pre { background: #f4f4f4; padding: 1rem; overflow-x: auto; min-height: 3rem; }
-      | table { border-collapse: collapse; }
-      | td, th { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
-      | .bar { margin: 0.75rem 0; display: flex; align-items: center; flex-wrap: wrap; gap: 0.4rem; }
-      | .err { color: #b00020; }
-      |</style>
-      |</head>
-      |<body>
-      |<h1>graft <span style="font-size:0.8rem;float:right"><a href="/dashboard/connections">connections</a> · <a href="/logout">logout</a></span></h1>
-      |<div class="bar">
+    s"""<!doctype html>
+       |<html lang="en">
+       |<head>
+       |<meta charset="utf-8">
+       |<title>graft console</title>
+       |<style>
+       |$sharedCss
+       |</style>
+       |</head>
+       |<body>
+       |<nav><a class="brand" href="/dashboard">graft</a>
+       |<a href="/dashboard/connections">connections</a>
+       |<a href="/logout">logout</a></nav>
+       |<main>
+       |""".stripMargin +
+    """<div class="bar">
       |  <label>API key <input id="key" type="password" placeholder="api_key"></label>
       |  <select id="fmt"><option>json</option><option>ndjson</option><option>csv</option></select>
       |  <button onclick="listTables()">tables</button>
@@ -78,19 +121,12 @@ object Dashboard {
       |  } catch (e) { $('status').textContent = e.message; $('status').className = 'err'; }
       |}
       |</script>
+      |</main>
       |</body>
       |</html>
       |""".stripMargin
 
-  private val pageCss =
-    """ body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
-      | table { border-collapse: collapse; margin: 1rem 0; }
-      | td, th { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
-      | input, select, button { font-size: 0.9rem; padding: 0.3rem 0.5rem; margin: 0.2rem 0.4rem 0.2rem 0; }
-      | label { display: block; margin-top: 0.6rem; }
-      | .flash { color: #b00020; }
-      | pre { background: #f4f4f4; padding: 1rem; overflow-x: auto; }
-      | nav a { margin-right: 0.8rem; }""".stripMargin
+  private val pageCss = sharedCss
 
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -104,9 +140,16 @@ object Dashboard {
        |$pageCss
        |</style></head>
        |<body>
-       |<nav><a href="/dashboard">console</a><a href="/dashboard/connections">connections</a><a href="/logout">logout</a></nav>
+       |<nav><a class="brand" href="/dashboard">graft</a>
+       |<a href="/dashboard">console</a>
+       |<a href="/dashboard/connections">connections</a>
+       |<a href="/logout">logout</a></nav>
+       |<main>
        |<h1>${esc(title)}</h1>
+       |<div class="card">
        |$body
+       |</div>
+       |</main>
        |</body></html>
        |""".stripMargin
 
@@ -172,16 +215,16 @@ object Dashboard {
        |<html lang="en">
        |<head><meta charset="utf-8"><title>$esc — graft share</title>
        |<style>
-       | body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 60rem; }
-       | table { border-collapse: collapse; }
-       | td, th { border: 1px solid #ccc; padding: 0.25rem 0.6rem; text-align: left; }
+       |$sharedCss
        |</style></head>
        |<body>
+       |<nav><span class="brand">graft</span></nav>
+       |<main>
        |<h1>$esc</h1>
        |<p><a href="/share/$uuid/data.json">json</a> ·
        |   <a href="/share/$uuid/data.csv">csv</a> ·
        |   <a href="/share/$uuid/data.ndjson">ndjson</a></p>
-       |<div id="out">loading…</div>
+       |<div class="card" id="out">loading…</div>
        |<script>
        |const esc = s => s.replace(/[&<>]/g, c => ({'&':'&amp;','<':'&lt;','>':'&gt;'}[c]));
        |fetch('/share/$uuid/data.json').then(r => r.json()).then(rows => {
@@ -192,6 +235,7 @@ object Dashboard {
        |  document.getElementById('out').innerHTML = h + '</table>';
        |}).catch(e => { document.getElementById('out').textContent = String(e); });
        |</script>
+       |</main>
        |</body></html>
        |""".stripMargin
   }

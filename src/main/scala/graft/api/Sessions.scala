@@ -69,25 +69,30 @@ object Sessions {
 
   /** The login form served at GET /login (the reference redirects to
     * Google here; the local provider renders a form that posts the
-    * email + API-key credential to the same endpoint). */
+    * email + API-key credential to the same endpoint). Styled by the
+    * shared design system, centered card like the reference's
+    * Tailwind login. */
   val loginHtml: String =
-    """<!doctype html>
-      |<html lang="en">
-      |<head><meta charset="utf-8"><title>graft login</title>
-      |<style>
-      | body { font-family: system-ui, sans-serif; margin: 4rem auto; max-width: 22rem; }
-      | input, button { font-size: 1rem; padding: 0.4rem 0.6rem; width: 100%;
-      |                 box-sizing: border-box; margin-bottom: 0.75rem; }
-      | .err { color: #b00020; }
-      |</style></head>
-      |<body>
-      |<h1>graft</h1>
-      |<form method="post" action="/login">
-      |  <label>Email <input name="email" type="email" required></label>
-      |  <label>API key <input name="api_key" type="password" required></label>
-      |  <button type="submit">Sign in</button>
-      |</form>
-      |<p class="err">__FLASH__</p>
-      |</body></html>
-      |""".stripMargin
+    s"""<!doctype html>
+       |<html lang="en">
+       |<head><meta charset="utf-8"><title>graft login</title>
+       |<style>
+       |${Dashboard.sharedCss}
+       | main { max-width: 24rem; margin-top: 5rem; }
+       | input, button { width: 100%; margin-bottom: 0.75rem; }
+       |</style></head>
+       |<body>
+       |<main>
+       |<div class="card">
+       |<h1>graft</h1>
+       |<form method="post" action="/login">
+       |  <label>Email <input name="email" type="email" required></label>
+       |  <label>API key <input name="api_key" type="password" required></label>
+       |  <button type="submit">Sign in</button>
+       |</form>
+       |<p class="err">__FLASH__</p>
+       |</div>
+       |</main>
+       |</body></html>
+       |""".stripMargin
 }
