@@ -314,6 +314,30 @@ object Similarity {
         (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** [[knnClassify]]'s scale path: neighbors come from [[ivfTopK]]
+    * (nProbe cells scanned per query instead of the corpus), votes
+    * and argmax identical. The brute form is the declared baseline
+    * its oracle replays; this is what runs at 100 TB. */
+  def knnClassifyIvf(assigned: DataFrame, idCol: String, vecCol: String,
+                     labelCol: String, centroids: DataFrame, corpus: DataFrame,
+                     queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                     k: Int, nProbe: Int): DataFrame = {
+    val topk = ivfTopK(assigned, idCol, vecCol, centroids,
+      queries, queryIdCol, queryVecCol, k, nProbe)
+    val labels = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).cast("long").as("__nl"))
+    val votes = topk.join(labels, Seq("neighbor_id"))
+      .groupBy("query_id", "__nl").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("query_id").orderBy(col("__c").desc, col("__nl").asc)
+    val pred = votes.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("query_id"), col("__nl").as("pred_label"))
+    val truth = corpus.select(col(idCol).as("query_id"),
+      col(labelCol).cast("long").as("true_label"))
+    pred.join(truth, Seq("query_id"))
+      .select(col("query_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   // ---- product quantization (IVF-PQ) ------------------------------
 
   /** Deterministic PQ codebooks (Jégou et al., "Product Quantization

@@ -643,6 +643,62 @@ object PipelinePack {
         "qid", "qvec", k = 10)
     },
 
+    // The kNN-classify SCALE path: same vote/argmax, neighbors from
+    // the IVF route (nProbe cells per query, not the corpus).
+    QueryDef(
+      "ann_knn_classify_ivf",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lb
+        |  FROM embeddings
+        |), cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, lb, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, e.lb, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv, lb AS true_label
+        |      FROM e WHERE vec_id < 50),
+        |qcells AS (
+        |  SELECT query_id, qv, centroid_id AS cell FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+        |    FROM q, cent c) t WHERE r <= 3
+        |),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id AS neighbor_id, a.lb,
+        |    round(list_cosine_similarity(a.v, qc.qv), 6) AS cs
+        |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |  WHERE qc.query_id <> a.vec_id
+        |), topk AS (
+        |  SELECT query_id, lb FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id) AS r FROM cand) t
+        |  WHERE r <= 10
+        |), votes AS (
+        |  SELECT query_id, lb, count(*) AS c FROM topk GROUP BY 1, 2
+        |), pred AS (
+        |  SELECT query_id, lb AS pred_label FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY c DESC, lb) AS r FROM votes) t
+        |  WHERE r = 1
+        |)
+        |SELECT q.query_id, q.true_label, p.pred_label,
+        |  q.true_label = p.pred_label AS correct
+        |FROM q JOIN pred p USING (query_id)
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      Similarity.knnClassifyIvf(assigned, "vec_id", "embedding", "label",
+        centroids, e,
+        e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"),
+          col("embedding").as("qvec")),
+        "qid", "qvec", k = 10, nProbe = 3)
+    },
+
     // Gopher-family repetition filter: per doc, the fraction of word
     // positions covered by an n-gram repeated WITHIN the doc, for
     // n = 2, 3, 4 — overlaps union via per-doc islands.

@@ -483,6 +483,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(out.forall(_._4), s"all queries should classify correctly: ${out.toSeq}")
   }
 
+  test("knnClassifyIvf at full probe width equals the brute path exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = operators.Similarity.knnClassify(
+      e, "vec_id", "embedding", "label", q, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val centroids = operators.Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val assigned = operators.Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    // probing EVERY cell makes the candidate set identical to brute
+    val ivf = operators.Similarity.knnClassifyIvf(assigned, "vec_id", "embedding",
+      "label", centroids, e, q, "qid", "qvec", k = 5, nProbe = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(ivf == brute, s"full-probe IVF must equal brute: $ivf vs $brute")
+  }
+
   test("sourceQuality: hand-computed dup rate and keep verdicts") {
     // source A: 3 docs, 2 identical -> dup_rate 1/3; source B: all unique
     val df = Seq(
