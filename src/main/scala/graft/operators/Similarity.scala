@@ -338,6 +338,29 @@ object Similarity {
         (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** Per-cell clustering diagnostics over the IVF assignment: size,
+    * majority label (ties → smallest), and purity (majority share) —
+    * the embedding-space health check run after any clustering step
+    * (cells dominated by one label ⇒ the space separates classes;
+    * uniform cells ⇒ it doesn't). One assignment + one cell-keyed
+    * aggregate; integer counts, so purity is engine-exact.
+    *
+    * Output: (cell, n_vectors, majority_label, n_majority, purity). */
+  def clusterPurity(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, centroids: DataFrame): DataFrame = {
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      .join(corpus.select(col(idCol), col(labelCol).cast("long").as("__lb")), Seq(idCol))
+    val byLabel = assigned.groupBy("cell", "__lb").agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy("cell").orderBy(col("__c").desc, col("__lb").asc)
+    byLabel
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", sum("__c").over(Window.partitionBy("cell")))
+      .filter(col("__r") === 1)
+      .select(col("cell"), col("__n").as("n_vectors"),
+        col("__lb").as("majority_label"), col("__c").as("n_majority"),
+        round(col("__c").cast("double") / col("__n"), 6).as("purity"))
+  }
+
   // ---- product quantization (IVF-PQ) ------------------------------
 
   /** Deterministic PQ codebooks (Jégou et al., "Product Quantization

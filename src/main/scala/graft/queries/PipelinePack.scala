@@ -643,6 +643,39 @@ object PipelinePack {
         "qid", "qvec", k = 10)
     },
 
+    // Embedding-space diagnostics: per IVF cell, size, majority label
+    // and purity — integer counts, engine-exact boundaries.
+    QueryDef(
+      "emb_cluster_purity",
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS lb
+        |  FROM embeddings
+        |), cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, lb, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.lb, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |), byl AS (
+        |  SELECT cell, lb, CAST(count(*) AS BIGINT) AS c
+        |  FROM assigned GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT cell, CAST(sum(c) AS BIGINT) AS n FROM byl GROUP BY 1
+        |), top AS (
+        |  SELECT cell, lb, c FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY cell
+        |      ORDER BY c DESC, lb) AS r FROM byl) t WHERE r = 1
+        |)
+        |SELECT t.cell, tot.n AS n_vectors, t.lb AS majority_label,
+        |  t.c AS n_majority, round(t.c * 1.0 / tot.n, 6) AS purity
+        |FROM top t JOIN tot USING (cell)
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      Similarity.clusterPurity(e, "vec_id", "embedding", "label", centroids)
+    },
+
     // The kNN-classify SCALE path: same vote/argmax, neighbors from
     // the IVF route (nProbe cells per query, not the corpus).
     QueryDef(

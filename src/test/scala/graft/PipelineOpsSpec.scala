@@ -500,6 +500,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivf == brute, s"full-probe IVF must equal brute: $ivf vs $brute")
   }
 
+  test("clusterPurity: pure and mixed planted cells report exact purity") {
+    // centroid ids 0 and 50 (stride 50). Cluster at e0: labels all 7
+    // -> purity 1.0. Cluster at e1: labels 2,2,3 -> majority 2, 2/3.
+    def v(axis: Int, j: Double): Seq[Double] =
+      (0 until 8).map(i => (if (i == axis) 1.0 else 0.0) + (if (i == 7) j else 0.0))
+    val rows = Seq(
+      (0L, v(0, 0.00), 7), (1L, v(0, 0.01), 7), (2L, v(0, 0.02), 7),
+      (50L, v(1, 0.00), 2), (51L, v(1, 0.01), 2), (52L, v(1, 0.02), 3))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val cents = operators.Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val got = operators.Similarity.clusterPurity(e, "vec_id", "embedding", "label", cents)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(0L) == ((3L, 7L, 3L, 1.0)), s"pure cell: ${got(0L)}")
+    assert(got(50L) == ((3L, 2L, 2L, 0.666667)), s"mixed cell: ${got(50L)}")
+  }
+
   test("sourceQuality: hand-computed dup rate and keep verdicts") {
     // source A: 3 docs, 2 identical -> dup_rate 1/3; source B: all unique
     val df = Seq(
