@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.functions.TypeLattice
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
@@ -245,19 +245,31 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
     val haveIndex = Files.exists(bandsPath)
 
-    val verdicts =
+    val indexVerdicts =
       if (!haveIndex)
-        batch.select(col(idCol), lit(false).as("__is_dup"),
-          lit(null).cast("long").as("__dup_of"))
+        batch.select(col(idCol), lit(false).as("__ix_dup"),
+          lit(null).cast("long").as("__ix_of"))
       else {
         val index = graft.operators.Dedup.MinhashIndex(
           spark.read.parquet(bandsPath.toString),
           spark.read.parquet(sigsPath.toString))
         graft.operators.Dedup.minhashIncrementalAgainst(
           index, batch, idCol, policy.textCol, threshold = policy.threshold)
-          .select(col(idCol), col("is_dup").as("__is_dup"),
-            col("dup_of").as("__dup_of"))
+          .select(col(idCol), col("is_dup").as("__ix_dup"),
+            col("dup_of").as("__ix_of"))
       }
+    // WITHIN-batch near-dups (a redelivered row often lands in the
+    // same rotation file — the index can't see those): one-hop group
+    // rep per batch doc, the group min keeps, the rest tag/drop. An
+    // index match wins precedence (the corpus row is the original).
+    val batchGroups = graft.operators.Dedup.minhashDedup(
+      batch, idCol, policy.textCol, threshold = policy.threshold)
+      .select(col(idCol), col("dup_group").as("__bg"))
+    val verdicts = indexVerdicts.join(batchGroups, Seq(idCol))
+      .select(col(idCol),
+        (col("__ix_dup") || col("__bg") =!= col(idCol)).as("__is_dup"),
+        coalesce(col("__ix_of"),
+          when(col("__bg") =!= col(idCol), col("__bg"))).as("__dup_of"))
     val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
     val survivors = tagged.filter(!col("__is_dup"))
 

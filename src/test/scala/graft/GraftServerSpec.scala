@@ -133,6 +133,36 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("ingest dedup policy: duplicates WITHIN one batch are caught too") {
+    val (srv, base) = newServer()
+    try {
+      val shared = (1 to 40).map(i => s"wb$i").mkString(" ")
+      post(s"$base/api/tables/docs_inbatch/dedup?api_key=localkey",
+        """{"text_col": "text", "mode": "tag"}""")
+      // one POST = one rotation file = one batch with an internal dup
+      post(s"$base/api/data/insert/docs_inbatch?api_key=localkey",
+        s"""[{"text": "$shared one", "tag": "a"},
+           | {"text": "$shared two", "tag": "b"},
+           | {"text": "${(500 to 540).map(i => s"u$i").mkString(" ")}", "tag": "c"}]"""
+          .stripMargin)
+      assert(srv.drain())
+      val dups = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_inbatch where __is_dup order by tag", "UTF-8"))
+      assert(dups.body() == """[{"tag":"b"}]""", dups.body())
+      // the within-batch dup's __dup_of points at its batch group rep
+      val link = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select count(*) as n from docs_inbatch a join docs_inbatch b " +
+            "on a.__dup_of = b.__row_id where a.tag = 'b' and b.tag = 'a'", "UTF-8"))
+      assert(link.body() == """[{"n":1}]""", link.body())
+      // only the two survivors joined the index
+      val bands = spark.read.parquet(
+        srv.catalog.dedupIndexDir("default", "docs_inbatch").resolve("bands").toString)
+      assert(bands.select("doc").distinct().count() == 2)
+    } finally srv.stop()
+  }
+
   test("ingest dedup policy (drop): re-ingested doc never lands in the table") {
     val (srv, base) = newServer()
     try {
