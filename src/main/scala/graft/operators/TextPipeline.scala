@@ -369,6 +369,24 @@ object TextPipeline {
           .otherwise(lit(0.0)).as("dup_sentence_frac"))
   }
 
+  /** Per-domain URL frequency over the corpus — the aggregate a
+    * blocklist/allowlist curation gate consumes (drop or cap docs from
+    * over-represented or listed domains). Row-local regex extraction
+    * (codegen'd regexp_extract_all, the PII-scan regex dialect:
+    * RE2 ∩ Java so any engine replicates matches), one domain-keyed
+    * count with map-side combine.
+    *
+    * Output: (domain, n_urls, n_docs). */
+  def domainStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        explode(regexp_extract_all(col(textCol),
+          lit("https?://[A-Za-z0-9.-]+"), lit(0))).as("__u"))
+      .select(col(idCol),
+        regexp_replace(col("__u"), "^https?://", "").as("domain"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col(idCol)).as("n_docs"))
+
   // ---- byte-pair encoding ------------------------------------------
 
   /** Deterministic BPE (Sennrich et al., "Neural Machine Translation

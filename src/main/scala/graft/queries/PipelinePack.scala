@@ -643,6 +643,40 @@ object PipelinePack {
         "qid", "qvec", k = 10)
     },
 
+    // Domain-frequency stats over extracted URLs — the input every
+    // web-corpus blocklist/allowlist gate consumes. URLs are PLANTED
+    // deterministically (same pattern as text_pii_redact: the
+    // synthetic corpus carries none), extraction is a real regex scan,
+    // and the per-domain aggregate is word-count-shaped.
+    QueryDef(
+      "text_domain_stats",
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 3 = 0
+        |      THEN ' see https://site' || (doc_id % 50) || '.example.org/p/' || doc_id
+        |           || ' and http://mirror' || (doc_id % 7) || '.example.net/x'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |), urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text,
+        |    'https?://[A-Za-z0-9.-]+')) AS u
+        |  FROM planted
+        |), domains AS (
+        |  SELECT doc_id, regexp_replace(u, '^https?://', '') AS domain FROM urls
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM domains GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val planted = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" see https://site"), pmod(col("doc_id"), lit(50)),
+            lit(".example.org/p/"), col("doc_id"),
+            lit(" and http://mirror"), pmod(col("doc_id"), lit(7)),
+            lit(".example.net/x"))).otherwise(lit(""))).as("text"))
+      TextPipeline.domainStats(planted, "doc_id", "text")
+    },
+
     // Embedding-space diagnostics: per IVF cell, size, majority label
     // and purity — integer counts, engine-exact boundaries.
     QueryDef(

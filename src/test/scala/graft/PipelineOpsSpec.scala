@@ -538,6 +538,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(!keep, "an all-duplicate source must not be kept")
   }
 
+  test("domainStats: extraction, scheme stripping, per-domain doc counts") {
+    val df = Seq(
+      (1L, "read https://a.example.org/x and http://b.example.net/y today"),
+      (2L, "again https://a.example.org/z here"),
+      (3L, "no links at all")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.domainStats(df, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "a.example.org" -> ((2L, 2L)),
+      "b.example.net" -> ((1L, 1L))), s"got $got")
+  }
+
   test("corpus operators tolerate an empty corpus") {
     val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(operators.Dedup.substringSpans(noDocs, "doc_id", "text", 3).count() == 0)
