@@ -399,17 +399,41 @@ object TextPipeline {
     *
     * SCALE SHAPE: the corpus is touched ONCE (word counts); all
     * `numMerges` iterations run on the DISTINCT-WORD table — vocab-
-    * sized, not corpus-sized — with the symbol arrays advanced by one
-    * row-local native merge step per round and re-pinned so iteration
-    * r+1 never replays rounds 1..r. The chosen merge is a 1-row
-    * argmax collect per round (the merge TABLE is the driver-sized
-    * training artifact, like any trained model).
+    * sized, not corpus-sized — with the symbol arrays advanced by
+    * row-local native merge steps and re-pinned so iteration r+1 never
+    * replays rounds 1..r. Merges are applied in BATCHES of up to
+    * `batchSize` per Spark round (one pair-count job + one
+    * driver-sized top-K collect per round, instead of one job PER
+    * merge — a 32k-merge vocab is ~1k rounds, not 32k sequential
+    * jobs), and every `spillEvery` rounds the vocab table is spilled
+    * to parquet and re-read, bounding the checkpoint-block chain.
+    *
+    * The batch is EXACTLY equivalent to sequential greedy merges.
+    * From the (count desc, lhs asc, rhs asc)-sorted pair list, select
+    * the maximal symbol-disjoint prefix, stopping at the FIRST pair
+    * that shares a symbol with an earlier selection; let B be that
+    * pair's count (or the last collected count if the top-K was
+    * exhausted conflict-free), and keep only selections with count
+    * strictly greater than B (always keeping the global argmax).
+    * Applying merge p_i can only (a) decrease counts of pairs sharing
+    * a symbol with p_i, or (b) create pairs containing the new merged
+    * symbol, whose count is bounded by some pre-existing pair
+    * overlapping p_i — in both cases a pair that CONFLICTS with p_i
+    * and therefore sorts at-or-after the first conflict: count ≤ B
+    * < count(p_j) for every kept p_j. So at p_j's sequential turn no
+    * changed or new pair can outrank it, every kept pair's own count
+    * is untouched (disjointness), and ties among untouched pairs
+    * resolve by the original sort. Batch size 1 degenerates to the
+    * classic one-merge-per-round loop.
     *
     * Returns (vocab after all merges, merge table rows
     * (merge_rank, lhs, rhs, pair_count)). */
   private[graft] def bpeTrainCore(corpus: DataFrame, textCol: String,
-                                  numMerges: Int):
+                                  numMerges: Int, batchSize: Int = 32,
+                                  spillEvery: Int = 50,
+                                  spillPath: Option[String] = None):
       (DataFrame, Seq[(Long, String, String, Long)]) = {
+    require(batchSize >= 1, "batchSize must be >= 1")
     val ne = graft.functions.NativeExpressions
     var words = corpus
       .select(explode(split(lower(col(textCol)), " ")).as("w"))
@@ -417,10 +441,18 @@ object TextPipeline {
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"), col("c"), ne.codepoint_split(col("w")).as("sym"))
       .localCheckpoint(eager = false)
+    val spark = corpus.sparkSession
+    lazy val spillDir: String = spillPath.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_bpe_spill").toString)
     val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
-    var r = 0
     var exhausted = false
-    while (r < numMerges && !exhausted) {
+    var round = 0
+    while (merges.length < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - merges.length)
+      // over-collect so the disjoint prefix usually fills the batch
+      // before the collected list runs out; K rows driver-side, like
+      // any trained-model artifact
+      val fetch = want * 4 + 8
       val top = words
         .select(col("c"),
           explode(zip_with(
@@ -430,15 +462,49 @@ object TextPipeline {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("c").as("pc"))
         .orderBy(col("pc").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()
+        .limit(fetch).collect()
       if (top.isEmpty) exhausted = true
       else {
-        val (l, rr, pc) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-        merges += ((r + 1L, l, rr, pc))
-        words = words
-          .withColumn("sym", ne.bpe_merge_step(col("sym"), l, rr))
-          .localCheckpoint(eager = false)
-        r += 1
+        val selected = scala.collection.mutable.ArrayBuffer[(String, String, Long)]()
+        val used = scala.collection.mutable.HashSet[String]()
+        var bound = -1L // B: count of the first conflicting pair
+        var i = 0
+        var stopped = false
+        // even after the batch fills, keep scanning for the first
+        // conflict — the bound must see conflicts ranked between the
+        // last selection and the end of the collected list
+        while (i < top.length && !stopped) {
+          val (l, rr, pc) = (top(i).getString(0), top(i).getString(1), top(i).getLong(2))
+          if (used.contains(l) || used.contains(rr)) { stopped = true; bound = pc }
+          else if (selected.length < want) { selected += ((l, rr, pc)); used += l; used += rr }
+          i += 1
+        }
+        // top-K exhausted conflict-free but more pairs may exist
+        // beyond it: uncollected counts are ≤ the last collected
+        if (!stopped && top.length == fetch) bound = top.last.getLong(2)
+        val safe =
+          if (bound < 0) selected.toSeq
+          else {
+            val strict = selected.takeWhile(_._3 > bound).toSeq
+            if (strict.isEmpty) Seq(selected.head) else strict
+          }
+        safe.foreach { case (l, rr, pc) =>
+          merges += ((merges.length + 1L, l, rr, pc))
+        }
+        // all merges of the round advance the vocab in ONE projection
+        val newSym = safe.foldLeft(col("sym")) { case (c0, (l, rr, _)) =>
+          ne.bpe_merge_step(c0, l, rr)
+        }
+        words = words.withColumn("sym", newSym)
+        round += 1
+        if (round % spillEvery == 0) {
+          // hard lineage + block truncation: parquet round-trip frees
+          // the accumulated checkpoint blocks (pass spillPath on a
+          // cluster so the dir is on shared storage)
+          val p = s"$spillDir/round_$round"
+          words.write.mode("overwrite").parquet(p)
+          words = spark.read.parquet(p)
+        } else words = words.localCheckpoint(eager = false)
       }
     }
     (words, merges.toSeq)
@@ -446,10 +512,11 @@ object TextPipeline {
 
   /** The trained merge table: (merge_rank, lhs, rhs, pair_count), one
     * row per merge in training order. */
-  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+               batchSize: Int = 32): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    bpeTrainCore(corpus, textCol, numMerges)._2
+    bpeTrainCore(corpus, textCol, numMerges, batchSize)._2
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 

@@ -406,6 +406,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(merges.count() == 0, "single-char words have no pairs to merge")
   }
 
+  test("bpeTrain: batched merge selection is exactly sequential greedy") {
+    // a corpus dense in ADJACENT candidate merges: chained pairs
+    // (a,b),(b,c),(c,d) share symbols, self-runs create overlap, and
+    // near-tied counts stress the bound truncation. The batched
+    // selector must defer every conflicting candidate and produce the
+    // IDENTICAL merge table, in order, as one-merge-per-round.
+    val df = Seq(
+      (1L, "abcd abcd abc bcd ab bc cd"),
+      (2L, "aaab aaab aabb abab baba"),
+      (3L, "xyz xyz xy yz zx quv quv qu uv"),
+      (4L, "abcd ab ab bc bc cd cd dd dd aa"),
+      (5L, "mnop mnop mno nop mn no op")
+    ).toDF("doc_id", "text")
+    def table(batch: Int, spillEvery: Int = 50) =
+      TextPipeline.bpeTrainCore(df, "text", numMerges = 12, batchSize = batch,
+          spillEvery = spillEvery)._2
+    val sequential = table(1)
+    assert(sequential.length == 12, s"expected 12 merges, got ${sequential.length}")
+    assert(table(4) == sequential, "batchSize=4 diverged from sequential")
+    assert(table(64) == sequential, "batchSize=64 diverged from sequential")
+    // spill path: parquet round-trip every round must not change values
+    assert(table(4, spillEvery = 1) == sequential, "spill round-trip diverged")
+  }
+
   test("bpeEncode: token counts match the hand-traced merges") {
     // after 3 merges above: "aaab" -> [aaab] wait round3 merged
     // (aa,ab) -> "aaab" is ONE token; "ab" -> [ab] one token
