@@ -298,6 +298,22 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         val mode = str("mode", "tag")
         val threshold = obj.get("threshold")
           .collect { case graft.functions.JValue.JNum(n) => n.toDouble }.getOrElse(0.7)
+        def num(k: String, dflt: Long) = obj.get(k)
+          .collect { case graft.functions.JValue.JNum(n) => n.toLong }.getOrElse(dflt)
+        def bool(k: String, dflt: Boolean) = obj.get(k)
+          .collect { case graft.functions.JValue.JBool(b) => b }.getOrElse(dflt)
+        val params = graft.sources.GraftCatalog.DedupParams(
+          num("shingle_k", 5).toInt, num("num_hashes", 128).toInt,
+          num("bands", 32).toInt, num("seed", 42L),
+          bool("use_md5", false), bool("oph", true))
+        // the declared-schema check: a typo'd text_col would make every
+        // batch silently take the plain-append path (the table only
+        // has its seed column before first ingest — accept then, the
+        // column arrives with the data)
+        def schemaRejects: Boolean = {
+          val declared = catalog.schemaOf(db, table).keySet - catalog.RowIdColumn
+          declared.nonEmpty && !declared.contains(textCol)
+        }
         if (!validIdent(table)) respond(ex, 400, "valid table name required", "text/plain")
         else if (destInfo(db)._1 == "jdbc")
           respond(ex, 400, "dedup policy applies to spark destinations only", "text/plain")
@@ -307,12 +323,20 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
           respond(ex, 400, "mode must be tag|drop", "text/plain")
         else if (threshold <= 0.0 || threshold > 1.0)
           respond(ex, 400, "threshold must be in (0, 1]", "text/plain")
-        else {
+        else if (params.numHashes % params.bands != 0)
+          respond(ex, 400, "bands must divide num_hashes", "text/plain")
+        else if (schemaRejects)
+          respond(ex, 400, s"text_col '$textCol' is not a column of $table", "text/plain")
+        else try {
           catalog.setDedupPolicy(db, table,
-            graft.sources.GraftCatalog.DedupPolicy(textCol, mode, threshold))
+            graft.sources.GraftCatalog.DedupPolicy(textCol, mode, threshold, params))
           respond(ex, 200,
-            s"""{"table":"$table","text_col":"$textCol","mode":"$mode","threshold":$threshold}""",
+            s"""{"table":"$table","text_col":"$textCol","mode":"$mode","threshold":$threshold,${params.json}}""",
             "application/json")
+        } catch {
+          // convention change under a live index: refuse, don't corrupt
+          case e: IllegalStateException =>
+            respond(ex, 409, e.getMessage, "text/plain")
         }
       case ("GET", p) if p.startsWith("/api/tables/") && p.endsWith("/dedup") =>
         val table = p.stripPrefix("/api/tables/").stripSuffix("/dedup")
@@ -320,7 +344,7 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         else catalog.dedupPolicyOf(db, table) match {
           case None => respond(ex, 404, "no dedup policy", "text/plain")
           case Some(pol) => respond(ex, 200,
-            s"""{"table":"$table","text_col":"${pol.textCol}","mode":"${pol.mode}","threshold":${pol.threshold}}""",
+            s"""{"table":"$table","text_col":"${pol.textCol}","mode":"${pol.mode}","threshold":${pol.threshold},${pol.params.json}}""",
             "application/json")
         }
       case _ => respond(ex, 404, "not found", "text/plain")

@@ -108,19 +108,23 @@ object Dedup {
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
                    maxBucketSize: Int = 10000, useMd5: Boolean = false,
-                   oph: Boolean = true): DataFrame = {
+                   oph: Boolean = true,
+                   checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature table feeds FIVE consumers (bucket-size agg, the
     // anti-join, both self-join sides, and the est-Jaccard joins);
     // without pinning, each one re-runs the hash kernel over the whole
-    // corpus — measured 5-6 corpus scans per query. A lazy local
-    // checkpoint materializes the sketch once (~1 KB/doc — the same
-    // artifact buildMinhashIndex hands to callers to store as a table)
-    // and every consumer reads blocks. Deterministic kernel, so a
-    // block-loss recompute cannot change values.
-    val sigs = minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
-      .localCheckpoint(eager = false)
+    // corpus — measured 5-6 corpus scans per query. The default pin is
+    // a lazy LOCAL checkpoint (~1 KB/doc — the same artifact
+    // buildMinhashIndex hands to callers to store as a table): blocks
+    // live only on executors and are NOT recomputed on executor loss,
+    // so the job fails rather than degrades. Right for local mode and
+    // retryable batch jobs; cluster jobs that must survive executor
+    // loss pass a reliable pin instead (`_.checkpoint()` against a
+    // checkpoint dir, or persist to storage and re-read).
+    val sigs = checkpoint(
+      minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
 
     val banded = bandBuckets(sigs, idCol, bands, rows, useMd5)
 
@@ -152,10 +156,11 @@ object Dedup {
     * (Single LSH pass — transitive closure would iterate this plan.) */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
-                   threshold: Double = 0.7, useMd5: Boolean = false,
-                   oph: Boolean = true): DataFrame = {
+                   threshold: Double = 0.7, seed: Long = 42L,
+                   useMd5: Boolean = false, oph: Boolean = true,
+                   checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
-      threshold, useMd5 = useMd5, oph = oph)
+      threshold, seed = seed, useMd5 = useMd5, oph = oph, checkpoint = checkpoint)
     val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
       .agg(min("doc_a").as("__nb"))
     df.select(col(idCol))
@@ -457,14 +462,17 @@ object Dedup {
   def buildMinhashIndex(corpus: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, numHashes: Int = 128,
                         bands: Int = 32, seed: Long = 42L,
-                        useMd5: Boolean = false, oph: Boolean = true): MinhashIndex = {
+                        useMd5: Boolean = false, oph: Boolean = true,
+                        checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // pinned for the same reason as in minhashPairs: bands + sigs are
     // two consumers of one kernel pass (callers persist/write the
-    // returned tables for anything longer-lived than one probe)
-    val sigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
-      .localCheckpoint(eager = false)
+    // returned tables for anything longer-lived than one probe). Same
+    // caveat as there: the default local checkpoint is unrecoverable
+    // on executor loss — cluster jobs pass a reliable pin.
+    val sigs = checkpoint(
+      minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
     MinhashIndex(
       bandBuckets(sigs, idCol, bands, rows, useMd5),
       sigs.select(col(idCol).as("doc"), col("signature")))

@@ -108,9 +108,18 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     ensureTable(db, table)
     require(policy.mode == "tag" || policy.mode == "drop",
       s"dedup mode must be tag|drop: ${policy.mode}")
+    // fail FAST on a convention change under a live index: signatures
+    // from different kernels/params are not mutually comparable — a
+    // mismatched probe would silently pass every duplicate as novel
+    storedIndexParams(db, table).foreach { stored =>
+      val want = policy.params
+      if (stored != want) throw new IllegalStateException(
+        s"dedup index for $db.$table was built under $stored; new policy " +
+          s"wants $want — clear or rebuild the index before changing the convention")
+    }
     Files.writeString(dedupFile(db, table),
       s"""{"textCol":${quote(policy.textCol)},"mode":${quote(policy.mode)},""" +
-        s""""threshold":${policy.threshold}}""")
+        s""""threshold":${policy.threshold},""" + policy.params.json + "}")
   }
 
   def dedupPolicyOf(db: String, table: String): Option[GraftCatalog.DedupPolicy] = {
@@ -121,9 +130,28 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         Some(GraftCatalog.DedupPolicy(
           o.get("textCol").collect { case JStr(s) => s }.get,
           o.get("mode").collect { case JStr(s) => s }.getOrElse("tag"),
-          o.get("threshold").collect { case JNum(n) => n.toDouble }.getOrElse(0.7)))
+          o.get("threshold").collect { case JNum(n) => n.toDouble }.getOrElse(0.7),
+          GraftCatalog.DedupParams.fromJson(o)))
       case other => throw new IllegalStateException(s"bad dedup sidecar: $other")
     }
+  }
+
+  /** The convention the table's stored index was BUILT under —
+    * persisted in `dedup_index/params.json` when the index is first
+    * written and required to match the policy at every probe. Indexes
+    * predating the sidecar could only have been built with the
+    * defaults (nothing else was ever forwarded), so absence reads as
+    * [[GraftCatalog.DedupParams]] defaults. */
+  def storedIndexParams(db: String, table: String): Option[GraftCatalog.DedupParams] = {
+    import graft.functions.JValue, graft.functions.JValue._
+    val f = dedupIndexDir(db, table).resolve("params.json")
+    if (Files.exists(f)) JValue.parse(Files.readString(f)) match {
+      case o: JObj => Some(GraftCatalog.DedupParams.fromJson(o))
+      case other => throw new IllegalStateException(s"bad index params sidecar: $other")
+    }
+    else if (Files.exists(dedupIndexDir(db, table).resolve("bands")))
+      Some(GraftCatalog.DedupParams()) // legacy index: defaults by construction
+    else None
   }
 
   /** Append a batch: project to catalog columns (missing → NULL), cast
@@ -224,18 +252,43 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     dedupPolicyOf(db, table) match {
       case Some(p) if df.columns.contains(p.textCol) =>
         appendDeduped(db, table, df, p)
-      case _ =>
+      case Some(p) =>
+        // policy-bearing table taking the PLAIN append path (batch
+        // lacks the text column — usually a typo'd text_col): count
+        // it so the downgrade from effectively-once is observable
+        policyBypassCount.incrementAndGet()
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table $db.$table has a dedup policy on '${p.textCol}' but the " +
+            "batch lacks that column; appending WITHOUT dedup")
+        append(db, table, df)
+        df.count()
+      case None =>
         append(db, table, df)
         df.count()
     }
+
+  /** Batches appended to a policy-bearing table WITHOUT the probe
+    * because the text column was absent (see [[appendWithPolicy]]). */
+  val policyBypassCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // appendDeduped and compactDedupIndex serialize per (db, table):
+  // two concurrent batches would otherwise both probe before either
+  // appends its survivors (concurrent near-dups all surviving), and a
+  // batch racing the compactor's non-atomic dir swap would find no
+  // index and skip the probe entirely
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(db: String, table: String): Object =
+    tableLocks.computeIfAbsent(s"$db/$table", _ => new Object)
 
   /** The policy-gated append. The id-stamped batch is pinned
     * (localCheckpoint) before probing: snowflake ids are time-derived,
     * so an unpinned plan recomputed between the probe and the append
     * could re-stamp rows. */
   private def appendDeduped(db: String, table: String, df: DataFrame,
-                            policy: GraftCatalog.DedupPolicy): Long = {
+                            policy: GraftCatalog.DedupPolicy): Long = lockFor(db, table).synchronized {
     val idCol = RowIdColumn
+    val pr = policy.params
     // streaming batches arrive without row ids; batch loads pre-stamp
     val stamped =
       if (df.columns.contains(idCol)) df
@@ -244,6 +297,14 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val dir = dedupIndexDir(db, table)
     val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
     val haveIndex = Files.exists(bandsPath)
+    // refuse a probe under a convention the index was not built with:
+    // cross-kernel signatures share no buckets, so the mismatch would
+    // not error — it would pass EVERY duplicate as novel
+    storedIndexParams(db, table).foreach { stored =>
+      if (stored != pr) throw new IllegalStateException(
+        s"dedup index for $db.$table was built under $stored but the policy " +
+          s"probes with $pr — rebuild the index or restore the original params")
+    }
 
     val indexVerdicts =
       if (!haveIndex)
@@ -254,7 +315,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
           spark.read.parquet(bandsPath.toString),
           spark.read.parquet(sigsPath.toString))
         graft.operators.Dedup.minhashIncrementalAgainst(
-          index, batch, idCol, policy.textCol, threshold = policy.threshold)
+          index, batch, idCol, policy.textCol,
+          shingleK = pr.shingleK, numHashes = pr.numHashes, bands = pr.bands,
+          threshold = policy.threshold, seed = pr.seed, useMd5 = pr.useMd5,
+          oph = pr.oph)
           .select(col(idCol), col("is_dup").as("__ix_dup"),
             col("dup_of").as("__ix_of"))
       }
@@ -263,7 +327,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     // rep per batch doc, the group min keeps, the rest tag/drop. An
     // index match wins precedence (the corpus row is the original).
     val batchGroups = graft.operators.Dedup.minhashDedup(
-      batch, idCol, policy.textCol, threshold = policy.threshold)
+      batch, idCol, policy.textCol,
+      shingleK = pr.shingleK, numHashes = pr.numHashes, bands = pr.bands,
+      threshold = policy.threshold, seed = pr.seed, useMd5 = pr.useMd5,
+      oph = pr.oph)
       .select(col(idCol), col("dup_group").as("__bg"))
     val verdicts = indexVerdicts.join(batchGroups, Seq(idCol))
       .select(col(idCol),
@@ -290,9 +357,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         tagged.count()
       }
     val survivorIndex = graft.operators.Dedup.buildMinhashIndex(
-      survivors, idCol, policy.textCol)
+      survivors, idCol, policy.textCol,
+      shingleK = pr.shingleK, numHashes = pr.numHashes, bands = pr.bands,
+      seed = pr.seed, useMd5 = pr.useMd5, oph = pr.oph)
     survivorIndex.bands.write.mode("append").parquet(bandsPath.toString)
     survivorIndex.sigs.write.mode("append").parquet(sigsPath.toString)
+    // record the convention the index is built under, once, so every
+    // future probe (and setDedupPolicy) can verify against it
+    val paramsFile = dir.resolve("params.json")
+    if (!Files.exists(paramsFile))
+      Files.writeString(paramsFile, "{" + pr.json + "}")
     appended
   }
 
@@ -301,11 +375,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * batch-every-few-seconds rate the index accretes tiny files until
     * probe PLANNING (listing + footers) dominates probe time — the
     * same disease [[compact]] cures for tables, applied to the raw
-    * index dirs. Same non-transactional dir-swap caveat: serialize
-    * through the control-plane queue in deployments. Returns
-    * (files before, files after) summed over both dirs. */
+    * index dirs. Takes the same per-(db, table) lock as
+    * [[appendWithPolicy]]'s dedup path, so an ingesting batch can
+    * never race the non-atomic dir swap (during the rename window the
+    * index transiently looks absent and a probe would be skipped).
+    * Returns (files before, files after) summed over both dirs. */
   def compactDedupIndex(db: String, table: String,
-                        targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+                        targetFileBytes: Long = 128L << 20): (Int, Int) = lockFor(db, table).synchronized {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     var (before, after) = (0, 0)
@@ -383,13 +459,42 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 }
 
 object GraftCatalog {
+  /** The signature CONVENTION of a minhash dedup index — everything
+    * that decides whether two sketches are comparable. Persisted in
+    * the policy sidecar AND next to the index it built; a probe whose
+    * params disagree with the stored index's refuses loudly instead
+    * of silently declaring every duplicate novel. */
+  final case class DedupParams(shingleK: Int = 5, numHashes: Int = 128,
+                               bands: Int = 32, seed: Long = 42L,
+                               useMd5: Boolean = false, oph: Boolean = true) {
+    def json: String =
+      s""""shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
+        s""""seed":$seed,"useMd5":$useMd5,"oph":$oph"""
+  }
+  object DedupParams {
+    def fromJson(o: graft.functions.JValue.JObj): DedupParams = {
+      import graft.functions.JValue._
+      def num(k: String, dflt: Long) =
+        o.get(k).collect { case JNum(n) => n.toLong }.getOrElse(dflt)
+      def bool(k: String, dflt: Boolean) =
+        o.get(k).collect { case JBool(b) => b }.getOrElse(dflt)
+      DedupParams(num("shingleK", 5).toInt, num("numHashes", 128).toInt,
+        num("bands", 32).toInt, num("seed", 42L),
+        bool("useMd5", false), bool("oph", true))
+    }
+  }
+
   /** Opt-in near-dup policy for the ingest path: batches probe the
     * table's stored MinHash band index before appending. mode "tag"
     * appends every row with (__is_dup, __dup_of) columns; mode "drop"
     * appends survivors only. Either way only non-dup rows join the
     * index, so re-ingesting the same document any number of times
     * grows the index once — the reference's at-least-once-with-
-    * duplicates ingest upgraded to effectively-once. */
+    * duplicates ingest upgraded to effectively-once. Carries the full
+    * signature convention ([[DedupParams]]) so an index built under
+    * any kernel family (e.g. the md5 family `dedup_incremental`
+    * uses) is probed with matching signatures. */
   final case class DedupPolicy(textCol: String, mode: String = "tag",
-                               threshold: Double = 0.7)
+                               threshold: Double = 0.7,
+                               params: DedupParams = DedupParams())
 }

@@ -9,6 +9,7 @@ import java.nio.file.Files
   * (readme.md:36-48) against the Spark-backed server — insert JSON over
   * HTTP, query it back in every format, copy, share, introspect. */
 class GraftServerSpec extends SparkTestBase {
+  import spark.implicits._
 
   private lazy val http = HttpClient.newHttpClient()
 
@@ -130,6 +131,148 @@ class GraftServerSpec extends SparkTestBase {
           "select tag from docs_dedup where __is_dup order by tag", "UTF-8"))
       assert(dups2.body() == """[{"tag":"fourth"},{"tag":"second"}]""",
         s"probe against the compacted index: ${dups2.body()}")
+    } finally srv.stop()
+  }
+
+  test("dedup policy persists the signature convention; mismatched probes refuse") {
+    val (srv, base) = newServer()
+    try {
+      val shared = (1 to 50).map(i => s"cv$i").mkString(" ")
+      // the md5 k-hash family — the dedup_incremental oracle's
+      // convention, NOT the defaults (oph xxhash64 family)
+      val set = post(s"$base/api/tables/docs_conv/dedup?api_key=localkey",
+        """{"text_col": "text", "mode": "tag", "shingle_k": 4,
+          | "num_hashes": 64, "bands": 16, "seed": 7, "use_md5": true,
+          | "oph": false}""".stripMargin)
+      assert(set.statusCode() == 200, set.body())
+      val got = get(s"$base/api/tables/docs_conv/dedup?api_key=localkey")
+      assert(got.body().contains(""""useMd5":true"""), got.body())
+      assert(got.body().contains(""""numHashes":64"""), got.body())
+
+      post(s"$base/api/data/insert/docs_conv?api_key=localkey",
+        s"""{"text": "$shared ending one", "tag": "first"}""")
+      assert(srv.drain(), "first batch drains")
+      post(s"$base/api/data/insert/docs_conv?api_key=localkey",
+        s"""{"text": "$shared ending two", "tag": "second"}""")
+      assert(srv.drain(), "second batch drains")
+      val dups = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_conv where __is_dup order by tag", "UTF-8"))
+      assert(dups.body() == """[{"tag":"second"}]""",
+        s"md5-family probe must verdict the near-dup: ${dups.body()}")
+
+      // the verdict matches the batch operator run under the SAME
+      // convention directly (end-to-end ≡ dedup_incremental's shape)
+      val existing = Seq((1L, s"$shared ending one")).toDF("doc_id", "text")
+      val incoming = Seq((2L, s"$shared ending two")).toDF("doc_id", "text")
+      val direct = graft.operators.Dedup.minhashIncremental(
+        existing, incoming, "doc_id", "text", shingleK = 4, numHashes = 64,
+        bands = 16, seed = 7, useMd5 = true, oph = false)
+        .collect().head
+      assert(direct.getBoolean(1), "direct operator agrees: near-dup")
+
+      // the index records what built it
+      val stored = srv.catalog.storedIndexParams("default", "docs_conv")
+      assert(stored.contains(graft.sources.GraftCatalog.DedupParams(
+        4, 64, 16, 7L, useMd5 = true, oph = false)), s"got $stored")
+
+      // changing the convention under a live index refuses (409)
+      val flip = post(s"$base/api/tables/docs_conv/dedup?api_key=localkey",
+        """{"text_col": "text", "mode": "tag"}""")
+      assert(flip.statusCode() == 409, s"${flip.statusCode()} ${flip.body()}")
+
+      // a mismatched probe (sidecar tampered behind the API) fails
+      // LOUDLY instead of passing every duplicate as novel
+      val pf = srv.catalog.dedupIndexDir("default", "docs_conv").getParent
+        .resolve("dedup.json")
+      Files.writeString(pf,
+        """{"textCol":"text","mode":"tag","threshold":0.7,"shingleK":5,""" +
+          """"numHashes":128,"bands":32,"seed":42,"useMd5":false,"oph":true}""")
+      val batch = Seq((s"$shared ending three", "third")).toDF("text", "tag")
+      val err = intercept[IllegalStateException] {
+        srv.catalog.appendWithPolicy("default", "docs_conv", batch)
+      }
+      assert(err.getMessage.contains("built under"), err.getMessage)
+    } finally srv.stop()
+  }
+
+  test("dedup policy text_col must be a declared column once the table has data") {
+    val (srv, base) = newServer()
+    try {
+      // before first ingest the table has no declared columns beyond
+      // the seed — any identifier is accepted (the column arrives with
+      // the data)
+      assert(post(s"$base/api/tables/docs_tc/dedup?api_key=localkey",
+        """{"text_col": "text"}""").statusCode() == 200)
+      post(s"$base/api/data/insert/docs_tc2?api_key=localkey",
+        """{"text": "hello world", "tag": "a"}""")
+      assert(srv.drain())
+      // declared schema now exists on docs_tc2: a typo'd column is a 400
+      val bad = post(s"$base/api/tables/docs_tc2/dedup?api_key=localkey",
+        """{"text_col": "txet"}""")
+      assert(bad.statusCode() == 400, s"${bad.statusCode()} ${bad.body()}")
+      assert(bad.body().contains("not a column"), bad.body())
+      assert(post(s"$base/api/tables/docs_tc2/dedup?api_key=localkey",
+        """{"text_col": "text"}""").statusCode() == 200)
+    } finally srv.stop()
+  }
+
+  test("policy-bearing table counts batches that bypass the probe") {
+    val (srv, base) = newServer()
+    try {
+      assert(post(s"$base/api/tables/docs_byp/dedup?api_key=localkey",
+        """{"text_col": "body"}""").statusCode() == 200)
+      val before = srv.catalog.policyBypassCount.get()
+      // the batch has no "body" column: plain append, counted
+      post(s"$base/api/data/insert/docs_byp?api_key=localkey",
+        """{"text": "no body column here", "tag": "a"}""")
+      assert(srv.drain())
+      assert(srv.catalog.policyBypassCount.get() == before + 1,
+        "bypass must be observable")
+    } finally srv.stop()
+  }
+
+  test("HTTP batch and streaming ingest share one dedup convention and index") {
+    val (srv, base) = newServer()
+    try {
+      val shared = (1 to 50).map(i => s"pb$i").mkString(" ")
+      assert(post(s"$base/api/tables/docs_parity/dedup?api_key=localkey",
+        """{"text_col": "text", "num_hashes": 64, "bands": 16,
+          | "use_md5": true, "oph": false}""".stripMargin).statusCode() == 200)
+      // original lands over HTTP
+      post(s"$base/api/data/insert/docs_parity?api_key=localkey",
+        s"""{"text": "$shared ending one", "tag": "http-first"}""")
+      assert(srv.drain())
+      // near-dup arrives via a structured stream into the SAME table:
+      // foreachBatch goes through the same appendWithPolicy, which now
+      // carries the stored convention
+      val tmp = Files.createTempDirectory("graft-parity")
+      Files.writeString(tmp.resolve("b1.ndjson"),
+        s"""{"text": "$shared ending two", "tag": "stream-second"}""" + "\n")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tag",
+          org.apache.spark.sql.types.StringType)))
+      val q = graft.streaming.StreamingIngest.ingestToCatalog(
+        graft.streaming.StreamingIngest.streamNdjsonDir(
+          spark, tmp.toString, schema),
+        srv.catalog, "default", "docs_parity", s"$tmp/ckpt")
+      q.awaitTermination(60000)
+      // and the same doc re-delivered over HTTP again
+      post(s"$base/api/data/insert/docs_parity?api_key=localkey",
+        s"""{"text": "$shared ending three", "tag": "http-third"}""")
+      assert(srv.drain())
+
+      val rows = srv.catalog.read("default", "docs_parity")
+        .select("tag", "__is_dup").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(rows == Map("http-first" -> false, "stream-second" -> true,
+        "http-third" -> true), s"identical verdicts across paths: $rows")
+      val bands = spark.read.parquet(
+        srv.catalog.dedupIndexDir("default", "docs_parity").resolve("bands").toString)
+      assert(bands.select("doc").distinct().count() == 1,
+        "index grows once across both ingest paths")
     } finally srv.stop()
   }
 
