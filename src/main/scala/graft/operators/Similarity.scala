@@ -338,6 +338,45 @@ object Similarity {
         (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** Size-adaptive kNN classification — the [[ScalableWindow
+    * .analyticRankQuery]] pattern applied to ANN: one entry point, the
+    * physical route chosen by catalog stats (no extra job).
+    *
+    *   - corpora under `singleScanLimitBytes` → [[knnClassify]]: the
+    *     exact brute scan, fastest when the corpus fits one broadcast
+    *     pass and the oracle-replicable baseline;
+    *   - past the limit → [[knnClassifyIvf]]: seeded centroids + IVF
+    *     assignment, nProbe cells per query instead of the corpus —
+    *     what runs at 100 TB.
+    *
+    * The two routes agree exactly when nProbe covers every cell
+    * (spec'd); at partial probe the IVF route is the standard ANN
+    * recall trade. */
+  def knnClassifyAdaptive(corpus: DataFrame, idCol: String, vecCol: String,
+                          labelCol: String,
+                          queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                          k: Int, stride: Int = 0, nProbe: Int = 3,
+                          singleScanLimitBytes: Long = 8L << 20): DataFrame = {
+    val big = corpus.select(col(idCol), col(vecCol), col(labelCol))
+      .queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(singleScanLimitBytes)
+    if (!big)
+      knnClassify(corpus, idCol, vecCol, labelCol,
+        queries, queryIdCol, queryVecCol, k)
+    else {
+      // stride 0 → cells ≈ √rows (the standard IVF balance: assignment
+      // cost |corpus|·cells vs probe cost nProbe·|corpus|/cells — both
+      // ~|corpus|^1.5). The row count is one footer-only count job.
+      val s =
+        if (stride > 0) stride
+        else math.max(50, math.ceil(math.sqrt(corpus.count().toDouble)).toInt)
+      val centroids = seedCentroids(corpus, idCol, vecCol, s)
+      val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+      knnClassifyIvf(assigned, idCol, vecCol, labelCol, centroids, corpus,
+        queries, queryIdCol, queryVecCol, k, nProbe)
+    }
+  }
+
   /** Per-cell clustering diagnostics over the IVF assignment: size,
     * majority label (ties → smallest), and purity (majority share) —
     * the embedding-space health check run after any clustering step

@@ -637,7 +637,10 @@ object PipelinePack {
         |FROM q JOIN pred p USING (query_id)
         |""".stripMargin) { (s, dir) =>
       val e = embs(s, dir)
-      Similarity.knnClassify(e, "vec_id", "embedding", "label",
+      // size-adaptive: brute (the oracle's exact shape) below the
+      // single-scan limit — which covers every oracled sf — IVF-routed
+      // above it (sf1+ bench corpora), the analyticRankQuery pattern
+      Similarity.knnClassifyAdaptive(e, "vec_id", "embedding", "label",
         e.filter(col("vec_id") < 50).select(col("vec_id").as("qid"),
           col("embedding").as("qvec")),
         "qid", "qvec", k = 10)

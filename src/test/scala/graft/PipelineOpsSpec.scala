@@ -524,6 +524,27 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(ivf == brute, s"full-probe IVF must equal brute: $ivf vs $brute")
   }
 
+  test("knnClassifyAdaptive routes by catalog stats; both routes agree at full probe") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val brute = operators.Similarity.knnClassify(
+      e, "vec_id", "embedding", "label", q, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // under the limit: the adaptive entry IS the brute plan
+    val small = operators.Similarity.knnClassifyAdaptive(
+      e, "vec_id", "embedding", "label", q, "qid", "qvec", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(small == brute, "below the limit the adaptive entry must route brute")
+    // force the IVF route (limit 1 byte) at full probe width: same verdicts
+    val routed = operators.Similarity.knnClassifyAdaptive(
+      e, "vec_id", "embedding", "label", q, "qid", "qvec", k = 5,
+      nProbe = 1000, singleScanLimitBytes = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(routed == brute, s"full-probe IVF route must equal brute: $routed")
+  }
+
   test("clusterPurity: pure and mixed planted cells report exact purity") {
     // centroid ids 0 and 50 (stride 50). Cluster at e0: labels all 7
     // -> purity 1.0. Cluster at e1: labels 2,2,3 -> majority 2, 2/3.
