@@ -184,8 +184,14 @@ object TextPipeline {
     val counts = docs.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
       .withColumn("__w", wExpr)
       .filter(col("__w").isNotNull && col("__w") > 0)
-    val tAgg = counts.agg(min(expr("__n * 1000 div __w")).as("__T"))
-    val rates = counts.crossJoin(broadcast(tAgg))
+    // T = min over strata rides a global window over the ≤|strata|-row
+    // counts table — one stage, instead of a second aggregate feeding
+    // a crossJoin'd broadcast subtree (measured: each extra broadcast
+    // subtree is one more job's scheduling latency on the floor-bound
+    // sf10 run)
+    val rates = counts
+      .withColumn("__T",
+        min(expr("__n * 1000 div __w")).over(Window.partitionBy(lit(0))))
       .select(col(stratumCol),
         expr("__T * __w div __n").cast("long").as("rate_per_mille"))
     val bucket =
