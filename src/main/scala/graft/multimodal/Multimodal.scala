@@ -547,6 +547,102 @@ object Multimodal {
       }(enc)
   }
 
+  /** Encode one REAL video container per row whose per-sample size
+    * sequence is a deterministic, engine-replicable function of the
+    * id — the video sibling of [[encodeTestPatternImages]] /
+    * [[encodeTestPatternWavs]], same group-of-4 scheme with
+    * "vid_"/"vflip_" md5 salts: 65 sample sizes, size(0) = base and
+    * size(j+1) = size(j) ± 16 by bit j (base ≥ 2000 keeps every size
+    * positive), so the gradient-sign fingerprint — and nothing else —
+    * is pinned. EVEN members write ISO BMFF (stsz table), ODD members
+    * write Matroska (SimpleBlock frame sizes): in-group near-dup pairs
+    * must therefore be found ACROSS containers, certifying the
+    * fingerprint is container-invariant. */
+  def encodeTestPatternVideos(df: DataFrame, idCol: String,
+                              baseCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload", BinaryType),
+      StructField("kind", StringType),
+      StructField("n_bytes", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.select(col(idCol).cast("long").as("media_id"),
+      col(baseCol).cast("long").as("__base"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def md5hex(s: String): String = {
+          md.reset()
+          md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        }
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val base = r.getAs[Long]("__base")
+          val gid = id - (id % 4)
+          val m = (id % 4).toInt
+          val hex = md5hex(s"vid_$gid")
+          val h1 = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+          val bits = Array.tabulate(64) { j =>
+            (if (j < 32) (h1 >> j) & 1L else (h2 >> (j - 32)) & 1L) == 1L
+          }
+          val flips = m match { case 0 => 0; case 1 => 1; case 2 => 2; case _ => 8 }
+          var i = 0
+          while (i < flips) {
+            val p = (java.lang.Long.parseLong(
+              md5hex(s"vflip_${gid}_${m}_$i").substring(0, 6), 16) % 64).toInt
+            bits(p) = !bits(p)
+            i += 1
+          }
+          val sizes = new Array[Long](65)
+          sizes(0) = base
+          var j = 0
+          while (j < 64) {
+            sizes(j + 1) = sizes(j) + (if (bits(j)) 16L else -16L)
+            j += 1
+          }
+          val bytes =
+            if (m % 2 == 0) VideoMeta.buildMp4Sized(320, 240, sizes)
+            else VideoMeta.buildMkvSized(320, 240, sizes)
+          Row(id, bytes, "video", bytes.length.toLong)
+        }
+      }(enc)
+  }
+
+  /** 64-bit video fingerprint over the REAL container's sample-size
+    * sequence: [[VideoMeta.sampleSizes]] walks the actual boxes
+    * (MP4 stsz) or cluster blocks (Matroska), and bit j is the sign of
+    * the size gradient (size(j+1) > size(j)) — the codec-free analog
+    * of the image dHash: re-muxing between containers, remuxed
+    * timestamps, and renamed metadata all preserve it, while edits
+    * that change frame content shift the coded sizes. Payloads that
+    * parse to fewer than 65 samples yield a null hash. Banding/verify
+    * is the shared [[graft.operators.Dedup.hammingPairs64]]. */
+  def vhashVideo(spark: SparkSession, binaryTable: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("vhash", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    binaryTable.select("media_id", "payload")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getAs[Long]("media_id")
+          val payload = r.getAs[Array[Byte]]("payload")
+          VideoMeta.sampleSizes(payload) match {
+            case Some(sizes) if sizes.length >= 65 =>
+              var hash = 0L
+              var j = 0
+              while (j < 64) {
+                if (sizes(j + 1) > sizes(j)) hash |= (1L << j)
+                j += 1
+              }
+              Row(id, hash)
+            case _ => Row(id, null)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling plan over decoded video features: every
     * `stride`-th frame index up to the REAL frame count — the
     * explode-style fan-out of per-frame work units that downstream
@@ -717,6 +813,79 @@ private[multimodal] object VideoMeta {
     ftyp ++ box("moov", mvhd, trak) ++ box("mdat")
   }
 
+  /** Structurally-valid MP4 whose stsz box carries a REAL per-sample
+    * size table (sample_size = 0 + entries) — the shape
+    * [[sampleSizes]] reads back for the video fingerprint. */
+  def buildMp4Sized(w: Int, h: Int, sizes: Array[Long]): Array[Byte] = {
+    def u32(v: Long) = Array[Byte](
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u16(v: Int) = Array[Byte]((v >> 8).toByte, v.toByte)
+    def ascii(s: String) = s.getBytes("US-ASCII")
+    def zeros(n: Int) = new Array[Byte](n)
+    def box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+      val total = 8 + parts.map(_.length).sum
+      val buf = java.nio.ByteBuffer.allocate(total)
+      buf.putInt(total).put(ascii(tpe))
+      parts.foreach(buf.put)
+      buf.array()
+    }
+    val matrix = u32(0x00010000L) ++ u32(0) ++ u32(0) ++
+      u32(0) ++ u32(0x00010000L) ++ u32(0) ++
+      u32(0) ++ u32(0) ++ u32(0x40000000L)
+    val timescale = 1000L
+    val duration = sizes.length.toLong * 40L
+    val ftyp = box("ftyp", ascii("isom"), u32(0x200), ascii("isom"), ascii("mp41"))
+    val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+      u32(0x00010000L), u16(0x0100), u16(0), zeros(8), matrix, zeros(24), u32(2))
+    val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0), u32(duration),
+      zeros(8), u16(0), u16(0), u16(0), u16(0), matrix,
+      u32(w.toLong << 16), u32(h.toLong << 16))
+    val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(timescale), u32(duration),
+      u16(0x55c4), u16(0))
+    val hdlr = box("hdlr", u32(0), u32(0), ascii("vide"), zeros(12), zeros(1))
+    val stszBody = u32(0) ++ u32(0) ++ u32(sizes.length.toLong) ++
+      sizes.flatMap(u32)
+    val stbl = box("stbl",
+      box("stsd", u32(0), u32(0)),
+      box("stts", u32(0), u32(0)),
+      box("stsz", stszBody))
+    val minf = box("minf",
+      box("vmhd", u32(1), zeros(8)),
+      box("dinf", box("dref", u32(0), u32(1), box("url ", u32(1)))),
+      stbl)
+    val trak = box("trak", tkhd, box("mdia", mdhd, hdlr, minf))
+    ftyp ++ box("moov", mvhd, trak) ++ box("mdat")
+  }
+
+  /** Minimal Matroska whose Segment carries one Cluster of
+    * SimpleBlocks with the given frame-data sizes — the MKV carrier of
+    * the same size sequence [[buildMp4Sized]] puts in stsz. Element
+    * sizes use the 8-byte EBML varint form so bodies of any length
+    * encode uniformly. */
+  def buildMkvSized(w: Int, h: Int, sizes: Array[Long]): Array[Byte] = {
+    def size8(n: Long): Array[Byte] =
+      Array(0x01.toByte) ++ (0 until 7).map(i => ((n >> (8 * (6 - i))) & 0xff).toByte)
+    def el(id: Array[Int], body: Array[Byte]): Array[Byte] =
+      id.map(_.toByte).toArray ++ size8(body.length.toLong) ++ body
+    val docType = el(Array(0x42, 0x82), "matroska".getBytes("US-ASCII"))
+    val header = el(Array(0x1a, 0x45, 0xdf, 0xa3), docType)
+    val scale = el(Array(0x2a, 0xd7, 0xb1), Array(0x0f, 0x42, 0x40).map(_.toByte))
+    val info = el(Array(0x15, 0x49, 0xa9, 0x66), scale)
+    val video = el(Array(0xe0),
+      el(Array(0xb0), Array((w >> 8) & 0xff, w & 0xff).map(_.toByte)) ++
+        el(Array(0xba), Array((h >> 8) & 0xff, h & 0xff).map(_.toByte)))
+    val tracks = el(Array(0x16, 0x54, 0xae, 0x6b), el(Array(0xae), video))
+    val blocks = sizes.flatMap { sz =>
+      // SimpleBlock: track-1 vint + 16-bit timecode + flags, then
+      // `sz` bytes of deterministic frame data
+      val frame = Array.tabulate(sz.toInt)(i => (i * 31 & 0xff).toByte)
+      el(Array(0xa3), Array[Byte](0x81.toByte, 0, 0, 0) ++ frame)
+    }
+    val cluster = el(Array(0x1f, 0x43, 0xb6, 0x75),
+      el(Array(0xe7), Array(0x00.toByte)) ++ blocks)
+    header ++ el(Array(0x18, 0x53, 0x80, 0x67), info ++ tracks ++ cluster)
+  }
+
   // ---- Matroska / WebM EBML ---------------------------------------
 
   /** EBML varint at `o`: (value, encodedLength). keepMarker retains
@@ -757,6 +926,71 @@ private[multimodal] object VideoMeta {
       o = bodyEnd
     }
     None
+  }
+
+  /** Every child element with `id` in [start, end), in order. */
+  private def findAllEl(b: Array[Byte], start: Int, end: Int,
+                        id: Long): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var o = start
+    while (o < end) {
+      val (elId, idLen) = vint(b, o, keepMarker = true)
+      val (size, szLen) = vint(b, o + idLen, keepMarker = false)
+      val bodyStart = o + idLen + szLen
+      val unknown = size == (1L << (7 * szLen)) - 1
+      val bodyEnd = if (unknown) end else bodyStart + size.toInt
+      if (bodyEnd > end || bodyEnd < bodyStart) return out.result()
+      if (elId == id) out += ((bodyStart, bodyEnd))
+      o = bodyEnd
+    }
+    out.result()
+  }
+
+  /** The per-sample size SEQUENCE of the container's first video
+    * track — the codec-free shape signal the video fingerprint hashes:
+    * MP4 reads the stsz table (or expands a constant sample_size);
+    * Matroska walks every Cluster's SimpleBlocks and reports their
+    * frame-data lengths. None when neither container parses or the
+    * table is truncated. */
+  def sampleSizes(b: Array[Byte]): Option[Array[Long]] =
+    sampleSizesMp4(b).orElse(sampleSizesMkv(b))
+
+  private def sampleSizesMp4(b: Array[Byte]): Option[Array[Long]] = {
+    if (b.length < 12 || new String(b, 4, 4, "US-ASCII") != "ftyp") return None
+    try {
+      for {
+        (moovS, moovE) <- findBox(b, 0, b.length, "moov")
+        (tS, tE) <- findBox(b, moovS, moovE, "trak")
+        (mdS, mdE) <- findBox(b, tS, tE, "mdia")
+        (mnS, mnE) <- findBox(b, mdS, mdE, "minf")
+        (sbS, sbE) <- findBox(b, mnS, mnE, "stbl")
+        (szS, szE) <- findBox(b, sbS, sbE, "stsz")
+        sizes <- {
+          val sampleSize = be32(b, szS + 4)
+          val count = be32(b, szS + 8).toInt
+          if (count < 0) None
+          else if (sampleSize != 0L) Some(Array.fill(count)(sampleSize))
+          else if (szS + 12 + 4L * count > szE) None // truncated table
+          else Some(Array.tabulate(count)(i => be32(b, szS + 12 + 4 * i)))
+        }
+      } yield sizes
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
+  }
+
+  private def sampleSizesMkv(b: Array[Byte]): Option[Array[Long]] = {
+    if (b.length < 4 || be32(b, 0) != 0x1a45dfa3L) return None
+    try {
+      val (hdrS, hdrE) = findEl(b, 0, b.length, 0x1a45dfa3L).getOrElse(return None)
+      val (segS, segE) = findEl(b, hdrE, b.length, 0x18538067L).getOrElse(return None)
+      val sizes = for {
+        (cS, cE) <- findAllEl(b, segS, segE, 0x1f43b675L)
+        (bS, bE) <- findAllEl(b, cS, cE, 0xa3L)
+      } yield {
+        val (_, trackLen) = vint(b, bS, keepMarker = false)
+        (bE - bS - trackLen - 3).toLong // minus 16-bit timecode + flags
+      }
+      if (sizes.isEmpty) None else Some(sizes.toArray)
+    } catch { case _: ArrayIndexOutOfBoundsException => None }
   }
 
   private def parseMkv(b: Array[Byte]): Option[Meta] = {

@@ -836,5 +836,57 @@ object TrainingOps {
         (lit(8) + pmod(col("doc_id"), lit(120))).as("__frames"))
       val mp4s = Multimodal.encodeTestMp4s(d, "doc_id", "__w", "__h", "__frames")
       Multimodal.sampleFrames(Multimodal.decodeVideo(s, mp4s), stride = 2)
+    },
+
+    // Video NEAR-DUP dedup over real containers — the last multimodal
+    // column without a dedup: per doc a REAL MP4 (even members) or
+    // Matroska (odd members) is built whose 65-entry sample-size
+    // sequence encodes an md5-derived bit pattern via the size
+    // gradient; vhashVideo walks the ACTUAL boxes/clusters back to the
+    // sequence, and pairs come from the shared Hamming banding. Group
+    // members alternate containers, so every reported pair crosses
+    // MP4↔MKV — the oracle replaying the bit arithmetic certifies both
+    // byte-level walks AND the fingerprint's container invariance.
+    QueryDef(
+      "mm_dedup_video",
+      """WITH d AS (
+        |  SELECT doc_id, doc_id - (doc_id % 4) AS gid, doc_id % 4 AS m
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id, gid, m,
+        |    CAST('0x' || substr(md5('vid_' || gid), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5('vid_' || gid), 9, 8) AS BIGINT) AS h2
+        |  FROM d
+        |), bits AS (
+        |  SELECT doc_id, j.j,
+        |    CAST(CASE WHEN j.j < 32 THEN (h1 >> j.j) & 1
+        |              ELSE (h2 >> (j.j - 32)) & 1 END AS BIGINT) AS bit
+        |  FROM base, range(0, 64) j(j)
+        |), fl AS (
+        |  SELECT d.doc_id,
+        |    CAST('0x' || substr(md5('vflip_' || gid || '_' || m || '_' || i.i), 1, 6) AS BIGINT) % 64 AS p
+        |  FROM d, range(0, 8) i(i)
+        |  WHERE i.i < (CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 8 END)
+        |), fc AS (
+        |  SELECT doc_id, p, count(*) AS c FROM fl GROUP BY 1, 2
+        |), fb AS (
+        |  SELECT b.doc_id, b.j,
+        |    CASE WHEN coalesce(fc.c, 0) % 2 = 1 THEN 1 - b.bit ELSE b.bit END AS bit
+        |  FROM bits b LEFT JOIN fc ON fc.doc_id = b.doc_id AND fc.p = b.j
+        |), hs AS (
+        |  SELECT doc_id,
+        |    bit_or(CASE WHEN bit = 1 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS h
+        |  FROM fb GROUP BY 1
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"),
+        (lit(2000) + pmod(col("n_chars"), lit(3)) * 64).as("__base"))
+      val vids = Multimodal.encodeTestPatternVideos(d, "doc_id", "__base")
+      Dedup.hammingPairs64(Multimodal.vhashVideo(s, vids), "media_id", "vhash",
+        maxHamming = 3)
     })
 }

@@ -520,6 +520,47 @@ class TrainingOpsSpec extends SparkTestBase {
       s"no cross-group pairs: $pairs")
   }
 
+  test("video fingerprint: base-size invariant, container-invariant across mp4/mkv") {
+    import spark.implicits._
+    // same id at three base sizes → identical vhash (only gradient
+    // signs are pinned, absolute sizes vary); different group → far
+    val h = (for ((id, base) <- Seq((4L, 2000L), (4L, 2064L), (4L, 2128L), (8L, 2000L))) yield {
+      val one = Seq((id, base)).toDF("id", "base")
+      val vid = Multimodal.encodeTestPatternVideos(one, "id", "base")
+      (id, base, Multimodal.vhashVideo(spark, vid).collect().head.getLong(1))
+    })
+    val id4 = h.filter(_._1 == 4L).map(_._3).distinct
+    assert(id4.size == 1, s"vhash must be invariant to base size: $h")
+    assert(java.lang.Long.bitCount(id4.head ^ h.find(_._1 == 8L).get._3) > 10,
+      "different groups must be far in Hamming space")
+    // garbage and table-less containers (the decode-only MP4 shape
+    // writes a count but no stsz table) yield null, not failure
+    val mp4NoTable = Seq((7L, 320, 240, 80)).toDF("id", "w", "h", "frames")
+    val plain = Multimodal.encodeTestMp4s(mp4NoTable, "id", "w", "h", "frames")
+      .select("media_id", "payload")
+    assert(Multimodal.vhashVideo(spark, plain).collect().head.isNullAt(1))
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    assert(Multimodal.vhashVideo(spark, junk).collect().head.isNullAt(1))
+  }
+
+  test("video near-dup groups pair ACROSS containers; member 3 escapes") {
+    import spark.implicits._
+    // members alternate mp4 (even) / mkv (odd): the (100,101) and
+    // (101,102) pairs each cross containers
+    val df = Seq(100L, 101L, 102L, 103L, 200L, 201L)
+      .map(i => (i, 2000L + (i % 3) * 64)).toDF("id", "base")
+    val vids = Multimodal.encodeTestPatternVideos(df, "id", "base")
+    val pairs = graft.operators.Dedup.hammingPairs64(
+      Multimodal.vhashVideo(spark, vids), "media_id", "vhash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100L, 101L)) && pairs.contains((100L, 102L))
+      && pairs.contains((101L, 102L)), s"cross-container near-dups: $pairs")
+    assert(!pairs.exists(p => p._1 == 103L || p._2 == 103L),
+      s"member 3 (8 flips) must escape: $pairs")
+    assert(!pairs.exists(p => p._1 < 200L && p._2 >= 200L),
+      s"no cross-group pairs: $pairs")
+  }
+
   test("audio decode is real: wav round-trip rate/channels/frames; garbage -> nulls") {
     import spark.implicits._
     val params = Seq((1L, 8000, 1, 120), (2L, 16000, 2, 77), (3L, 44100, 1, 441))
