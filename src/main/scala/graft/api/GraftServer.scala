@@ -305,7 +305,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         val params = graft.sources.GraftCatalog.DedupParams(
           num("shingle_k", 5).toInt, num("num_hashes", 128).toInt,
           num("bands", 32).toInt, num("seed", 42L),
-          bool("use_md5", false), bool("oph", true))
+          bool("use_md5", false), bool("oph", true),
+          str("method", "minhash"))
         // the declared-schema check: a typo'd text_col would make every
         // batch silently take the plain-append path (the table only
         // has its seed column before first ingest — accept then, the
@@ -325,6 +326,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
           respond(ex, 400, "threshold must be in (0, 1]", "text/plain")
         else if (params.numHashes % params.bands != 0)
           respond(ex, 400, "bands must divide num_hashes", "text/plain")
+        else if (params.method != "minhash" && params.method != "semantic")
+          respond(ex, 400, "method must be minhash|semantic", "text/plain")
         else if (schemaRejects)
           respond(ex, 400, s"text_col '$textCol' is not a column of $table", "text/plain")
         else try {

@@ -108,6 +108,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     ensureTable(db, table)
     require(policy.mode == "tag" || policy.mode == "drop",
       s"dedup mode must be tag|drop: ${policy.mode}")
+    require(policy.params.method == "minhash" || policy.params.method == "semantic",
+      s"dedup method must be minhash|semantic: ${policy.params.method}")
     // fail FAST on a convention change under a live index: signatures
     // from different kernels/params are not mutually comparable — a
     // mismatched probe would silently pass every duplicate as novel
@@ -251,7 +253,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   def appendWithPolicy(db: String, table: String, df: DataFrame): Long =
     dedupPolicyOf(db, table) match {
       case Some(p) if df.columns.contains(p.textCol) =>
-        appendDeduped(db, table, df, p)
+        if (p.params.method == "semantic") appendDedupedSemantic(db, table, df, p)
+        else appendDeduped(db, table, df, p)
       case Some(p) =>
         // policy-bearing table taking the PLAIN append path (batch
         // lacks the text column — usually a typo'd text_col): count
@@ -370,6 +373,113 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     appended
   }
 
+  /** The SEMANTIC sibling of [[appendDeduped]] — dedup by MEANING, not
+    * surface: the policy's column carries the document's embedding as
+    * a JSON array string (the shape the 4-type ingest lattice
+    * transports — horizontal flattening would shred a raw JSON array
+    * into indexed columns), and batches probe a stored IVF index
+    * ([[graft.operators.Similarity]]'s cells) instead of minhash
+    * bands: centroids are seeded from the FIRST batch and pinned (the
+    * standard IVF contract — re-cluster by rebuilding the index),
+    * each incoming row routes to its nProbe nearest cells, candidates
+    * within those cells verify by cosine ≥ threshold, and only
+    * survivors' (doc, cell, vec) rows join the index. Paraphrase
+    * pairs whose embeddings land beyond nProbe cells are the standard
+    * ANN recall trade, same as band misses on the minhash path.
+    * Unparseable embeddings pass as novel and stay OUT of the index. */
+  private def appendDedupedSemantic(db: String, table: String, df: DataFrame,
+                                    policy: GraftCatalog.DedupPolicy): Long = lockFor(db, table).synchronized {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, coalesce, from_json, least, min, row_number, when}
+    val idCol = RowIdColumn
+    val nProbe = 2
+    val centroidCap = 64
+    val stamped =
+      if (df.columns.contains(idCol)) df
+      else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
+    val batch = stamped.localCheckpoint()
+    val dir = dedupIndexDir(db, table)
+    val (vecsPath, centsPath) = (dir.resolve("vecs"), dir.resolve("centroids"))
+    val haveIndex = Files.exists(centsPath)
+    storedIndexParams(db, table).foreach { stored =>
+      if (stored != policy.params) throw new IllegalStateException(
+        s"dedup index for $db.$table was built under $stored but the policy " +
+          s"probes with ${policy.params} — rebuild the index or restore the original params")
+    }
+    val parsed = batch
+      .select(col(idCol), from_json(col(policy.textCol),
+        ArrayType(DoubleType)).as("__vec"))
+      .filter(col("__vec").isNotNull)
+    val cents =
+      if (haveIndex) spark.read.parquet(centsPath.toString)
+      else parsed.orderBy(idCol).limit(centroidCap)
+        .select(col(idCol).as("centroid_id"), col("__vec").as("centroid_vec"))
+        .localCheckpoint()
+    val cos = graft.operators.Similarity.cosine(_, _)
+
+    val indexVerdicts =
+      if (!haveIndex)
+        batch.select(col(idCol), lit(false).as("__ix_dup"),
+          lit(null).cast("long").as("__ix_of"))
+      else {
+        val qCells = parsed.crossJoin(broadcast(cents))
+          .select(col(idCol), col("__vec"), col("centroid_id"),
+            cos(col("__vec"), col("centroid_vec")).as("__sim"))
+          .withColumn("__r", row_number().over(Window.partitionBy(idCol)
+            .orderBy(col("__sim").desc, col("centroid_id"))))
+          .filter(col("__r") <= nProbe)
+          .select(col(idCol).as("__in"), col("__vec"), col("centroid_id").as("cell"))
+        val matched = spark.read.parquet(vecsPath.toString)
+          .join(qCells, Seq("cell"))
+          .filter(cos(col("vec"), col("__vec")) >= policy.threshold)
+          .groupBy("__in").agg(min("doc").as("__ix_of"))
+        batch.select(col(idCol))
+          .join(matched.withColumnRenamed("__in", idCol), Seq(idCol), "left_outer")
+          .select(col(idCol), col("__ix_of").isNotNull.as("__ix_dup"), col("__ix_of"))
+      }
+    // within-batch near-dups: cell-bucketed self-join, one-hop group min
+    val assigned = graft.operators.Similarity.ivfAssign(parsed, idCol, "__vec", cents)
+    val a = assigned.select(col("cell"), col(idCol).as("__a"), col("__vec").as("__va"))
+    val b = assigned.select(col("cell"), col(idCol).as("__b"), col("__vec").as("__vb"))
+    val nb = a.join(b, Seq("cell")).filter(col("__a") < col("__b"))
+      .filter(cos(col("__va"), col("__vb")) >= policy.threshold)
+      .groupBy(col("__b").as(idCol)).agg(min("__a").as("__nbm"))
+    val batchGroups = batch.select(col(idCol))
+      .join(nb, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("__nbm"), col(idCol))).as("__bg"))
+    val verdicts = indexVerdicts.join(batchGroups, Seq(idCol))
+      .select(col(idCol),
+        (col("__ix_dup") || col("__bg") =!= col(idCol)).as("__is_dup"),
+        coalesce(col("__ix_of"),
+          when(col("__bg") =!= col(idCol), col("__bg"))).as("__dup_of"))
+    val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val survivors = tagged.filter(!col("__is_dup"))
+
+    // same crash-ordering rule as the minhash path: table first, index
+    // second — a retry re-probes an index that missed the batch and
+    // converges on at-least-once
+    val appended =
+      if (policy.mode == "drop") {
+        append(db, table, survivors.drop("__is_dup", "__dup_of"))
+        survivors.count()
+      } else {
+        addColumns(db, table, Map(
+          "__is_dup" -> TypeLattice.Bool, "__dup_of" -> TypeLattice.Int))
+        append(db, table, tagged)
+        tagged.count()
+      }
+    val survivorVecs = assigned
+      .join(survivors.select(col(idCol)), Seq(idCol))
+      .select(col(idCol).as("doc"), col("cell"), col("__vec").as("vec"))
+    survivorVecs.write.mode("append").parquet(vecsPath.toString)
+    if (!haveIndex) {
+      cents.write.mode("overwrite").parquet(centsPath.toString)
+      Files.writeString(dir.resolve("params.json"), "{" + policy.params.json + "}")
+    }
+    appended
+  }
+
   /** Compact the table's dedup-index dirs (bands, sigs): the ingest
     * path appends one parquet part per batch, so at a
     * batch-every-few-seconds rate the index accretes tiny files until
@@ -466,10 +576,12 @@ object GraftCatalog {
     * of silently declaring every duplicate novel. */
   final case class DedupParams(shingleK: Int = 5, numHashes: Int = 128,
                                bands: Int = 32, seed: Long = 42L,
-                               useMd5: Boolean = false, oph: Boolean = true) {
+                               useMd5: Boolean = false, oph: Boolean = true,
+                               method: String = "minhash") {
     def json: String =
       s""""shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands,""" +
-        s""""seed":$seed,"useMd5":$useMd5,"oph":$oph"""
+        s""""seed":$seed,"useMd5":$useMd5,"oph":$oph,"method":${
+          "\"" + method + "\""}"""
   }
   object DedupParams {
     def fromJson(o: graft.functions.JValue.JObj): DedupParams = {
@@ -480,7 +592,8 @@ object GraftCatalog {
         o.get(k).collect { case JBool(b) => b }.getOrElse(dflt)
       DedupParams(num("shingleK", 5).toInt, num("numHashes", 128).toInt,
         num("bands", 32).toInt, num("seed", 42L),
-        bool("useMd5", false), bool("oph", true))
+        bool("useMd5", false), bool("oph", true),
+        o.get("method").collect { case JStr(s) => s }.getOrElse("minhash"))
     }
   }
 

@@ -232,6 +232,59 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("semantic dedup policy: paraphrase-near embedding tagged on second ingest") {
+    val (srv, base) = newServer()
+    try {
+      // embeddings travel as JSON-array STRINGS (one string column
+      // under the 4-type lattice; a raw JSON array would flatten into
+      // indexed columns)
+      val set = post(s"$base/api/tables/docs_sem/dedup?api_key=localkey",
+        """{"text_col": "emb", "method": "semantic", "threshold": 0.95}""")
+      assert(set.statusCode() == 200, set.body())
+      assert(get(s"$base/api/tables/docs_sem/dedup?api_key=localkey")
+        .body().contains(""""method":"semantic""""))
+      // a bogus method is rejected
+      assert(post(s"$base/api/tables/docs_sem/dedup?api_key=localkey",
+        """{"text_col": "emb", "method": "cosine"}""").statusCode() == 400)
+
+      post(s"$base/api/data/insert/docs_sem?api_key=localkey",
+        """{"emb": "[1.0, 0.0, 0.0, 0.0]", "tag": "first"}""")
+      assert(srv.drain(), "first batch drains")
+      // the paraphrase: same meaning, slightly rotated embedding
+      // (cosine vs first ~0.990 >= 0.95)
+      post(s"$base/api/data/insert/docs_sem?api_key=localkey",
+        """{"emb": "[0.99, 0.14, 0.0, 0.0]", "tag": "second"}""")
+      assert(srv.drain(), "second batch drains")
+      // unrelated meaning: orthogonal embedding
+      post(s"$base/api/data/insert/docs_sem?api_key=localkey",
+        """{"emb": "[0.0, 1.0, 0.0, 0.0]", "tag": "third"}""")
+      assert(srv.drain(), "third batch drains")
+
+      val dups = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_sem where __is_dup order by tag", "UTF-8"))
+      assert(dups.body() == """[{"tag":"second"}]""", dups.body())
+      val kept = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select tag from docs_sem where not __is_dup order by tag", "UTF-8"))
+      assert(kept.body() == """[{"tag":"first"},{"tag":"third"}]""", kept.body())
+      // dup_of points at the ORIGINAL row
+      val link = get(s"$base/api/data/query?api_key=localkey&query=" +
+        java.net.URLEncoder.encode(
+          "select count(*) as n from docs_sem a join docs_sem b " +
+            "on a.__dup_of = b.__row_id where a.tag = 'second' and b.tag = 'first'",
+          "UTF-8"))
+      assert(link.body() == """[{"n":1}]""", link.body())
+      // survivors only in the vec index; params record the method
+      val vecs = spark.read.parquet(
+        srv.catalog.dedupIndexDir("default", "docs_sem").resolve("vecs").toString)
+      assert(vecs.select("doc").distinct().count() == 2,
+        "index grows once per distinct meaning")
+      assert(srv.catalog.storedIndexParams("default", "docs_sem")
+        .exists(_.method == "semantic"))
+    } finally srv.stop()
+  }
+
   test("HTTP batch and streaming ingest share one dedup convention and index") {
     val (srv, base) = newServer()
     try {
