@@ -129,5 +129,22 @@ object AdvancedOps {
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    // The exact-mode twin of q_approx_distinct: same grouping, the
+    // sketch column replaced by its exact value — gives the last
+    // inventory row an oracle while the HLL form stays documented as
+    // the (by-design) sketch divergence. The HLL estimate is asserted
+    // within its published error bound against this exact value, so
+    // the sketch itself is verified too, just not hash-compared.
+    QueryDef(
+      "q_approx_distinct_exact",
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          count(lit(1)).as("n_rows"))
     })
 }

@@ -545,6 +545,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(routed == brute, s"full-probe IVF route must equal brute: $routed")
   }
 
+  test("q_approx_distinct: HLL estimate stays within its error bound of the exact twin") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.SparkEntry.queries("q_approx_distinct")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.SparkEntry.queries("q_approx_distinct_exact")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      // default rsd 5%; allow 4 sigma
+      assert(math.abs(ap - ex) <= math.max(4, 0.2 * ex),
+        s"flag $k: approx $ap vs exact $ex out of bound")
+    }
+  }
+
   test("clusterPurity: pure and mixed planted cells report exact purity") {
     // centroid ids 0 and 50 (stride 50). Cluster at e0: labels all 7
     // -> purity 1.0. Cluster at e1: labels 2,2,3 -> majority 2, 2/3.
