@@ -548,4 +548,60 @@ object TextPipeline {
         coalesce(col("__nw"), lit(0L)).as("n_words"),
         coalesce(col("__nb"), lit(0L)).as("n_bpe"))
   }
+
+  /** Sliding token-window chunking — the shape every RAG indexer and
+    * pretraining tokenizer pipeline runs before embedding/packing:
+    * split each doc into `chunkTokens`-token windows whose starts
+    * advance by `stride` tokens (overlap = chunkTokens - stride; the
+    * final window may be shorter). Tokens are the raw single-space
+    * split WITHOUT filtering, so chunk text reassembles to an exact
+    * substring-by-token-position of the source.
+    *
+    * Plan: map-only — one projection, one explode of the start
+    * offsets, zero shuffle. Each output row derives from exactly one
+    * input row, so the operator scales linearly and partitions
+    * inherit from the scan untouched.
+    *
+    * Output: (idCol, chunk_id 0-based long, n_tokens long,
+    * chunk_text). A split always yields >= 1 token (an empty string
+    * splits to one empty token), so every doc gets >= 1 chunk. */
+  def docChunks(corpus: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int = 128, stride: Int = 96): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    val t = split(col(textCol), " ")
+    corpus.select(col(idCol), t.as("__t"))
+      .withColumn("__start", explode(
+        sequence(lit(0), greatest(size(col("__t")) - 1, lit(0)), lit(stride))))
+      .filter(col("__start") < size(col("__t")))
+      .select(col(idCol),
+        (col("__start") / stride).cast("long").as("chunk_id"),
+        slice(col("__t"), col("__start") + 1, lit(chunkTokens)).as("__c"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        array_join(col("__c"), " ").as("chunk_text"))
+  }
+
+  /** Exact chunk-level dedup over [[docChunks]] — fine-grained
+    * repetition that document-level dedup is blind to (boilerplate
+    * headers, license blocks, templated paragraphs repeating across
+    * otherwise-distinct docs). Groups chunks by md5 and keeps the
+    * repeated ones.
+    *
+    * Plan: the map-only chunker followed by ONE hash-aggregate
+    * shuffle keyed on the 32-byte digest — never the chunk text —
+    * so the shuffle payload stays fixed-width however long the
+    * chunks are.
+    *
+    * Output: (chunk_md5, n_occurrences, n_docs) for chunks seen more
+    * than once, n_occurrences desc then md5 for a stable order. */
+  def chunkDupStats(corpus: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int = 128, stride: Int = 96): DataFrame =
+    docChunks(corpus, idCol, textCol, chunkTokens, stride)
+      .select(col(idCol), md5(col("chunk_text")).as("chunk_md5"))
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_occurrences") > 1)
+      .orderBy(col("n_occurrences").desc, col("chunk_md5"))
 }

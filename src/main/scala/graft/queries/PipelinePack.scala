@@ -1038,5 +1038,48 @@ object PipelinePack {
         |FROM t JOIN s USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       TextPipeline.classifierScore(docs(s, dir), "doc_id", "text")
+    },
+
+    // Sliding token-window chunking (128-token windows, stride 96 —
+    // the RAG/pretraining pre-embedding shape). Raw single-space
+    // split, no token filtering, so chunk text is an exact
+    // by-token-position substring and both engines agree byte-for-byte.
+    QueryDef(
+      "text_doc_chunk",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 96)) AS start
+        |  FROM t WHERE len(t) > 0
+        |)
+        |SELECT doc_id, CAST(start // 96 AS BIGINT) AS chunk_id,
+        |  CAST(len(t[start+1:start+128]) AS BIGINT) AS n_tokens,
+        |  array_to_string(t[start+1:start+128], ' ') AS chunk_text
+        |FROM s
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.docChunks(docs(s, dir), "doc_id", "text",
+        chunkTokens = 128, stride = 96)
+    },
+
+    // Chunk-level exact dedup: repeated 128-token windows across the
+    // corpus (boilerplate/template text that doc-level dedup misses).
+    // Shuffle is keyed on the md5 digest, never the chunk text.
+    QueryDef(
+      "dedup_chunks",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |), s AS (
+        |  SELECT doc_id, t, unnest(range(0, len(t), 96)) AS start
+        |  FROM t WHERE len(t) > 0
+        |), c AS (
+        |  SELECT doc_id, md5(array_to_string(t[start+1:start+128], ' ')) AS chunk_md5
+        |  FROM s
+        |)
+        |SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1 HAVING count(*) > 1
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.chunkDupStats(docs(s, dir), "doc_id", "text",
+        chunkTokens = 128, stride = 96)
     })
 }

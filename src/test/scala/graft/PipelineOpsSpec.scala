@@ -641,4 +641,40 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(got(0L) && !got(1L) && got(2L))
   }
+
+  test("docChunks: window starts advance by stride, tail truncates, empty text is one empty chunk") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "solo"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.docChunks(docs, "doc_id", "text",
+        chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3))).toMap
+    // doc 1: starts 0,3,6,9 → three full windows + a 1-token tail
+    assert(got((1L, 0L)) == (4L, "t0 t1 t2 t3"))
+    assert(got((1L, 1L)) == (4L, "t3 t4 t5 t6"))
+    assert(got((1L, 2L)) == (4L, "t6 t7 t8 t9"))
+    assert(got((1L, 3L)) == (1L, "t9"))
+    // a doc shorter than one window is a single chunk of itself
+    assert(got((2L, 0L)) == (1L, "solo"))
+    // the empty doc ("" splits to one empty token — a 1-token chunk),
+    // and nothing beyond the listed keys
+    assert(got((3L, 0L)) == (1L, ""))
+    assert(got.size == 6)
+  }
+
+  test("chunkDupStats: cross-doc repeated window counted, singletons dropped") {
+    val docs = Seq(
+      (1L, "a b a b"),  // chunks (2,2): "a b", "a b"
+      (2L, "a b c"),    // chunks: "a b", "c"
+      (3L, "x y")       // chunk: "x y" — singleton, filtered
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.chunkDupStats(docs, "doc_id", "text",
+        chunkTokens = 2, stride = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // only "a b" repeats: 3 occurrences across 2 docs
+    assert(got.toSeq == Seq((3L, 2L)))
+  }
 }
