@@ -194,26 +194,62 @@ object Dedup {
     * generate candidates, xor+popcount verifies. Exact recall for
     * maxHamming ≤ 3 by the pigeonhole over 4 bands. */
   def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
-    val banded = sigs.select(col(idCol).as("doc"), col(hashCol).as("sh"))
-      .select(col("doc"), col("sh"),
-        posexplode(transform(sequence(lit(0), lit(3)),
-          b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
-          .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("doc").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("doc").as("doc_b"), col("sh").as("sh_b"))
+                     maxHamming: Int = 3,
+                     checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+    // Pin the (id, fingerprint) table: it feeds FOUR consumers below
+    // (distinct-fp aggregate, two expansion joins, within-fp join),
+    // and without the pin each consumer re-runs the fingerprint
+    // kernel — ruinous when the fingerprint is a multimodal decode
+    // (measured: mm_dedup_video 32 -> 75 s at sf10 unpinned). Default
+    // is a lazy LOCAL checkpoint (executor-resident, ~16 B/row); on a
+    // cluster where executor loss must be survivable, pass a reliable
+    // pin instead (same contract as minhashPairs).
+    val docs = checkpoint(sigs.select(col(idCol).as("doc"), col(hashCol).as("sh")))
+    // Exact-fingerprint pre-collapse: a dup-dense corpus piles
+    // IDENTICAL fingerprints into the same band buckets, and a banded
+    // self-join over docs pays occupancy^2 popcount work per
+    // mega-bucket (measured: dedup_simhash grew 6.8x over a 3.33x
+    // data step at sf10 on a 10x-replicated corpus). A doc pair's
+    // hamming is a pure function of its two fingerprints, so run the
+    // candidate join over DISTINCT fingerprints (volume ~= content
+    // diversity, NOT corpus size), then expand to doc pairs by two
+    // equi-joins — linear in the true output.
+    val fps = docs.groupBy("sh").agg(count(lit(1)).as("__n"))
+    val banded = fps.select(col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("sh").as("sh_b"))
     // Hamming-verify BEFORE the pair dedup: short docs make 16-bit
-    // bands correlate, so a few mega-buckets can emit 100M+ joined
-    // rows (167M at sf3). The xor+popcount filter is a few cycles and
-    // pipelines inside the join stage, so those rows die in place;
-    // only true near-dup pairs (orders of magnitude fewer) reach the
-    // dropDuplicates shuffle. Same output set — hamming is a pure
-    // function of the pair.
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+    // bands correlate, so buckets still join wide. The xor+popcount
+    // filter is a few cycles and pipelines inside the join stage, so
+    // non-near rows die in place; only fingerprint pairs within
+    // maxHamming (collision in >= 1 band is guaranteed for <= 3
+    // differing bits by the pigeonhole) reach the dedup shuffle.
+    val fpPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("sh_a") < col("sh_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming").dropDuplicates("doc_a", "doc_b")
+      .select("sh_a", "sh_b", "hamming").dropDuplicates("sh_a", "sh_b")
+    // cross-fingerprint doc pairs: every holder of sh_a x every holder
+    // of sh_b (a doc has exactly one fingerprint, so each doc pair
+    // arises from exactly one fingerprint pair — no dedup needed)
+    val cross = fpPairs
+      .join(docs.select(col("sh").as("sh_a"), col("doc").as("__da")), "sh_a")
+      .join(docs.select(col("sh").as("sh_b"), col("doc").as("__db")), "sh_b")
+      .select(least(col("__da"), col("__db")).as("doc_a"),
+        greatest(col("__da"), col("__db")).as("doc_b"), col("hamming"))
+    // within-fingerprint doc pairs: hamming 0 by definition; the
+    // self-join is keyed on the fingerprint and emits exactly the
+    // n*(n-1)/2 output pairs per repeated fingerprint
+    val dupDocs = docs.join(fps.filter(col("__n") > 1).select("sh"), "sh")
+    val within = dupDocs.select(col("sh"), col("doc").as("__da"))
+      .join(dupDocs.select(col("sh"), col("doc").as("__db")), "sh")
+      .filter(col("__da") < col("__db"))
+      .select(col("__da").as("doc_a"), col("__db").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionByName(within)
   }
 
   // ---- transitive closure of dup pairs ----------------------------
