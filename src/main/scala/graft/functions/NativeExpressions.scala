@@ -303,6 +303,43 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [[ClassifierScore]] fused with the tokenizer: takes the RAW text,
+    * lowercases once (`UTF8String.toLowerCase` — the same kernel
+    * Spark's `lower()` uses, so semantics are identical), then walks
+    * the UTF-8 bytes splitting on single spaces and digests each
+    * token slice in place. Scoring ≡
+    * `ClassifierScore(split(lower(text), " "))` by construction
+    * (split keeps empty fields, so does the byte walk), but with ZERO
+    * per-token allocations — no token array, no UTF-16 round-trip, no
+    * "clf_"+t concat string. On a corpus scan this is the difference
+    * between an allocation-bound stage and a digest-bound one. */
+  case class ClassifierScoreText(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    private val prefix = "clf_".getBytes(StandardCharsets.UTF_8)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val md = md5Local.get()
+      val d = new Array[Byte](16) // one per ROW, reused across tokens
+      var sum = 0L
+      var start = 0
+      var i = 0
+      while (i <= b.length) {
+        if (i == b.length || b(i) == ' ') {
+          md.reset()
+          md.update(prefix)
+          md.update(b, start, i - start)
+          md.digest(d, 0, 16)
+          sum += (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+          start = i + 1
+        }
+        i += 1
+      }
+      sum
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -1095,6 +1132,8 @@ object NativeExpressions {
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
   def classifier_score(tokens: Column): Column =
     ExpressionUtils.column(ClassifierScore(ExpressionUtils.expression(tokens)))
+  def classifier_score_text(text: Column): Column =
+    ExpressionUtils.column(ClassifierScoreText(ExpressionUtils.expression(text)))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

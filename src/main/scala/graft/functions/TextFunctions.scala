@@ -18,6 +18,15 @@ object TextFunctions {
   def wsTokenCount(text: Column): Column =
     size(split(text, "\\s+")).cast("long")
 
+  /** Single-space token count, ≡ `size(split(text, " "))` (Spark's
+    * split keeps all empty fields, so the count is spaces + 1) but
+    * without materializing the token array — pure length arithmetic,
+    * codegen'd, allocation-free. On a 100 TB corpus the split form
+    * allocates every token string per row just to count them; this is
+    * the count a packer/length-histogram actually needs. */
+  def spaceTokenCount(text: Column): Column =
+    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+
   /** BPE-ish sub-token count: letter runs, digit runs, and individual
     * punctuation each count as one token (regex-segmenter
     * approximation of byte-pair tokenizers). Takes the column NAME

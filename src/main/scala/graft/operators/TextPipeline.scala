@@ -244,9 +244,14 @@ object TextPipeline {
     * Output: (idCol, n_tokens long, raw_score long, keep boolean).
     */
   def classifierScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(lower(col(textCol)), " ")
-    docs.select(col(idCol), size(toks).cast("long").as("n_tokens"),
-        graft.functions.NativeExpressions.classifier_score(toks).as("raw_score"))
+    // Fused kernel: lower + space-split + per-token digest in one byte
+    // walk (no token array); n_tokens is length arithmetic (lower()
+    // can't move a space). ≡ classifier_score(split(lower(text), " "))
+    // — spec'd equal against the HOF form.
+    docs.select(col(idCol),
+        graft.functions.TextFunctions.spaceTokenCount(col(textCol)).as("n_tokens"),
+        graft.functions.NativeExpressions.classifier_score_text(col(textCol))
+          .as("raw_score"))
       .withColumn("keep", col("raw_score") > 0)
   }
 
@@ -262,7 +267,7 @@ object TextPipeline {
   def packSequences(docs: DataFrame, orderCol: String, textCol: String,
                     seqLen: Int, numPartitions: Int): DataFrame = {
     val counted = docs.select(col(orderCol),
-      size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+      graft.functions.TextFunctions.spaceTokenCount(col(textCol)).as("n_tokens"))
     orderedPrefixSum(counted, orderCol, "n_tokens", "__cum", numPartitions)
       .select(col(orderCol), col("n_tokens"),
         floor(col("__cum") / seqLen).cast("long").as("seq_id"),
@@ -328,8 +333,8 @@ object TextPipeline {
     * avg_chars, keep). */
   def sourceQuality(df: DataFrame, textCol: String, sourceCol: String): DataFrame =
     df.select(col(sourceCol).as("source"), md5(col(textCol)).as("__h"),
-        graft.functions.NativeExpressions.classifier_score(
-          split(lower(col(textCol)), " ")).as("__sc"),
+        graft.functions.NativeExpressions.classifier_score_text(col(textCol))
+          .as("__sc"),
         length(col(textCol)).cast("long").as("__nc"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

@@ -1011,8 +1011,10 @@ object PipelinePack {
         |  round(avg(n_words), 4) AS avg_words
         |FROM n GROUP BY 1
         |""".stripMargin) { (s, dir) =>
+      // lower() can't change space positions, so the oracle's
+      // len(string_split(lower(text),' ')) is plain length arithmetic.
       docs(s, dir)
-        .select(size(split(lower(col("text")), " ")).cast("long").as("n_words"))
+        .select(graft.functions.TextFunctions.spaceTokenCount(col("text")).as("n_words"))
         .groupBy(length(col("n_words").cast("string")).cast("long").as("magnitude"))
         .agg(count(lit(1)).as("n_docs"),
           min("n_words").as("min_words"), max("n_words").as("max_words"),
