@@ -49,6 +49,10 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     * pkg/storage/database/gorm/gorm.go:101-136,258-261). */
   val meta = new MetaStore(s"$root/meta")
   val queue: JobQueue = meta
+  // the ingest-dedup critical section is metastore-leased, not just
+  // JVM-locked: two servers sharing this warehouse root serialize
+  // through the lease row, not through their (separate) JVM monitors
+  catalog.leaseStore = Some(meta)
   /** Browser sessions (HS256 JWT cookie). The signing secret persists
     * in the MetaStore so a restart doesn't log everyone out. */
   private val webSessions =
@@ -94,7 +98,9 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   private def catalogFor(db: String): GraftCatalog =
     sessions.computeIfAbsent(db, _ => {
       val s = spark.newSession()
-      (s, new GraftCatalog(s, s"$root/warehouse"))
+      val c = new GraftCatalog(s, s"$root/warehouse")
+      c.leaseStore = Some(meta)
+      (s, c)
     })._2
 
   /** (dest_type, url) from the registry; unregistered tenant dbs are

@@ -22,7 +22,22 @@ import java.sql.{Connection, DriverManager, SQLException}
   * Single shared connection, synchronized — the control plane is
   * low-QPS by design (the data plane never touches this store).
   */
-final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
+/** Named exclusive leases with fencing tokens — the cross-driver
+  * mutual-exclusion primitive (the JVM `synchronized` a single driver
+  * uses does not exist between drivers). `acquireLease` returns a
+  * monotone fencing token on success; a holder re-acquiring its own
+  * live lease extends the TTL (and bumps the token). A crashed holder
+  * blocks nobody past the TTL: the next acquirer takes over the
+  * expired row with a HIGHER token, so stale writers can be fenced. */
+trait LeaseStore {
+  /** Some(fencingToken) when this holder now owns the lease. */
+  def acquireLease(name: String, holder: String, ttlMs: Long,
+                   nowMs: Long = System.currentTimeMillis()): Option[Long]
+  /** Release if (and only if) this holder still owns it. */
+  def releaseLease(name: String, holder: String): Unit
+}
+
+final class MetaStore(dir: String) extends JobQueue with LeaseStore with AutoCloseable {
   MetaStore.quietDerby()
   private val conn: Connection =
     DriverManager.getConnection(s"jdbc:derby:$dir;create=true")
@@ -68,6 +83,11 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
   exec("""CREATE TABLE settings(
            k VARCHAR(64) PRIMARY KEY,
            v VARCHAR(256) NOT NULL)""")
+  exec("""CREATE TABLE leases(
+           name VARCHAR(256) PRIMARY KEY,
+           holder VARCHAR(128) NOT NULL,
+           fence BIGINT NOT NULL,
+           expires_at_ms BIGINT NOT NULL)""")
   // crash recovery: jobs claimed by a dead process are redelivered
   synchronized {
     val st = conn.createStatement()
@@ -257,6 +277,53 @@ final class MetaStore(dir: String) extends JobQueue with AutoCloseable {
       try { ps.setString(1, key); ps.setString(2, v); ps.executeUpdate(); v }
       finally ps.close()
     }
+  }
+
+  // ---- leases (LeaseStore impl) ---------------------------------------
+  // The update-count of a guarded UPDATE is the race arbiter, same
+  // pattern as the queue claim: take over a row we hold OR one whose
+  // TTL lapsed; insert only when the name has never been leased.
+  override def acquireLease(name: String, holder: String, ttlMs: Long,
+                            nowMs: Long): Option[Long] = synchronized {
+    val up = conn.prepareStatement(
+      "UPDATE leases SET holder=?, fence=fence+1, expires_at_ms=? " +
+        "WHERE name=? AND (holder=? OR expires_at_ms < ?)")
+    val won = try {
+      up.setString(1, holder); up.setLong(2, nowMs + ttlMs)
+      up.setString(3, name); up.setString(4, holder); up.setLong(5, nowMs)
+      up.executeUpdate() == 1
+    } finally up.close()
+    if (won) currentFence(name)
+    else {
+      val ins = conn.prepareStatement(
+        "INSERT INTO leases(name, holder, fence, expires_at_ms) VALUES(?,?,1,?)")
+      try {
+        ins.setString(1, name); ins.setString(2, holder)
+        ins.setLong(3, nowMs + ttlMs)
+        ins.executeUpdate(); Some(1L)
+      } catch {
+        case e: SQLException if e.getSQLState == "23505" => None // live holder
+      } finally ins.close()
+    }
+  }
+
+  private def currentFence(name: String): Option[Long] = {
+    val ps = conn.prepareStatement("SELECT fence FROM leases WHERE name=?")
+    try {
+      ps.setString(1, name)
+      val rs = ps.executeQuery()
+      if (rs.next()) Some(rs.getLong(1)) else None
+    } finally ps.close()
+  }
+
+  // Release EXPIRES the row rather than deleting it: the fence column
+  // must stay monotone across release/re-acquire cycles, or a fenced
+  // stale writer could outrank a fresh holder.
+  override def releaseLease(name: String, holder: String): Unit = synchronized {
+    val ps = conn.prepareStatement(
+      "UPDATE leases SET expires_at_ms=0 WHERE name=? AND holder=?")
+    try { ps.setString(1, name); ps.setString(2, holder); ps.executeUpdate() }
+    finally ps.close()
   }
 
   // ---- job queue (JobQueue impl) --------------------------------------

@@ -90,19 +90,23 @@ object AsOfJoin {
     val carried = taggedRight.unionByName(taggedLeft)
       .withColumn("__payload", last(payload, ignoreNulls = true).over(w))
 
-    // timestamp columns: tolerance in ms; numeric ordering columns:
-    // tolerance in the column's own unit
+    // timestamp columns (TZ or NTZ): tolerance in ms via exact integer
+    // micros — cast("double") throws DATATYPE_MISMATCH on TIMESTAMP_NTZ
+    // and loses sub-ms precision on TIMESTAMP. Numeric ordering columns:
+    // tolerance in the column's own unit.
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val matched = col("__payload").getField(matchedTs)
     val gapOk: Column =
       if (toleranceMs == Long.MaxValue) matched.isNotNull
-      else {
-        val isTimestamp = right.schema(rightTs).dataType
-          .isInstanceOf[org.apache.spark.sql.types.TimestampType]
-        val gap =
-          if (isTimestamp)
-            abs(col("__ts").cast("double") - matched.cast("double")) * 1000.0
-          else abs(col("__ts").cast("double") - matched.cast("double"))
-        gap <= toleranceMs.toDouble
+      else right.schema(rightTs).dataType match {
+        case TimestampType | TimestampNTZType =>
+          // NTZ→TZ cast shifts both sides by the same session-tz offset,
+          // so the gap is invariant
+          abs(unix_micros(col("__ts").cast("timestamp")) -
+            unix_micros(matched.cast("timestamp"))) <= lit(toleranceMs * 1000L)
+        case _ =>
+          abs(col("__ts").cast("double") - matched.cast("double")) <=
+            lit(toleranceMs.toDouble)
       }
 
     carried.filter(col("__tag") === 1)

@@ -332,7 +332,11 @@ object TextPipeline {
     * Output: (source, n_docs, dup_rate, sum_score, avg_score,
     * avg_chars, keep). */
   def sourceQuality(df: DataFrame, textCol: String, sourceCol: String): DataFrame =
-    df.select(col(sourceCol).as("source"), md5(col(textCol)).as("__h"),
+    // xxhash64, not md5: only DISTINCTNESS of the content hash matters
+    // (the hash never reaches the output, `uniq` does), so the codegen'd
+    // 64-bit hash beats MessageDigest md5 + 32-char hex by ~4× on the
+    // scan; the DuckDB oracle counts distinct md5 and the counts agree.
+    df.select(col(sourceCol).as("source"), xxhash64(col(textCol)).as("__h"),
         graft.functions.NativeExpressions.classifier_score_text(col(textCol))
           .as("__sc"),
         length(col(textCol)).cast("long").as("__nc"))

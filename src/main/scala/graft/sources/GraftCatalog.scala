@@ -284,12 +284,52 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   private def lockFor(db: String, table: String): Object =
     tableLocks.computeIfAbsent(s"$db/$table", _ => new Object)
 
+  /** Cross-driver lease store. The JVM lock above only serializes
+    * batches INSIDE this driver; a warehouse shared by several drivers
+    * (or several GraftCatalog instances) needs a metastore lease or
+    * two drivers' batches can both probe before either appends — every
+    * concurrent near-dup survives. GraftServer wires its MetaStore in;
+    * embedders running a single catalog instance may leave it None. */
+  @volatile var leaseStore: Option[graft.control.LeaseStore] = None
+  /** This driver's lease identity (stable for the catalog's lifetime). */
+  val leaseHolder: String = java.util.UUID.randomUUID().toString
+  /** Lease TTL: generous — it only bounds how long a CRASHED driver
+    * can block the table, not how long a healthy append may run
+    * (healthy holders keep the row until release). */
+  @volatile var leaseTtlMs: Long = 10 * 60 * 1000L
+  /** How long an append waits for a contended lease before failing the
+    * batch back to the (at-least-once) queue for redelivery. */
+  @volatile var leaseWaitMs: Long = 5 * 60 * 1000L
+
+  /** Per-(db, table) critical section: JVM lock always; metastore
+    * lease additionally when wired. Lock order (JVM then lease) is
+    * deadlock-free — the lease is only ever taken while holding the
+    * JVM lock for the same key. */
+  private def withTableLease[T](db: String, table: String)(body: => T): T =
+    lockFor(db, table).synchronized {
+      leaseStore match {
+        case None => body
+        case Some(ls) =>
+          val name = s"dedup/$db/$table"
+          val deadline = System.currentTimeMillis() + leaseWaitMs
+          var tok = ls.acquireLease(name, leaseHolder, leaseTtlMs)
+          while (tok.isEmpty && System.currentTimeMillis() < deadline) {
+            Thread.sleep(50)
+            tok = ls.acquireLease(name, leaseHolder, leaseTtlMs)
+          }
+          if (tok.isEmpty) throw new IllegalStateException(
+            s"could not acquire ingest-dedup lease '$name' within ${leaseWaitMs} ms " +
+              "— another driver holds it; nack the batch for redelivery")
+          try body finally ls.releaseLease(name, leaseHolder)
+      }
+    }
+
   /** The policy-gated append. The id-stamped batch is pinned
     * (localCheckpoint) before probing: snowflake ids are time-derived,
     * so an unpinned plan recomputed between the probe and the append
     * could re-stamp rows. */
   private def appendDeduped(db: String, table: String, df: DataFrame,
-                            policy: GraftCatalog.DedupPolicy): Long = lockFor(db, table).synchronized {
+                            policy: GraftCatalog.DedupPolicy): Long = withTableLease(db, table) {
     val idCol = RowIdColumn
     val pr = policy.params
     // streaming batches arrive without row ids; batch loads pre-stamp
@@ -388,7 +428,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * ANN recall trade, same as band misses on the minhash path.
     * Unparseable embeddings pass as novel and stay OUT of the index. */
   private def appendDedupedSemantic(db: String, table: String, df: DataFrame,
-                                    policy: GraftCatalog.DedupPolicy): Long = lockFor(db, table).synchronized {
+                                    policy: GraftCatalog.DedupPolicy): Long = withTableLease(db, table) {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{broadcast, coalesce, from_json, least, min, row_number, when}
     val idCol = RowIdColumn
@@ -491,7 +531,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * index transiently looks absent and a probe would be skipped).
     * Returns (files before, files after) summed over both dirs. */
   def compactDedupIndex(db: String, table: String,
-                        targetFileBytes: Long = 128L << 20): (Int, Int) = lockFor(db, table).synchronized {
+                        targetFileBytes: Long = 128L << 20): (Int, Int) = withTableLease(db, table) {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     var (before, after) = (0, 0)

@@ -200,6 +200,46 @@ class IngestPipelineSpec extends SparkTestBase {
     assert(deScan.metrics("numFiles").value == filesAfter.count(_.contains("lang=de")))
   }
 
+  test("two catalogs (two drivers) serialize dedup appends through the metastore lease") {
+    // Two GraftCatalog instances over ONE warehouse root model two
+    // drivers: their JVM table-locks are separate objects, so without
+    // the metastore lease both batches can probe the index before
+    // either appends and every cross-batch near-dup survives. With the
+    // lease wired, whichever append runs second must see the first
+    // batch in the index.
+    import org.apache.spark.sql.functions.col
+    val tmp = Files.createTempDirectory("graft-lease").toString
+    val meta = new graft.control.MetaStore(s"$tmp/meta")
+    val c1 = new GraftCatalog(spark, s"$tmp/warehouse")
+    val c2 = new GraftCatalog(spark, s"$tmp/warehouse")
+    c1.leaseStore = Some(meta); c2.leaseStore = Some(meta)
+    import spark.implicits._
+    c1.ensureTable("db", "docs")
+    c1.addColumns("db", "docs", Map("text" -> graft.functions.TypeLattice.String))
+    c1.setDedupPolicy("db", "docs",
+      GraftCatalog.DedupPolicy(textCol = "text", mode = "tag"))
+    val shared = (1 to 50).map(i => s"tok$i").mkString(" ")
+    val b1 = Seq(s"$shared one").toDF("text")
+    val b2 = Seq(s"$shared two").toDF("text")
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try c1.appendWithPolicy("db", "docs", b1)
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try c2.appendWithPolicy("db", "docs", b2)
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(120000); t2.join(120000)
+    assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+    val rows = c1.read("db", "docs")
+      .select(col("text"), col("__is_dup"), col("__dup_of")).collect()
+    assert(rows.length == 2, s"both batches must land: ${rows.mkString(";")}")
+    val dups = rows.filter(_.getBoolean(1))
+    assert(dups.length == 1,
+      s"exactly one cross-driver near-dup must be tagged (lease broken?): ${rows.mkString(";")}")
+    assert(!dups.head.isNullAt(2), "the dup must point at its original")
+    meta.close()
+  }
+
   test("invalid bodies are rejected with per-item accounting") {
     val (_, _, _, ingest) = freshPipeline()
     assert(!ingest.insert("db", "t", """{"unterminated": """).fullySucceeded)

@@ -41,6 +41,31 @@ class MetaStoreSpec extends AnyFunSuite {
     m2.close()
   }
 
+  test("leases: exclusive while live, TTL takeover, monotone fencing") {
+    val m = new MetaStore(newDir())
+    val t0 = 1000000L
+    // first acquire wins with fence 1; re-acquire extends and bumps
+    assert(m.acquireLease("dedup/db/t", "w1", ttlMs = 5000, nowMs = t0).contains(1L))
+    assert(m.acquireLease("dedup/db/t", "w1", ttlMs = 5000, nowMs = t0 + 100).contains(2L))
+    // a second holder is locked out while the lease is live
+    assert(m.acquireLease("dedup/db/t", "w2", ttlMs = 5000, nowMs = t0 + 200).isEmpty)
+    // independent lease names don't contend
+    assert(m.acquireLease("dedup/db/u", "w2", ttlMs = 5000, nowMs = t0).contains(1L))
+    // past the TTL the dead holder is fenced: w2 takes over with a
+    // HIGHER token than any w1 ever held
+    assert(m.acquireLease("dedup/db/t", "w2", ttlMs = 5000, nowMs = t0 + 100 + 5001).contains(3L))
+    assert(m.acquireLease("dedup/db/t", "w1", ttlMs = 5000, nowMs = t0 + 5300).isEmpty)
+    // release only frees the caller's own lease
+    m.releaseLease("dedup/db/t", "w1") // no-op: w2 holds it
+    assert(m.acquireLease("dedup/db/t", "w1", ttlMs = 5000, nowMs = t0 + 5400).isEmpty)
+    // fencing stays monotone across release/re-acquire (release
+    // expires, never deletes — a reset-to-1 would let a stale fenced
+    // writer outrank the new holder)
+    m.releaseLease("dedup/db/t", "w2")
+    assert(m.acquireLease("dedup/db/t", "w1", ttlMs = 5000, nowMs = t0 + 5500).contains(4L))
+    m.close()
+  }
+
   test("keys, destinations, shares persist and expire") {
     val dir = newDir()
     val m1 = new MetaStore(dir)

@@ -127,6 +127,54 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
+    // Dup-dense corpora pile identical fingerprints into the same band
+    // buckets; the candidate join must run over DISTINCT fingerprints
+    // (volume ~ content diversity) and expand to doc pairs afterwards —
+    // a banded self-join over raw docs pays occupancy² popcount per
+    // mega-bucket (measured 6.8× superlinear at sf10 pre-fix).
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join => LJoin}
+    import spark.implicits._
+    // 4 distinct fingerprints over 220 docs: two near (hamming 1), one
+    // far, one hamming-3 satellite of the far one
+    val far = 0x0FF00FF00FF00FF0L
+    val fps = Seq(0L -> 100, 1L -> 50, far -> 50, (far ^ 0x7L) -> 20)
+    val rows = fps.flatMap { case (fp, n) => (1 to n).map(_ => fp) }
+      .zipWithIndex.map { case (fp, i) => (i.toLong, fp) }
+    val sigs = rows.toDF("doc_id", "fp")
+    val pairs = graft.operators.Dedup.hammingPairs64(sigs, "doc_id", "fp",
+      maxHamming = 3, checkpoint = identity)
+
+    // plan pin: every band-bucket join side must sit on an aggregate
+    // keyed by the fingerprint — if the pre-collapse is dropped, the
+    // band join children are raw doc projections with no Aggregate
+    val bandJoins = pairs.queryExecution.optimizedPlan.collect {
+      case j: LJoin if j.condition.exists(
+        _.references.exists(_.name == "band")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected a band-bucket candidate join")
+    bandJoins.foreach { j =>
+      Seq(j.left, j.right).foreach { side =>
+        assert(side.collectFirst {
+          case a: Aggregate if a.groupingExpressions
+            .exists(_.references.exists(_.name == "sh")) => a
+        }.nonEmpty,
+          "band join must run over DISTINCT fingerprints (pre-collapse dropped?)")
+      }
+    }
+
+    // behavior: exact vs an all-pairs hamming oracle on the fixture
+    val got = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expected = (for {
+      (a, fa) <- rows; (b, fb) <- rows if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    assert(expected.size == 100*99/2 + 50*49/2 + 50*49/2 + 20*19/2 +
+      100*50 + 50*20, "fixture arithmetic")
+    assert(got == expected, s"pair mismatch: ${got.size} vs ${expected.size}")
+  }
+
   test("ndjson sink is safe under concurrent writers") {
     val tmp = Files.createTempDirectory("graft-conc").toString
     val sink = new NdjsonSink(tmp, maxRows = 100000)

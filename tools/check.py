@@ -49,6 +49,9 @@ def main():
             results[name] = "EMPTY_SPARK_OUT"
             continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        if list(spark_df.columns) == ["__verify_error"]:
+            results[name] = "VERIFY_ERR " + str(spark_df.iloc[0, 0])[:200]
+            continue
         if name not in oracle:
             results[name] = f"NO_ORACLE rows={len(spark_df)}"
             continue
@@ -69,6 +72,11 @@ def main():
                 results[name] = "OK"
             except AssertionError as e:
                 results[name] = "DIFF " + str(e).replace("\n", " | ")[:300]
+    # Loss-proofing: every oracle key must have produced an output dir.
+    if not only:
+        for name in oracle:
+            if name not in results:
+                results[name] = "MISSING_SPARK_OUT"
     ok = sum(1 for v in results.values() if v == "OK")
     for k, v in sorted(results.items()):
         print(("PASS " if v == "OK" else "FAIL ") + k + ("" if v == "OK" else "  :: " + v))
