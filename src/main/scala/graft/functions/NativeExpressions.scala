@@ -276,6 +276,83 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
+    * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
+    * sequence, so byte-space count == char-space count). The length-
+    * arithmetic form (`length(text) - length(replace(text,' ',''))`)
+    * is codegen'd but COPIES the whole string per row just to count —
+    * measured 2.6 s vs 1.0 s raw-scan at sf10; this walk adds ~nothing
+    * over the scan. Full doGenCode keeps the containing stage fused. */
+  case class SpaceTokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      NativeExpressions.countSpaceTokens(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: codegen.CodegenContext,
+                                     ev: codegen.ExprCode): codegen.ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeExpressions.countSpaceTokens($c)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static helper for [[SpaceTokenCount]]'s generated code. */
+  def countSpaceTokens(s: UTF8String): Long = {
+    val nb = s.numBytes()
+    var n = 1L
+    var i = 0
+    while (i < nb) { if (s.getByte(i) == 32) n += 1; i += 1 }
+    n
+  }
+
+  /** Per-thread memo of token-bytes → classifier score. Word
+    * frequencies are Zipfian, so almost every digest after the first
+    * few thousand distinct words is a repeat — the memo collapses
+    * corpus-scale md5 work (rows × words digests) to vocabulary-scale
+    * (distinct words), with identical scores (the cached value IS the
+    * md5-derived one). Open addressing, insert-until-70%-full then
+    * read-only (Zipf heads are cached long before the table fills);
+    * ~a few MB per executor thread at the 64k cap. */
+  private final class ClfScoreCache {
+    private val cap = 1 << 16
+    private val mask = cap - 1
+    private val maxFill = cap * 7 / 10
+    private val keys = new Array[Array[Byte]](cap)
+    private val vals = new Array[Long](cap)
+    private var n = 0
+    /** Index of the token's slot, or -(insertionPoint)-1 when absent. */
+    private def find(b: Array[Byte], start: Int, len: Int): Int = {
+      var h = -2128831035 // FNV-1a over the token slice
+      var i = start
+      while (i < start + len) { h = (h ^ b(i)) * 16777619; i += 1 }
+      var idx = (h ^ (h >>> 16)) & mask
+      while (true) {
+        val k = keys(idx)
+        if (k == null) return -idx - 1
+        if (k.length == len) {
+          var j = 0
+          while (j < len && k(j) == b(start + j)) j += 1
+          if (j == len) return idx
+        }
+        idx = (idx + 1) & mask
+      }
+      0 // unreachable: the table never fills past maxFill < cap
+    }
+    def getOrCompute(b: Array[Byte], start: Int, len: Int)(compute: => Long): Long = {
+      val idx = find(b, start, len)
+      if (idx >= 0) return vals(idx)
+      val v = compute
+      if (n < maxFill) {
+        val at = -idx - 1
+        keys(at) = java.util.Arrays.copyOfRange(b, start, start + len)
+        vals(at) = v
+        n += 1
+      }
+      v
+    }
+  }
+  private val clfCacheLocal = new ThreadLocal[ClfScoreCache] {
+    override def initialValue(): ClfScoreCache = new ClfScoreCache
+  }
+
   /** Hashed bag-of-words linear-classifier raw score from a token
     * array: Σ over tokens of ((first 24 bits of md5("clf_"+token))
     * % 2001 − 1000) — one digest loop per row. The HOF form
@@ -289,13 +366,20 @@ object NativeExpressions {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       val md = md5Local.get()
+      val cache = clfCacheLocal.get()
+      val d = new Array[Byte](16)
       var sum = 0L
       var i = 0
       while (i < n) {
-        val t = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
-        md.reset()
-        val d = md.digest(("clf_" + t).getBytes(StandardCharsets.UTF_8))
-        sum += (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+        val tb = (if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8
+                  else arr.getUTF8String(i)).getBytes
+        sum += cache.getOrCompute(tb, 0, tb.length) {
+          md.reset()
+          md.update("clf_".getBytes(StandardCharsets.UTF_8))
+          md.update(tb, 0, tb.length)
+          md.digest(d, 0, 16)
+          (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+        }
         i += 1
       }
       sum
@@ -320,17 +404,22 @@ object NativeExpressions {
     override def nullSafeEval(v: Any): Any = {
       val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
       val md = md5Local.get()
+      val cache = clfCacheLocal.get()
       val d = new Array[Byte](16) // one per ROW, reused across tokens
       var sum = 0L
       var start = 0
       var i = 0
       while (i <= b.length) {
         if (i == b.length || b(i) == ' ') {
-          md.reset()
-          md.update(prefix)
-          md.update(b, start, i - start)
-          md.digest(d, 0, 16)
-          sum += (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+          val s = start
+          val len = i - s
+          sum += cache.getOrCompute(b, s, len) {
+            md.reset()
+            md.update(prefix)
+            md.update(b, s, len)
+            md.digest(d, 0, 16)
+            (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % 2001L - 1000L
+          }
           start = i + 1
         }
         i += 1
@@ -1132,6 +1221,8 @@ object NativeExpressions {
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
   def classifier_score(tokens: Column): Column =
     ExpressionUtils.column(ClassifierScore(ExpressionUtils.expression(tokens)))
+  def space_token_count(text: Column): Column =
+    ExpressionUtils.column(SpaceTokenCount(ExpressionUtils.expression(text)))
   def classifier_score_text(text: Column): Column =
     ExpressionUtils.column(ClassifierScoreText(ExpressionUtils.expression(text)))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,

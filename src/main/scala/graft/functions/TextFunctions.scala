@@ -19,13 +19,15 @@ object TextFunctions {
     size(split(text, "\\s+")).cast("long")
 
   /** Single-space token count, ≡ `size(split(text, " "))` (Spark's
-    * split keeps all empty fields, so the count is spaces + 1) but
-    * without materializing the token array — pure length arithmetic,
-    * codegen'd, allocation-free. On a 100 TB corpus the split form
-    * allocates every token string per row just to count them; this is
-    * the count a packer/length-histogram actually needs. */
+    * split keeps all empty fields, so the count is spaces + 1) without
+    * materializing the token array: one native UTF-8 byte walk with
+    * full codegen ([[NativeExpressions.SpaceTokenCount]]). The earlier
+    * length-arithmetic form (`length - length(replace(text,' ','')))`)
+    * copied every string per row just to count — the copy was the
+    * whole cost of `text_length_histogram` beyond the scan (2.6 s vs
+    * 1.0 s raw scan at sf10). */
   def spaceTokenCount(text: Column): Column =
-    (length(text) - length(replace(text, lit(" "), lit(""))) + 1).cast("long")
+    NativeExpressions.space_token_count(text)
 
   /** BPE-ish sub-token count: letter runs, digit runs, and individual
     * punctuation each count as one token (regex-segmenter

@@ -604,6 +604,76 @@ class GraftServerSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("jdbc destination: rich engine types (DECIMAL/DATE/TIMESTAMP/UUID) read and copy") {
+    // The reference's ClickHouse reader coerces 16 wire types on read
+    // (clickhouse/insert.go:148-201). The gateway analog: a table that
+    // PRE-EXISTS in the external engine with a richer schema than the
+    // ingest lattice writes must flow through the query and copy paths
+    // without loss — Spark's JDBC dialect does the per-type coercion.
+    val (srv, base) = newServer()
+    try {
+      val derby = Files.createTempDirectory("graft-jdbc").resolve("richdb")
+      val url = s"jdbc:derby:$derby;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.executeUpdate(
+          """CREATE TABLE rich(
+            |  id SMALLINT,
+            |  price DECIMAL(10,2),
+            |  ratio REAL,
+            |  born DATE,
+            |  seen TIMESTAMP,
+            |  tag CHAR(36),
+            |  note VARCHAR(100))""".stripMargin)
+        st.executeUpdate(
+          "INSERT INTO rich VALUES (1, 12345678.90, 0.25, DATE('2021-03-04'), " +
+            "TIMESTAMP('2021-03-04 05:06:07'), " +
+            "'123e4567-e89b-12d3-a456-426614174000', 'hello'), " +
+            "(2, 0.01, 1.5, NULL, NULL, NULL, NULL)")
+        st.close()
+      } finally c.close()
+
+      post(s"$base/api/destinations?api_key=adminkey",
+        s"""{"name": "richdb", "type": "jdbc", "url": "$url"}""")
+      srv.addApiKey("richkey", "richdb")
+
+      // federated read: every engine type reaches the JSON encoder
+      val q = post(s"$base/api/data/query?api_key=richkey",
+        "select id, price, ratio, born, seen, trim(tag) as tag, note from rich order by id")
+      assert(q.statusCode() == 200, q.body())
+      assert(q.body().contains(""""price":12345678.90""") ||
+        q.body().contains(""""price":12345678.9"""), q.body())
+      assert(q.body().contains(""""born":"2021-03-04""""), q.body())
+      assert(q.body().contains(""""seen":"2021-03-04"""), q.body())
+      assert(q.body().contains(""""tag":"123e4567-e89b-12d3-a456-426614174000""""), q.body())
+      // NULL-heavy row survives (encoder omits null fields)
+      assert(q.body().contains(""""id":2,"price":0.01"""), q.body())
+
+      // introspection reports the engine's own type names
+      val cols = get(s"$base/api/tables/rich/columns?api_key=richkey").body()
+      assert(cols.contains("decimal") && cols.contains("date") &&
+        cols.contains("timestamp"), cols)
+
+      // copy jdbc -> spark: the coerced rows round-trip into the
+      // warehouse and stay queryable there
+      val cp = post(s"$base/api/data/copy?api_key=adminkey&destination_id=richdb",
+        """{"query": "select id, price, born, seen, trim(tag) as tag from rich", "destination_id": "default", "destination_table": "rich_copy"}""")
+      assert(cp.statusCode() == 200, cp.body())
+      assert(srv.drain(), "copy job must complete")
+      val back = post(s"$base/api/data/query?api_key=localkey",
+        "select cast(price as string) as p, cast(born as string) as b, tag from rich_copy where id = 1")
+      assert(back.statusCode() == 200, back.body())
+      // the copy lands through the ingest lattice, so DECIMAL coerces
+      // to the lattice's float type (value preserved; rendering may be
+      // scientific notation)
+      assert(back.body().contains("12345678.9") ||
+        back.body().contains("1.23456789E7"), back.body())
+      assert(back.body().contains("2021-03-04") &&
+        back.body().contains("123e4567-e89b-12d3-a456-426614174000"), back.body())
+    } finally srv.stop()
+  }
+
   test("dashboard, metrics, CORS, and CSV list-cell rendering") {
     val (srv, base) = newServer()
     try {
