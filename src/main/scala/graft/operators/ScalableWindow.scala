@@ -75,6 +75,90 @@ object ScalableWindow {
       .drop(pid, lrn, off)
   }
 
+  /** Exact interpolated percentiles per group (≡ Spark `percentile` /
+    * DuckDB `quantile_cont`: r = q·(n−1) zero-based, linear between
+    * the two straddling order statistics), with the physical strategy
+    * chosen by input size:
+    *
+    *   - small inputs → the builtin `percentile` aggregate: fastest,
+    *     BUT it buffers a value→count map per group in one aggregation
+    *     buffer — on a continuous column (prices) distinct values ~
+    *     rows, so at 100 TB that map is the whole column in one task's
+    *     heap. Fine at bench scale, unrunnable at cluster scale;
+    *   - past `singleNodeAggLimitBytes` (catalog stats, no extra job)
+    *     → the distributed form: positional per-group row numbers from
+    *     [[groupRowNumber]] (ties get arbitrary positions — harmless,
+    *     interpolating between equal values is order-free), per-group
+    *     counts turn each quantile into its two straddling ranks, a
+    *     broadcast rank-filter join picks those rows, and a tiny
+    *     weighted aggregate interpolates. No task ever holds more
+    *     than |rows|/parallelism values.
+    *
+    * specs: (outName, valueCol, q). NULL values are ignored per
+    * aggregate semantics; a group with no non-null values yields NULL.
+    * Returns one row per group: (groupCol, outName...), unrounded. */
+  def exactPercentiles(df: DataFrame, groupCol: String,
+                       specs: Seq[(String, String, Double)],
+                       singleNodeAggLimitBytes: Long): DataFrame = {
+    val valueCols = specs.map(_._2).distinct
+    val base = df.select((groupCol +: valueCols).map(col): _*)
+    val big = base.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(singleNodeAggLimitBytes)
+    if (!big)
+      df.groupBy(groupCol).agg(
+        percentile(col(specs.head._2), lit(specs.head._3)).as(specs.head._1),
+        specs.tail.map { case (name, v, q) =>
+          percentile(col(v), lit(q)).as(name) }: _*)
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      val groups = base.select(groupCol).distinct()
+      val perValueCol: Seq[DataFrame] = valueCols.map { vc =>
+        val vcSpecs = specs.filter(_._2 == vc)
+        val vals = base.select(col(groupCol), col(vc).cast("double").as("__v"))
+          .filter(col("__v").isNotNull)
+        val rn = groupRowNumber(vals, Seq(groupCol), Seq("__v"), "__rn", par)
+        val counts = vals.groupBy(groupCol).agg(count(lit(1)).as("__n"))
+        // each (group, spec) → its two straddling 1-based ranks with
+        // interpolation weights; lo == hi duplicates merge by summing
+        val targets = counts.select(
+          col(groupCol), explode(array(vcSpecs.map { case (name, _, q) =>
+            struct(lit(name).as("__name"), lit(q).as("__q"))
+          }: _*)).as("__s"), col("__n"))
+          .select(col(groupCol), col("__s.__name").as("__name"),
+            (col("__s.__q") * (col("__n") - 1)).as("__r"))
+          .select(col(groupCol), col("__name"),
+            explode(array(
+              struct((floor(col("__r")) + 1).cast("long").as("__rank"),
+                (lit(1.0) - (col("__r") - floor(col("__r")))).as("__w")),
+              struct((ceil(col("__r")) + 1).cast("long").as("__rank"),
+                when(ceil(col("__r")) === floor(col("__r")), lit(0.0))
+                  .otherwise(col("__r") - floor(col("__r"))).as("__w"))))
+              .as("__t"))
+          .select(col(groupCol), col("__name"),
+            col("__t.__rank").as("__rank"), col("__t.__w").as("__w"))
+          .filter(col("__w") > 0.0)
+        // broadcast the tiny rank table against the ranked corpus: the
+        // join keeps ≤ 2·|groups|·|specs| rows, then a tiny aggregate
+        // interpolates
+        val picked = rn.join(broadcast(targets),
+          rn(groupCol) === targets(groupCol) && col("__rn") === col("__rank"))
+          .groupBy(rn(groupCol).as(groupCol), col("__name"))
+          .agg(sum(col("__w") * col("__v")).as("__pv"))
+        groups.join(picked, Seq(groupCol), "left_outer")
+          .groupBy(groupCol)
+          .agg(vcSpecs.head._1 match { case h =>
+            max(when(col("__name") === h, col("__pv"))).as(h)
+          }, vcSpecs.tail.map { case (name, _, _) =>
+            max(when(col("__name") === name, col("__pv"))).as(name)
+          }: _*)
+      }
+      // per-value-col results are |groups|-sized; re-order columns to
+      // the caller's spec order
+      val joined = perValueCol.reduce(_.join(_, Seq(groupCol)))
+      joined.select(col(groupCol) +: specs.map { case (name, _, _) => col(name) }: _*)
+    }
+  }
+
   /** The q_window_analytic shape (percent_rank / cume_dist /
     * running-frame nth_value(2) / whole-partition last_value over
     * lineitem partitioned by l_returnflag), with the physical

@@ -25,10 +25,17 @@ object Relational2 {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25
         |FROM lineitem GROUP BY l_returnflag
         |""".stripMargin) { (s, dir) =>
-      t(s, dir, "lineitem").groupBy("l_returnflag").agg(
-        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50"),
-        round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("price_p25"))
+      // size-adaptive: builtin percentile buffers a value->count map
+      // per group (OOM on continuous columns at cluster scale); past
+      // the limit the rank-based distributed form takes over
+      graft.operators.ScalableWindow.exactPercentiles(
+        t(s, dir, "lineitem"), "l_returnflag",
+        Seq(("p50", "l_quantity", 0.5), ("p90", "l_quantity", 0.9),
+          ("price_p25", "l_extendedprice", 0.25)),
+        singleNodeAggLimitBytes = 2L << 30)
+        .select(col("l_returnflag"), round(col("p50"), 4).as("p50"),
+          round(col("p90"), 4).as("p90"),
+          round(col("price_p25"), 4).as("price_p25"))
     },
 
     QueryDef(

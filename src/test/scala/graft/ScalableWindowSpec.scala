@@ -40,6 +40,36 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(viol == 0, "consecutive row numbers follow the sort order")
   }
 
+  test("distributed exact percentiles equal the builtin aggregate, nulls and ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // ties (coarse ints), a continuous column, NULLs, and a group with
+    // a single row (interpolation degenerates to that row)
+    val rows = (1 to 4000).map { i =>
+      ("G" + (i % 3), (rnd.nextInt(12) + 1).toDouble,
+        if (i % 11 == 0) Option.empty[Double] else Some(rnd.nextDouble() * 1000.0))
+    } :+ (("G9", 42.0, Some(17.5)))
+    val df = rows.toDF("g", "qty", "price").repartition(8)
+    val specs = Seq(("p50", "qty", 0.5), ("p90", "qty", 0.9),
+      ("p25_price", "price", 0.25), ("p99_price", "price", 0.99))
+    val viaBuiltin = ScalableWindow.exactPercentiles(df, "g", specs, Long.MaxValue)
+    val distributed = ScalableWindow.exactPercentiles(df, "g", specs, 0L)
+    val a = viaBuiltin.orderBy("g").collect()
+    val b = distributed.orderBy("g").collect()
+    assert(a.length == b.length && a.length == 4)
+    a.zip(b).foreach { case (ra, rb) =>
+      assert(ra.getString(0) == rb.getString(0))
+      (1 to 4).foreach { i =>
+        val (va, vb) = (ra.getDouble(i), rb.getDouble(i))
+        assert(math.abs(va - vb) < 1e-9, s"${ra.getString(0)} col$i: $va vs $vb")
+      }
+    }
+    // the distributed plan must not contain the builtin percentile's
+    // object-hash aggregate (the 100 TB OOM hazard it exists to avoid)
+    val plan = distributed.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile("), s"builtin percentile leaked into:\n$plan")
+  }
+
   test("reliable-checkpoint variant: ranks survive a recompute after unpersist") {
     // localCheckpoint blocks live on executors: lose them and the
     // recompute re-samples the range boundaries, shearing the offsets.
