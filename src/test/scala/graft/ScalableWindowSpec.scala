@@ -48,7 +48,7 @@ class ScalableWindowSpec extends SparkTestBase {
     val rows = (1 to 4000).map { i =>
       ("G" + (i % 3), (rnd.nextInt(12) + 1).toDouble,
         if (i % 11 == 0) Option.empty[Double] else Some(rnd.nextDouble() * 1000.0))
-    } :+ (("G9", 42.0, Some(17.5)))
+    } :+ (("G9", 42.0, Some(17.5))) :+ (("GN", 1.0, Option.empty[Double]))
     val df = rows.toDF("g", "qty", "price").repartition(8)
     val specs = Seq(("p50", "qty", 0.5), ("p90", "qty", 0.9),
       ("p25_price", "price", 0.25), ("p99_price", "price", 0.99))
@@ -56,14 +56,21 @@ class ScalableWindowSpec extends SparkTestBase {
     val distributed = ScalableWindow.exactPercentiles(df, "g", specs, 0L)
     val a = viaBuiltin.orderBy("g").collect()
     val b = distributed.orderBy("g").collect()
-    assert(a.length == b.length && a.length == 4)
+    assert(a.length == b.length && a.length == 5)
     a.zip(b).foreach { case (ra, rb) =>
       assert(ra.getString(0) == rb.getString(0))
       (1 to 4).foreach { i =>
-        val (va, vb) = (ra.getDouble(i), rb.getDouble(i))
-        assert(math.abs(va - vb) < 1e-9, s"${ra.getString(0)} col$i: $va vs $vb")
+        assert(ra.isNullAt(i) == rb.isNullAt(i),
+          s"${ra.getString(0)} col$i null mismatch: $ra vs $rb")
+        if (!ra.isNullAt(i)) {
+          val (va, vb) = (ra.getDouble(i), rb.getDouble(i))
+          assert(math.abs(va - vb) < 1e-9, s"${ra.getString(0)} col$i: $va vs $vb")
+        }
       }
     }
+    // the all-null-price group yields NULL price percentiles both ways
+    val gn = b.find(_.getString(0) == "GN").get
+    assert(gn.isNullAt(3) && gn.isNullAt(4), s"all-null group: $gn")
     // the distributed plan must not contain the builtin percentile's
     // object-hash aggregate (the 100 TB OOM hazard it exists to avoid)
     val plan = distributed.queryExecution.executedPlan.toString
