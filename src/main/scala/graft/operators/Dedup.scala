@@ -553,6 +553,57 @@ object Dedup {
       buildMinhashIndex(existing, idCol, textCol, shingleK, numHashes, bands, seed, useMd5, oph),
       incoming, idCol, textCol, shingleK, numHashes, bands, threshold, seed, useMd5, oph)
 
+  /** Fuzzy benchmark decontamination: flag training documents whose
+    * MinHash-estimated Jaccard against ANY benchmark/eval document
+    * clears `threshold` — the near-duplicate generalization of exact
+    * n-gram decontamination (paraphrased or lightly-edited eval
+    * leakage that verbatim 13-gram matching misses).
+    *
+    * Plan: signatures for both sides (eval is benchmark-sized — tiny
+    * next to the corpus); the candidate set is the banded equi-join of
+    * train buckets against eval buckets, so the corpus is never
+    * self-joined and work scales with |train|·P(band collision with
+    * eval), not |train|². Per training doc the WORST hit survives
+    * (max estimated Jaccard, ties to the smallest eval id) via one
+    * small window over candidates. Estimates are exact n/numHashes
+    * rationals — numHashes a power of two makes them binary-exact, so
+    * a SQL oracle replays scores bit-for-bit.
+    *
+    * Output: (idCol, eval_id, est_jaccard double) — contaminated
+    * train docs only.
+    */
+  def fuzzyContaminationHits(corpus: DataFrame, evalSet: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleK: Int = 5, numHashes: Int = 128,
+                             bands: Int = 32, threshold: Double = 0.5,
+                             seed: Long = 42L, useMd5: Boolean = false,
+                             oph: Boolean = true): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val trainSigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+    val evalSigs = minhashSignatures(evalSet, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+    val probe = bandBuckets(trainSigs, idCol, bands, rows, useMd5)
+      .select(col("band"), col("bucket"), col("doc").as("__tr"))
+    val idx = bandBuckets(evalSigs, idCol, bands, rows, useMd5)
+      .select(col("band"), col("bucket"), col("doc").as("__ev"))
+    val cand = probe.join(idx, Seq("band", "bucket"))
+      .select("__tr", "__ev").dropDuplicates("__tr", "__ev")
+    val scored = cand
+      .join(trainSigs.select(col(idCol).as("__tr"), col("signature").as("__sa")), "__tr")
+      .join(evalSigs.select(col(idCol).as("__ev"), col("signature").as("__sb")), "__ev")
+      .withColumn("est_jaccard",
+        graft.functions.NativeExpressions.signature_agreement(col("__sa"), col("__sb")))
+      .filter(col("est_jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__tr"))
+      .orderBy(col("est_jaccard").desc, col("__ev"))
+    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("__tr").as(idCol), col("__ev").as("eval_id"),
+        // n/numHashes with numHashes a power of two: binary-exact, no
+        // rounding needed for the cross-engine hash compare
+        col("est_jaccard"))
+  }
+
   // ---- exact substring spans --------------------------------------
 
   /** Exact repeated-substring detection, the fixed-window form of

@@ -83,6 +83,55 @@ object Similarity {
     centroids
   }
 
+  /** Engine-exact distributed k-means (Lloyd): like [[kmeansCentroids]]
+    * but the per-cell mean is computed in fixed-point — every element
+    * quantizes to integer micro-units BEFORE the cross-row sum, so the
+    * reduction is order-independent (long addition commutes; double
+    * addition does not) and a SQL oracle replays every round
+    * bit-for-bit. The final double mean is one exact division of exact
+    * integers: (sum/1e6)/n evaluated as (CAST(sum AS DOUBLE)/n)/1e6.
+    *
+    * Per round: one fused assignment pass ([[ivfAssign]] — the
+    * |corpus|×|cells| intermediate never materializes) plus one
+    * (cell, position)-keyed aggregation with map-side partial sums —
+    * O(|corpus|·dim) rows into a |cells|·dim-row result. Rounds are
+    * driver-sequenced but each is a single shuffle; at 100 TB the
+    * corpus is scanned `iters` times and nothing corpus-sized is ever
+    * collected. Cells that lose every member simply drop out (same
+    * rule in the oracle).
+    *
+    * Output: (centroid_id long, n_members long, centroid_vec
+    * array<double>) — the refined codebook with final-round
+    * membership counts, ready to feed [[ivfAssign]]/[[ivfTopK]].
+    */
+  def kmeansTrainExact(corpus: DataFrame, idCol: String, vecCol: String,
+                       stride: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one Lloyd round")
+    var centroids = seedCentroids(corpus, idCol, vecCol, stride)
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("centroid_vec").cast("array<double>").as("centroid_vec"))
+    val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    var result: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val assigned = ivfAssign(vecs, idCol, "__v", centroids)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+        .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+        .groupBy("cell", "__pos")
+        .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+        .withColumn("__m", col("__s").cast("double") / col("__n") / 1e6)
+      result = sums
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"),
+          min(col("__n")).as("n_members"))
+        .select(col("cell").cast("long").as("centroid_id"),
+          col("n_members"),
+          transform(col("__pm"), p => p.getField("__m")).as("centroid_vec"))
+      centroids = result.select(col("centroid_id"), col("centroid_vec"))
+    }
+    result
+  }
+
   /** Assign each corpus vector to its nearest centroid. This
     * materialization is the "index build": at scale, write it
     * partitioned by cell so probes prune partitions.

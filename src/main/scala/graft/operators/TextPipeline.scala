@@ -226,6 +226,70 @@ object TextPipeline {
       .select(col("word"), col("n"), col("rnk"), col("cum_share"))
   }
 
+  /** TF-IDF keyword extraction: the top-k terms of every document by
+    * tf·ln(N/df) — the classic retrieval/weak-labeling signal (and the
+    * vectorizer behind cheap topic clustering of a training corpus).
+    *
+    * Plan: one (doc, word)-keyed count shuffle for tf; df reduces the
+    * tf table again on word (vocabulary-sized, map-side partials); N
+    * rides a broadcast scalar. The tf⋈df equi-join is word-keyed —
+    * stopwords make it skew-prone at 100 TB, which AQE's skew-join
+    * split absorbs (df rows are tiny, so the join is near-broadcast in
+    * practice). The per-doc top-k window partitions on doc_id: group
+    * size is a document's distinct-word count, bounded, so the plain
+    * window is safe at any corpus size.
+    *
+    * Cross-engine determinism: ranking orders by the ROUNDED score
+    * (then word), so rank never hinges on a sub-round-off ulp; tf/df/N
+    * are integers and the score is one ln + one multiply in a fixed
+    * evaluation order on both engines.
+    *
+    * Output: (idCol, word, tf long, df long, tfidf double, rnk long).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("word"))
+    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("df"),
+        col("tfidf"), col("rnk"))
+  }
+
+  /** Deterministic global shuffle + sharding — the "randomize training
+    * order, write N shards" step every pretraining run needs, made
+    * reproducible: order is md5("shuf_" || id) (engine-independent,
+    * seedless-stable), shard is the id's md5 bucket mod numShards.
+    *
+    * Plan: shard assignment and the sort key are row-local; the
+    * within-shard position comes from [[ScalableWindow.groupRowNumber]]
+    * — a range-repartition + per-partition local rank + broadcast
+    * prefix-sum of partition counts, so NO task ever holds a whole
+    * shard (a plain window over 32 shards at 100 TB would put ~3 TB in
+    * one task). Downstream writers can `partitionBy(shard)` and write
+    * rows in `pos` order to get byte-identical shards on every run.
+    *
+    * Output: (shard long, pos long 1-based within shard, idCol).
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, numShards: Int,
+                   numPartitions: Int): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat(lit("shuf_"), col(idCol).cast("string"))).as("__key"))
+      .withColumn("shard",
+        conv(substring(col("__key"), 1, 6), 16, 10).cast("long") % numShards)
+    graft.operators.ScalableWindow
+      .groupRowNumber(keyed, Seq("shard"), Seq("__key", idCol), "pos",
+        numPartitions)
+      .select(col("shard"), col("pos"), col(idCol))
+  }
+
   /** Linear classifier scoring — the model-based quality-filter stage
     * (fastText/DCLM/FineWeb-Edu class): a hashed bag-of-words linear
     * model scores every document and the score gates keep/drop. The

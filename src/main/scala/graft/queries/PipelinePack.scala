@@ -1083,5 +1083,106 @@ object PipelinePack {
         |""".stripMargin) { (s, dir) =>
       TextPipeline.chunkDupStats(docs(s, dir), "doc_id", "text",
         chunkTokens = 128, stride = 96)
+    },
+
+    // TF-IDF keyword extraction: top-5 terms per doc by tf·ln(N/df).
+    // Ranking orders by the ROUNDED score so rank never hinges on a
+    // sub-round-off ulp difference between engines.
+    QueryDef(
+      "text_tfidf",
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
+        |), df AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM documents)
+        |SELECT doc_id, word, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+        |FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    round(tf.tf * ln(n.t / df.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(n.t / df.df), 6) DESC, tf.word) AS rnk
+        |  FROM tf JOIN df USING (word), n) t
+        |WHERE rnk <= 5
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.tfidfTopTerms(docs(s, dir), "doc_id", "text", k = 5)
+    },
+
+    // Deterministic global shuffle + sharding: reproducible training
+    // order (md5 sort key) across 32 shards; positions come from the
+    // distributed groupRowNumber, never a whole-shard window task.
+    QueryDef(
+      "text_shuffle_shard",
+      """WITH k AS (
+        |  SELECT doc_id, md5('shuf_' || CAST(doc_id AS VARCHAR)) AS key,
+        |    CAST('0x' || substr(md5('shuf_' || CAST(doc_id AS VARCHAR)), 1, 6)
+        |      AS BIGINT) % 32 AS shard
+        |  FROM documents
+        |)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)
+        |    AS BIGINT) AS pos,
+        |  doc_id
+        |FROM k
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.shuffleShard(docs(s, dir), "doc_id", numShards = 32,
+        numPartitions = s.sparkContext.defaultParallelism)
+    },
+
+    // Fuzzy benchmark decontamination: MinHash-estimated Jaccard of
+    // every training doc against the eval slice (doc_id % 97 = 0);
+    // worst hit per doc survives. Same md5 hash family as
+    // dedup_minhash so DuckDB replays signatures and scores exactly
+    // (n/128 estimates are binary-exact rationals).
+    QueryDef(
+      "text_decontaminate_fuzzy",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), hs AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) % 2147483647 AS h FROM sh
+        |), params AS (
+        |  SELECT i,
+        |    1 + CAST('0x' || substr(md5('mh_a_' || i), 1, 15) AS BIGINT) % 2147483646 AS a,
+        |    CAST('0x' || substr(md5('mh_b_' || i), 1, 15) AS BIGINT) % 2147483647 AS b
+        |  FROM range(0, 128) r(i)
+        |), sigc AS (
+        |  SELECT doc_id, p.i, min((p.a * h + p.b) % 2147483647) AS c
+        |  FROM hs, params p GROUP BY 1, 2
+        |), sig AS (
+        |  SELECT doc_id, list(c ORDER BY i) AS sig FROM sigc GROUP BY 1
+        |), banded AS (
+        |  SELECT doc_id, b.band, sig[b.band*4+1 : b.band*4+4] AS bucket
+        |  FROM sig, range(0, 32) b(band)
+        |), cand AS (
+        |  SELECT DISTINCT t.doc_id AS tr, e.doc_id AS ev
+        |  FROM banded t JOIN banded e ON e.band = t.band AND e.bucket = t.bucket
+        |  WHERE t.doc_id % 97 <> 0 AND e.doc_id % 97 = 0
+        |), est AS (
+        |  SELECT c.tr, c.ev,
+        |    list_sum(list_transform(range(1, 129),
+        |      i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) / 128.0 AS ej
+        |  FROM cand c JOIN sig sa ON sa.doc_id = c.tr
+        |  JOIN sig sb ON sb.doc_id = c.ev
+        |)
+        |SELECT tr AS doc_id, ev AS eval_id, ej AS est_jaccard
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY tr ORDER BY ej DESC, ev) AS r
+        |      FROM est WHERE ej >= 0.5) t
+        |WHERE r = 1
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val evalSel = pmod(col("doc_id"), lit(97)) === 0
+      graft.operators.Dedup.fuzzyContaminationHits(
+        d.filter(!evalSel), d.filter(evalSel), "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5,
+        useMd5 = true, oph = false) // pinned to the k-family this oracle replays
     })
 }

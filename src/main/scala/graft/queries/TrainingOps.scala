@@ -888,5 +888,52 @@ object TrainingOps {
       val vids = Multimodal.encodeTestPatternVideos(d, "doc_id", "__base")
       Dedup.hammingPairs64(Multimodal.vhashVideo(s, vids), "media_id", "vhash",
         maxHamming = 3)
+    },
+
+    // Engine-exact distributed k-means: two Lloyd rounds over the
+    // seeded coarse quantizer, per-cell means in integer micro-units
+    // (order-independent sums), so DuckDB replays both assignment
+    // rounds and the refined centroids bit-for-bit. Output flattens to
+    // one row per (centroid, dimension) for the value compare.
+    QueryDef(
+      "emb_kmeans",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |a1 AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS r
+        |    FROM e, c0 c) t WHERE r = 1
+        |), m1 AS (
+        |  SELECT cell, i AS pos,
+        |    CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1000000.0 AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM a1, range(1, 65) r(i) GROUP BY 1, 2
+        |), c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT vec_id, v, cid AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.cid,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS r
+        |    FROM e, c1 c) t WHERE r = 1
+        |), m2 AS (
+        |  SELECT cell, i AS pos,
+        |    CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1000000.0 AS m,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM a2, range(1, 65) r(i) GROUP BY 1, 2
+        |)
+        |SELECT cell AS centroid_id, n AS n_members,
+        |  CAST(pos AS BIGINT) AS pos, m AS centroid_val
+        |FROM m2
+        |""".stripMargin) { (s, dir) =>
+      Similarity.kmeansTrainExact(embs(s, dir), "vec_id", "embedding",
+          stride = 50, iters = 2)
+        .select(col("centroid_id"), col("n_members"),
+          posexplode(col("centroid_vec")).as(Seq("__p", "centroid_val")))
+        .select(col("centroid_id"), col("n_members"),
+          (col("__p") + 1).cast("long").as("pos"), col("centroid_val"))
     })
 }

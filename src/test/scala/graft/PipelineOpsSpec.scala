@@ -677,4 +677,60 @@ class PipelineOpsSpec extends SparkTestBase {
     // only "a b" repeats: 3 occurrences across 2 docs
     assert(got.toSeq == Seq((3L, 2L)))
   }
+
+  test("tfidfTopTerms: hand-computed scores, rank by rounded score then word") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "cherry cherry durian")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    def s(tf: Long, df: Long) =
+      BigDecimal(tf * math.log(3.0 / df)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: apple tf=2 df=1 → 2·ln3 beats banana tf=1 df=2
+    assert(got((1L, "apple")) == ((2L, 1L, s(2, 1), 1L)))
+    assert(got((1L, "banana")) == ((1L, 2L, s(1, 2), 2L)))
+    // doc 3: durian (1·ln3 ≈ 1.0986) outranks cherry (2·ln1.5 ≈ 0.8109)
+    assert(got((3L, "durian"))._4 == 1L && got((3L, "cherry"))._4 == 2L)
+    assert(got.size == 6)
+  }
+
+  test("shuffleShard: deterministic, contiguous 1-based positions, md5-keyed order") {
+    val docs = (0L until 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def run() = TextPipeline.shuffleShard(docs, "doc_id", numShards = 8,
+        numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    val got = run()
+    assert(got.size == 100 && got.map(_._3).distinct.size == 100)
+    // positions are a contiguous 1..n run inside every shard
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted == (1L to rows.size).toList)
+    }
+    // order within a shard is the md5("shuf_"||id) hex order
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"shuf_$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val byPos = rows.sortBy(_._2).map(_._3)
+      assert(byPos == rows.map(_._3).sortBy(key), "shard order != md5 order")
+    }
+    assert(run() == got, "shuffle order must be run-independent")
+  }
+
+  test("fuzzyContaminationHits: near-identical eval doc flagged, unrelated not; worst hit wins ties by id") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"x$i").mkString(" ")
+    val evalSet = Seq((10L, base), (20L, base)).toDF("doc_id", "text")
+    val train = Seq((1L, nearDup), (2L, other)).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.fuzzyContaminationHits(
+        train, evalSet, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSet == Set(1L), s"only the near-dup is contaminated: ${got.toList}")
+    val hit = got.head
+    assert(hit._2 == 10L, "identical eval docs tie → smallest eval_id")
+    assert(hit._3 >= 0.5 && hit._3 <= 1.0)
+  }
 }

@@ -579,4 +579,32 @@ class TrainingOpsSpec extends SparkTestBase {
     val r = Multimodal.decodeAudio(spark, junk).collect().head
     assert(r.isNullAt(r.fieldIndex("fmt")) && r.isNullAt(r.fieldIndex("sample_rate")))
   }
+
+  test("kmeansTrainExact: fixed-point means are exact and stable on planted clusters") {
+    // Two planted clusters; stride 3 seeds ids 0 (≈[1,0]) and 3 (≈[0,1]).
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)), (2L, Array(0.8f, 0.2f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f)), (5L, Array(0.2f, 0.8f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kmeansTrainExact(e, "vec_id", "embedding",
+        stride = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toList)).sortBy(_._1).toList
+    // Assignment is clean both rounds, so centroids are the exact
+    // fixed-point means: ((1+0.9+0.8)/3, (0+0.1+0.2)/3) etc. — every
+    // element an exact integer-micro division.
+    assert(got.map(t => (t._1, t._2)) == List((0L, 3L), (3L, 3L)))
+    def qmean(xs: Seq[Float]): Double = {
+      val s = xs.map(x => math.round(x.toDouble * 1e6)).sum
+      s.toDouble / xs.size / 1e6
+    }
+    assert(got(0)._3 == List(qmean(Seq(1.0f, 0.9f, 0.8f)), qmean(Seq(0.0f, 0.1f, 0.2f))))
+    assert(got(1)._3 == List(qmean(Seq(0.0f, 0.1f, 0.2f)), qmean(Seq(1.0f, 0.9f, 0.8f))))
+    // Bit-for-bit reproducible: a second run returns identical doubles.
+    val again = Similarity.kmeansTrainExact(e, "vec_id", "embedding",
+        stride = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toList)).sortBy(_._1).toList
+    assert(again == got)
+  }
 }
