@@ -54,6 +54,15 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * re-adds keep the existing type (backend semantics). */
   def addColumns(db: String, table: String, types: Map[String, String]): Unit = synchronized {
     ensureTable(db, table)
+    // fail loud on a type outside the lattice — the sidecar reader
+    // would otherwise silently coerce it to string (and e.g. range-
+    // cluster numerically-intended keys in lexicographic order)
+    val bad = types.collect {
+      case (n, t) if !Set(TypeLattice.String, TypeLattice.Int,
+        TypeLattice.Float, TypeLattice.Bool).contains(t) => s"$n: $t"
+    }
+    require(bad.isEmpty, s"unknown lattice type(s): ${bad.mkString(", ")} " +
+      "(valid: string, int, float, bool)")
     val existing = readSchemaSeq(db, table)
     val have = existing.map(_._1).toSet
     val added = types.toSeq.sortBy(_._1).filterNot { case (n, _) => have.contains(n) }
@@ -91,6 +100,52 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       case JArr(items) => items.collect { case JStr(s) => s }
       case other => throw new IllegalStateException(s"bad partition sidecar: $other")
     }
+  }
+
+  // ---- clustering (sort-order data skipping) ----------------------
+
+  private def clusterFile(db: String, table: String): Path =
+    tableDir(db, table).resolve("cluster.json")
+
+  /** Declare a clustering (sort) order for the table. Unlike
+    * partitioning this is a LAYOUT property, not a path property — it
+    * takes effect at the next [[cluster]] rewrite (and [[compact]]
+    * preserves it), so it can be set on a non-empty table. */
+  def setClustering(db: String, table: String, cols: Seq[String]): Unit = synchronized {
+    ensureTable(db, table)
+    val have = readSchemaSeq(db, table).map(_._1).toSet
+    require(cols.forall(have.contains),
+      s"cluster columns must exist in schema: ${cols.filterNot(have.contains)}")
+    Files.writeString(clusterFile(db, table),
+      cols.map(quote).mkString("[", ",", "]"))
+  }
+
+  def clusteringOf(db: String, table: String): Seq[String] = {
+    import graft.functions.JValue, graft.functions.JValue._
+    if (!Files.exists(clusterFile(db, table))) Nil
+    else JValue.parse(Files.readString(clusterFile(db, table))) match {
+      case JArr(items) => items.collect { case JStr(s) => s }
+      case other => throw new IllegalStateException(s"bad cluster sidecar: $other")
+    }
+  }
+
+  /** Cluster rewrite — the data-skipping maintenance op. Rewrites the
+    * data dir range-partitioned + sorted on the table's clustering
+    * columns, so every output file (and every parquet row group inside
+    * it) covers a narrow, disjoint key range. Selective scans then
+    * skip whole row groups on footer min/max stats — at 100 TB this is
+    * the difference between touching ~1/nFiles of the table and
+    * touching all of it, with zero layout knowledge in the query. The
+    * sort itself is one distributed range-shuffle + per-partition
+    * sort (`repartitionByRange` + `sortWithinPartitions`), never a
+    * global single-task sort. Same non-transactional dir-swap as
+    * [[compact]]. Returns (files before, files after). */
+  def cluster(db: String, table: String, sortCols: Seq[String] = Nil,
+              targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+    val cols0 = if (sortCols.nonEmpty) sortCols else clusteringOf(db, table)
+    require(cols0.nonEmpty, "no cluster columns: pass sortCols or setClustering first")
+    if (sortCols.nonEmpty) setClustering(db, table, sortCols)
+    rewriteData(db, table, targetFileBytes, Some(cols0))
   }
 
   // ---- per-table ingest dedup policy ------------------------------
@@ -203,6 +258,17 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * Returns (files before, files after). */
   def compact(db: String, table: String,
               targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+    // a compaction of a clustered table must not destroy its sort
+    // order — route through the same rewrite with the stored columns
+    val cl = clusteringOf(db, table)
+    rewriteData(db, table, targetFileBytes, if (cl.nonEmpty) Some(cl) else None)
+  }
+
+  /** Shared rewrite behind [[compact]] and [[cluster]]: one
+    * distributed job into ~targetFileBytes parts (range-sorted when
+    * clusterCols is set), then the dir swap. */
+  private def rewriteData(db: String, table: String, targetFileBytes: Long,
+                          clusterCols: Option[Seq[String]]): (Int, Int) = {
     import org.apache.hadoop.fs.{Path => HPath}
     val conf = spark.sparkContext.hadoopConfiguration
     val dataPath = new HPath(dataDir(db, table).toString)
@@ -218,20 +284,34 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       out.result()
     }
     val parts = parquetParts(dataPath)
-    if (parts.length <= 1) return (parts.length, parts.length)
+    if (parts.isEmpty) return (0, 0)
+    if (parts.length <= 1 && clusterCols.isEmpty) return (parts.length, parts.length)
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     val tmp = new HPath(tableDir(db, table).resolve("data.compacting").toString)
     val old = new HPath(tableDir(db, table).resolve("data.old").toString)
     fs.delete(tmp, true); fs.delete(old, true)
     val partCols = partitioningOf(db, table)
-    val rewrite =
+    val rewrite = (clusterCols, partCols) match {
+      // clustered: disjoint key ranges per file, rows sorted inside —
+      // row-group min/max stats become selective
+      case (Some(cc), pc) if pc.isEmpty =>
+        read(db, table).repartitionByRange(nOut, cc.map(col): _*)
+          .sortWithinPartitions(cc.map(col): _*)
+          .write.mode("overwrite")
+      case (Some(cc), pc) =>
+        // hive-partitioned AND clustered: cluster within partition dirs
+        read(db, table).repartitionByRange(nOut, (pc ++ cc).map(col): _*)
+          .sortWithinPartitions((pc ++ cc).map(col): _*)
+          .write.mode("overwrite").partitionBy(pc: _*)
       // partitioned: shuffle rows to their partition dirs so each dir
       // compacts to ~one part; flat: straight repartition(nOut)
-      if (partCols.nonEmpty)
-        read(db, table).repartition(nOut, partCols.map(col): _*)
-          .write.mode("overwrite").partitionBy(partCols: _*)
-      else read(db, table).repartition(nOut).write.mode("overwrite")
+      case (None, pc) if pc.nonEmpty =>
+        read(db, table).repartition(nOut, pc.map(col): _*)
+          .write.mode("overwrite").partitionBy(pc: _*)
+      case _ =>
+        read(db, table).repartition(nOut).write.mode("overwrite")
+    }
     rewrite.parquet(tmp.toString)
     fs.rename(dataPath, old)
     fs.rename(tmp, dataPath)

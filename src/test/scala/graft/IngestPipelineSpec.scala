@@ -247,4 +247,61 @@ class IngestPipelineSpec extends SparkTestBase {
     val partial = ingest.insert("db", "t", """[{"ok": 1}, {"ok": 2}]""")
     assert(partial.inserted == 2 && partial.failed == 0)
   }
+
+  test("clustered rewrite: selective scans skip row groups; compact preserves the order") {
+    import org.apache.spark.sql.functions.{col, md5, concat, lit}
+    import org.apache.spark.sql.DataFrame
+    val (catalog, _, _, _) = freshPipeline()
+    catalog.ensureTable("db", "clus")
+    catalog.addColumns("db", "clus", Map("k" -> "int", "v" -> "string"))
+    import spark.implicits._
+    // ingest order is a deterministic shuffle of the key — every file
+    // spans the whole key range, so min/max stats prune nothing
+    val rows = (0L until 40000L).map(i => (i, ""))
+      .toDF("k", "v0")
+      // incompressible payload so targetFileBytes actually fans out
+      .withColumn("v", concat(md5(concat(lit("v1"), col("k").cast("string"))),
+        md5(concat(lit("v2"), col("k").cast("string")))))
+      .drop("v0")
+      .orderBy(md5(concat(lit("mix"), col("k").cast("string"))))
+      .withColumn("__row_id", col("k"))
+      .repartition(8)
+    catalog.append("db", "clus", rows)
+
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.map(_.metrics("numOutputRows").value).sum
+    }
+    val pred = col("k") >= 1000L && col("k") < 1100L
+    val before = scanRows(catalog.read("db", "clus").filter(pred))
+    assert(before > 20000L, s"unclustered scan should touch ~everything, saw $before")
+
+    // cluster on k with small target files → many disjoint key ranges
+    val (_, nFiles) = catalog.cluster("db", "clus", Seq("k"), targetFileBytes = 256L << 10)
+    assert(nFiles >= 4, s"expected several clustered files, got $nFiles")
+    val q = catalog.read("db", "clus").filter(pred)
+    val after = scanRows(q)
+    assert(q.collect().length == 100)
+    assert(after < before / 3,
+      s"row-group skipping should cut the scan: $before -> $after")
+    assert(catalog.clusteringOf("db", "clus") == Seq("k"), "clustering persisted")
+
+    // compact() must keep the declared sort order (same small target
+    // so multiple files survive) — pruning still works afterwards
+    catalog.append("db", "clus",
+      Seq((50000L, "late")).toDF("k", "v").withColumn("__row_id", col("k")))
+    catalog.compact("db", "clus", targetFileBytes = 256L << 10)
+    val q2 = catalog.read("db", "clus").filter(pred)
+    val afterCompact = scanRows(q2)
+    assert(q2.collect().length == 100)
+    assert(afterCompact < before / 3,
+      s"compaction destroyed clustering: $before -> $afterCompact")
+
+    // unknown column rejected
+    intercept[IllegalArgumentException] {
+      catalog.setClustering("db", "clus", Seq("nope"))
+    }
+  }
 }
