@@ -290,6 +290,31 @@ object TextPipeline {
       .select(col("shard"), col("pos"), col(idCol))
   }
 
+  /** Per-source document cap — the "no single crawl dominates the
+    * mix" balancing step: keep at most `cap` documents per source,
+    * picked by a reproducible md5 draw (uniform over the source's
+    * docs, identical on every run and engine — a seeded
+    * `rand()`-based sample would be partitioning-dependent).
+    *
+    * Plan: the draw key is row-local; ranks come from
+    * [[ScalableWindow.groupRowNumber]], so a mega-source never lands
+    * in one window task (at 100 TB a head crawl can be 30% of the
+    * corpus — the whole point of capping it). The filter on rank is
+    * the only other stage.
+    *
+    * Output: (sourceCol, idCol, pick_rank long) — kept docs only.
+    */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+                   cap: Int, numPartitions: Int): DataFrame = {
+    val keyed = docs.select(col(sourceCol), col(idCol),
+      md5(concat(lit("cap_"), col(idCol).cast("string"))).as("__key"))
+    graft.operators.ScalableWindow
+      .groupRowNumber(keyed, Seq(sourceCol), Seq("__key", idCol), "pick_rank",
+        numPartitions)
+      .filter(col("pick_rank") <= cap)
+      .select(col(sourceCol), col(idCol), col("pick_rank"))
+  }
+
   /** Linear classifier scoring — the model-based quality-filter stage
     * (fastText/DCLM/FineWeb-Edu class): a hashed bag-of-words linear
     * model scores every document and the score gates keep/drop. The

@@ -146,5 +146,19 @@ object AdvancedOps {
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+    },
+
+    // Approximate percentiles (KLL/GK-sketch class): the mergeable-
+    // sketch path for quantiles at 100 TB — one pass, bounded memory
+    // per group, no rank shuffle. No value oracle (sketch internals
+    // are engine-specific); the spec bounds it against the exact
+    // rank-based twin (q_percentiles) and the driver records rows>0.
+    QueryDef.noOracle("q_approx_percentile") { (s, dir) =>
+      Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("p50"),
+          percentile_approx(col("l_quantity"), lit(0.9), lit(10000)).as("p90"),
+          percentile_approx(col("l_extendedprice"), lit(0.25), lit(10000))
+            .as("price_p25"))
     })
 }

@@ -1184,5 +1184,21 @@ object PipelinePack {
         d.filter(!evalSel), d.filter(evalSel), "doc_id", "text",
         shingleK = 5, numHashes = 128, bands = 32, threshold = 0.5,
         useMd5 = true, oph = false) // pinned to the k-family this oracle replays
+    },
+
+    // Per-source cap: keep ≤20 docs per source by a reproducible md5
+    // draw — the anti-domination rebalance. Ranks come from the
+    // distributed groupRowNumber, never a whole-source window task.
+    QueryDef(
+      "text_cap_per_source",
+      """SELECT source, doc_id, CAST(r AS BIGINT) AS pick_rank
+        |FROM (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)), doc_id) AS r
+        |      FROM documents) t
+        |WHERE r <= 20
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.capPerSource(docs(s, dir), "doc_id", "source", cap = 20,
+        numPartitions = s.sparkContext.defaultParallelism)
     })
 }

@@ -560,6 +560,42 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q_approx_percentile: sketch stays within rank tolerance of the exact twin") {
+    val dir = "/root/testdata/sf0.001"
+    val approx = graft.SparkEntry.queries("q_approx_percentile")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val exact = graft.SparkEntry.queries("q_percentiles")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx.keySet == exact.keySet)
+    // accuracy 10000 → rank error ≤ n/10000; at sf0.001 that is a
+    // handful of ranks — values must land within 2% of the exact ones
+    exact.foreach { case (flag, (p50, p90, p25)) =>
+      val (a50, a90, a25) = approx(flag)
+      assert(math.abs(a50 - p50) <= math.max(1.0, 0.02 * p50), s"$flag p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= math.max(1.0, 0.02 * p90), s"$flag p90: $a90 vs $p90")
+      assert(math.abs(a25 - p25) <= math.max(1.0, 0.02 * p25), s"$flag p25: $a25 vs $p25")
+    }
+  }
+
+  test("capPerSource: mega-source capped to md5-smallest picks, small source kept whole") {
+    val docs = ((0L until 50L).map(i => (i, "srcA")) ++
+      Seq((100L, "srcB"), (101L, "srcB"), (102L, "srcB"))).toDF("doc_id", "source")
+    val got = TextPipeline.capPerSource(docs, "doc_id", "source", cap = 10,
+        numPartitions = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+    val a = got.filter(_._1 == "srcA"); val b = got.filter(_._1 == "srcB")
+    assert(a.size == 10 && b.size == 3)
+    assert(b.map(_._3).sorted == List(1L, 2L, 3L), "small source keeps contiguous ranks")
+    // the kept 10 are exactly the md5-smallest draw keys of srcA
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"cap_$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expectA = (0L until 50L).sortBy(key).take(10).toSet
+    assert(a.map(_._2).toSet == expectA, "cap must pick the md5-smallest ids")
+  }
+
   test("clusterPurity: pure and mixed planted cells report exact purity") {
     // centroid ids 0 and 50 (stride 50). Cluster at e0: labels all 7
     // -> purity 1.0. Cluster at e1: labels 2,2,3 -> majority 2, 2/3.
