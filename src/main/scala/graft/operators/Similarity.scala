@@ -132,6 +132,48 @@ object Similarity {
     result
   }
 
+  /** Mean-pool chunk embeddings into group (document) embeddings —
+    * the standard chunk→doc aggregation after embedding long texts in
+    * windows. Same fixed-point trick as [[kmeansTrainExact]]: elements
+    * quantize to integer micro-units before the cross-row sum, so the
+    * pooled vector is engine-exact regardless of partitioning. One
+    * (group, position)-keyed aggregation with map-side partials —
+    * O(rows·dim) in, |groups|·dim out; nothing collected.
+    *
+    * Output: (group_id long, n_vecs long, pos long 1-based,
+    * pooled_val double) — flattened per dimension.
+    */
+  def meanPool(corpus: DataFrame, vecCol: String, groupId: Column): DataFrame =
+    corpus.select(groupId.cast("long").as("group_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
+      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+      .groupBy("group_id", "__pos")
+      .agg(sum("__q").as("__s"), count(lit(1)).as("n_vecs"))
+      .select(col("group_id"), col("n_vecs"),
+        (col("__pos") + 1).cast("long").as("pos"),
+        (col("__s").cast("double") / col("n_vecs") / 1e6).as("pooled_val"))
+
+  /** Matryoshka-style truncation: keep the first `dims` dimensions and
+    * L2-renormalize — the cheap storage/latency trade nested-embedding
+    * models are trained for. Entirely row-local (no shuffle at any
+    * scale); the norm folds in index order so both engines compute the
+    * same double, and outputs round to 1e-6 like every cosine here.
+    *
+    * Output: (idCol, pos long 1-based, tval double) per kept dim.
+    */
+  def truncateRenorm(corpus: DataFrame, idCol: String, vecCol: String,
+                     dims: Int): DataFrame = {
+    val sliced = corpus.select(col(idCol),
+      slice(col(vecCol).cast("array<double>"), 1, dims).as("__t"))
+      .withColumn("__norm",
+        sqrt(aggregate(col("__t"), lit(0.0), (acc, x) => acc + x * x)))
+    sliced.select(col(idCol),
+        posexplode(col("__t")).as(Seq("__pos", "__x")), col("__norm"))
+      .select(col(idCol), (col("__pos") + 1).cast("long").as("pos"),
+        round(when(col("__norm") === 0.0, lit(0.0))
+          .otherwise(col("__x") / col("__norm")), 6).as("tval"))
+  }
+
   /** Assign each corpus vector to its nearest centroid. This
     * materialization is the "index build": at scale, write it
     * partitioned by cell so probes prune partitions.

@@ -290,6 +290,24 @@ object TextPipeline {
       .select(col("shard"), col("pos"), col(idCol))
   }
 
+  /** Exact-k global corpus sample by a reproducible md5 draw — "give
+    * me 1000 uniformly-drawn docs, the same 1000 every run, on any
+    * cluster". Spark plans orderBy+limit as TakeOrderedAndProject:
+    * per-partition top-k heaps then one k-sized merge on the driver —
+    * no global sort, no single-task shuffle, k-bounded memory. The
+    * rank window afterwards touches only the k survivors.
+    *
+    * Output: (idCol, sample_rank long 1..k).
+    */
+  def globalSample(docs: DataFrame, idCol: String, k: Int): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(concat(lit("gs_"), col(idCol).cast("string"))).as("__key"))
+    val top = keyed.orderBy(col("__key"), col(idCol)).limit(k)
+    val w = Window.orderBy(col("__key"), col(idCol))
+    top.withColumn("sample_rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("sample_rank"))
+  }
+
   /** Per-source document cap — the "no single crawl dominates the
     * mix" balancing step: keep at most `cap` documents per source,
     * picked by a reproducible md5 draw (uniform over the source's

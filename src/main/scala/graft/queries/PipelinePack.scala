@@ -1200,5 +1200,18 @@ object PipelinePack {
         |""".stripMargin) { (s, dir) =>
       TextPipeline.capPerSource(docs(s, dir), "doc_id", "source", cap = 20,
         numPartitions = s.sparkContext.defaultParallelism)
+    },
+
+    // Exact-k reproducible global sample: 500 docs by md5 draw, ranked.
+    // TakeOrderedAndProject (per-partition heaps), never a global sort.
+    QueryDef(
+      "text_global_sample",
+      """SELECT doc_id, CAST(row_number() OVER (ORDER BY key, doc_id) AS BIGINT)
+        |  AS sample_rank
+        |FROM (SELECT doc_id, md5('gs_' || CAST(doc_id AS VARCHAR)) AS key
+        |      FROM documents
+        |      ORDER BY key, doc_id LIMIT 500) t
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.globalSample(docs(s, dir), "doc_id", k = 500)
     })
 }

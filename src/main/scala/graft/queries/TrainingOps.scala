@@ -935,5 +935,39 @@ object TrainingOps {
           posexplode(col("centroid_vec")).as(Seq("__p", "centroid_val")))
         .select(col("centroid_id"), col("n_members"),
           (col("__p") + 1).cast("long").as("pos"), col("centroid_val"))
+    },
+
+    // Chunk→doc mean pooling: groups of 10 consecutive vec_ids pool
+    // into one embedding. Fixed-point micro-unit sums → engine-exact.
+    QueryDef(
+      "emb_mean_pool",
+      """WITH e AS (
+        |  SELECT vec_id // 10 AS group_id, embedding::DOUBLE[] AS v FROM embeddings
+        |)
+        |SELECT group_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(i AS BIGINT) AS pos,
+        |  CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |    / count(*) / 1000000.0 AS pooled_val
+        |FROM e, range(1, 65) r(i) GROUP BY group_id, i
+        |""".stripMargin) { (s, dir) =>
+      Similarity.meanPool(embs(s, dir), "embedding", expr("vec_id DIV 10"))
+    },
+
+    // Matryoshka truncation: first 16 dims, L2-renormalized — row-
+    // local, zero shuffle at any scale.
+    QueryDef(
+      "emb_truncate",
+      """WITH t AS (
+        |  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS tv FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, tv,
+        |    sqrt(list_sum(list_transform(tv, x -> x * x))) AS nrm
+        |  FROM t
+        |)
+        |SELECT vec_id, CAST(i AS BIGINT) AS pos,
+        |  round(CASE WHEN nrm = 0 THEN 0.0 ELSE tv[i] / nrm END, 6) AS tval
+        |FROM n, range(1, 17) r(i)
+        |""".stripMargin) { (s, dir) =>
+      Similarity.truncateRenorm(embs(s, dir), "vec_id", "embedding", dims = 16)
     })
 }

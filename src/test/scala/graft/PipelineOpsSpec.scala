@@ -596,6 +596,44 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(a.map(_._2).toSet == expectA, "cap must pick the md5-smallest ids")
   }
 
+  test("meanPool: exact fixed-point pooled vectors per group") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.5f)), (1L, Array(0.5f, 0.25f)),
+      (10L, Array(-0.5f, 0.125f))
+    ).toDF("vec_id", "embedding")
+    val got = operators.Similarity.meanPool(e, "embedding", expr("vec_id DIV 10"))
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), (r.getLong(1), r.getDouble(3)))).toMap
+    // group 0 pools ids 0,1: (1.0+0.5)/2, (0.5+0.25)/2; group 1 is id 10 alone
+    assert(got((0L, 1L)) == ((2L, 0.75)) && got((0L, 2L)) == ((2L, 0.375)))
+    assert(got((1L, 1L)) == ((1L, -0.5)) && got((1L, 2L)) == ((1L, 0.125)))
+  }
+
+  test("truncateRenorm: sliced dims renormalize to unit length; zero vector stays zero") {
+    val e = Seq(
+      (1L, Array(3.0f, 4.0f, 99.0f)),   // first 2 dims: norm 5 → (0.6, 0.8)
+      (2L, Array(0.0f, 0.0f, 7.0f))     // zero after truncation
+    ).toDF("vec_id", "embedding")
+    val got = operators.Similarity.truncateRenorm(e, "vec_id", "embedding", dims = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got((1L, 1L)) == 0.6 && got((1L, 2L)) == 0.8)
+    assert(got((2L, 1L)) == 0.0 && got((2L, 2L)) == 0.0)
+  }
+
+  test("globalSample: exact k, md5-smallest ids, contiguous ranks, heap-based plan") {
+    val docs = (0L until 200L).map(i => (i, "t")).toDF("doc_id", "text")
+    val df = TextPipeline.globalSample(docs, "doc_id", k = 25)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    assert(got.size == 25 && got.map(_._2).sorted == (1L to 25L).toList)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"gs_$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.sortBy(_._2).map(_._1) == (0L until 200L).sortBy(key).take(25).toList)
+    // plan pin: the k-select must be TakeOrdered (per-partition heaps),
+    // never a global Sort over the corpus
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered plan:\n$plan")
+  }
+
   test("clusterPurity: pure and mixed planted cells report exact purity") {
     // centroid ids 0 and 50 (stride 50). Cluster at e0: labels all 7
     // -> purity 1.0. Cluster at e1: labels 2,2,3 -> majority 2, 2/3.
