@@ -1200,6 +1200,64 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Bloom-filter membership probe over a pre-built bitset: the
+    * broadcast-sketch side of decontamination / blocklist filtering at
+    * corpus scale. `child` is the 64-bit key hash (compose with
+    * Spark's codegen'd `xxhash64`); the two 32-bit halves drive a
+    * Kirsch–Mitzenmacher double-hash probe of `numHashes` bit
+    * positions in a power-of-two bitset. The bitset rides the
+    * serialized expression into the task binary (Spark broadcasts
+    * task binaries once per stage), so a 10M-key filter costs ~15 MB
+    * per executor — an order of magnitude under the string set it
+    * replaces, and probed without any join build side. Full
+    * `doGenCode` so the probe stays inside the scan's whole-stage
+    * span. False positives are expected; callers MUST exact-verify
+    * survivors (see TextPipeline.contaminationHitsBloom).
+    */
+  case class BloomMightContain(child: Expression, bits: Array[Long], numHashes: Int)
+      extends UnaryExpression {
+    require(java.lang.Long.bitCount(bits.length.toLong * 64L) == 1,
+      "bloom bitset length must be a power of two")
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(v: Any): Any =
+      NativeExpressions.bloomContains(bits, numHashes, v.asInstanceOf[Long])
+    override protected def doGenCode(ctx: codegen.CodegenContext,
+                                     ev: codegen.ExprCode): codegen.ExprCode = {
+      val bitsRef = ctx.addReferenceObj("bloomBits", bits, "long[]")
+      defineCodeGen(ctx, ev, c =>
+        s"graft.functions.NativeExpressions.bloomContains($bitsRef, $numHashes, $c)")
+    }
+    override def prettyName: String = "bloom_might_contain"
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Static probe for [[BloomMightContain]]'s generated code. */
+  def bloomContains(bits: Array[Long], numHashes: Int, h: Long): Boolean = {
+    val mask = bits.length.toLong * 64L - 1L
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L // odd stride: never a degenerate single-bit probe
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & mask).toInt
+      if ((bits(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  /** Build-side twin of [[bloomContains]] — same position derivation. */
+  def bloomAdd(bits: Array[Long], numHashes: Int, h: Long): Unit = {
+    val mask = bits.length.toLong * 64L - 1L
+    val h1 = h & 0xffffffffL
+    val h2 = (h >>> 32) | 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = ((h1 + i * h2) & mask).toInt
+      bits(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+  }
+
   // ---- Column wrappers --------------------------------------------
   def cosine_sim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
@@ -1252,6 +1310,8 @@ object NativeExpressions {
     ExpressionUtils.column(PiiScan(ExpressionUtils.expression(text)))
   def repetition_stats(tokens: Column): Column =
     ExpressionUtils.column(RepetitionStats(ExpressionUtils.expression(tokens)))
+  def bloom_might_contain(hash: Column, bits: Array[Long], numHashes: Int): Column =
+    ExpressionUtils.column(BloomMightContain(ExpressionUtils.expression(hash), bits, numHashes))
 
   /** Register every graft function for SQL passthrough use
     * (`SELECT cosine_sim(a, b) FROM ...`). For cluster deployments the

@@ -75,6 +75,41 @@ object ScalableWindow {
       .drop(pid, lrn, off)
   }
 
+  /** Adds `out` = INCLUSIVE running sum of `valCol` within each group,
+    * ordered by orderCols — `sum(v) OVER (PARTITION BY g ORDER BY o)`
+    * without the per-group single-task sort, by the same two-pass
+    * scheme as [[groupRowNumber]] (local running sums per range
+    * partition, per-(partition, group) totals prefix-summed into
+    * starting offsets, broadcast back). orderCols must be unique per
+    * group so the running sum is well-defined framewise (ROWS ≡ RANGE).
+    * This is the distributed backbone of token-budget sampling: at
+    * 100 TB a single source can be tens of TB, and the naive window
+    * puts all of it in one task. */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
+                       orderCols: Seq[String], valCol: String, out: String,
+                       numPartitions: Int,
+                       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = (groupCols ++ orderCols).map(col)
+    val (pid, ls, off, tot) = ("__ps_pid", "__ps_ls", "__ps_off", "__ps_t")
+    val ranged = checkpoint(
+      df.repartitionByRange(numPartitions, keyCols: _*)
+        .withColumn(pid, spark_partition_id()))
+    val wLocal = Window.partitionBy((pid +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn(ls, sum(col(valCol)).over(wLocal))
+    val totals = ranged.groupBy((pid +: groupCols).map(col): _*)
+      .agg(sum(col(valCol)).as(tot))
+    val wOff = Window.partitionBy(groupCols.map(col): _*).orderBy(col(pid))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select((pid +: groupCols).map(col) :+
+      coalesce(sum(col(tot)).over(wOff), lit(0L)).as(off): _*)
+    local.join(broadcast(offsets), pid +: groupCols)
+      .withColumn(out, col(ls) + col(off))
+      .drop(pid, ls, off)
+  }
+
   /** Exact interpolated percentiles per group (≡ Spark `percentile` /
     * DuckDB `quantile_cont`: r = q·(n−1) zero-based, linear between
     * the two straddling order statistics), with the physical strategy

@@ -468,6 +468,68 @@ object Similarity {
     }
   }
 
+  /** Contrastive hard-negative mining: for each labeled anchor, the
+    * top-k most-similar vectors carrying a DIFFERENT label — the
+    * near-boundary negatives contrastive/embedding training wants
+    * (easy negatives are random; hard ones are the top of this list).
+    *
+    * Plan: identical physics to [[bruteForceTopK]] (anchors broadcast,
+    * corpus scanned once, never shuffled) with the label-mismatch
+    * predicate fused BEFORE the per-anchor top-k window, so same-label
+    * rows never compete for the k slots. |anchors|·k output.
+    *
+    * Output: (query_id, neighbor_id, neg_label, cos_sim, rnk). */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                    queryLabelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"),
+      col(labelCol).cast("long").as("__cl"))
+    val q = queries.select(col(queryIdCol), col(queryVecCol)
+      .cast("array<double>").as("__qv"), col(queryLabelCol).cast("long").as("__ql"))
+    val joined = c.crossJoin(broadcast(q))
+      .filter(col(queryIdCol) =!= col(idCol) && col("__cl") =!= col("__ql"))
+      .select(col(queryIdCol).as("query_id"), col(idCol).as("neighbor_id"),
+        col("__cl").as("neg_label"),
+        round(graft.functions.NativeExpressions.cosine_sim(col("__cv"), col("__qv")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    joined.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "cos_sim", "rnk")
+  }
+
+  /** [[hardNegatives]]' scale path: candidates come from the anchor's
+    * nProbe nearest IVF cells instead of the whole corpus (same recall
+    * trade as [[ivfTopK]]); the label filter still runs before the
+    * top-k window. The brute form is the oracle baseline; this is what
+    * runs when the corpus no longer fits one scan per anchor batch. */
+  def hardNegativesIvf(assigned: DataFrame, idCol: String, vecCol: String,
+                       corpus: DataFrame, labelCol: String, centroids: DataFrame,
+                       queries: DataFrame, queryIdCol: String, queryVecCol: String,
+                       queryLabelCol: String, k: Int, nProbe: Int): DataFrame = {
+    val qCells = queries.crossJoin(broadcast(centroids))
+      .select(col(queryIdCol).as("query_id"), col(queryVecCol).as("__qvec"),
+        col(queryLabelCol).cast("long").as("__ql"),
+        col("centroid_id"), cosine(col(queryVecCol), col("centroid_vec")).as("__sim"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("__sim").desc, col("centroid_id"))))
+      .filter(col("__r") <= nProbe)
+      .select(col("query_id"), col("__qvec"), col("__ql"), col("centroid_id").as("cell"))
+    val labeled = assigned.join(
+      corpus.select(col(idCol), col(labelCol).cast("long").as("__cl")), Seq(idCol))
+    val cand = labeled.join(broadcast(qCells), Seq("cell"))
+      .filter(col("query_id") =!= col(idCol) && col("__cl") =!= col("__ql"))
+      .select(col("query_id"), col(idCol).as("neighbor_id"),
+        col("__cl").as("neg_label"),
+        round(cosine(col(vecCol), col("__qvec")), 6).as("cos_sim"))
+    cand.withColumn("rnk", row_number().over(
+      Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("neighbor_id"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "neighbor_id", "neg_label", "cos_sim", "rnk")
+  }
+
   /** Per-cell clustering diagnostics over the IVF assignment: size,
     * majority label (ties → smallest), and purity (majority share) —
     * the embedding-space health check run after any clustering step

@@ -41,6 +41,120 @@ object TextPipeline {
         (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** [[contaminationHits]] with a Bloom-sketch pre-filter — the shape
+    * that survives when the eval/blocklist side outgrows a broadcast
+    * of its full n-gram STRING set. Same output, different physics:
+    *
+    *   1. eval grams dedup once, then fold into a ~`bitsPerKey`
+    *      bits/key Bloom bitset by a treeAggregate over their
+    *      xxhash64s (partial bitsets OR-merge; the driver holds one
+    *      bitset, ~1.5 MB per million grams — 30× under the strings);
+    *   2. the train side — the 100 TB side — probes the bitset
+    *      MAP-SIDE inside the scan stage via a codegen'd native
+    *      expression ([[graft.functions.NativeExpressions.BloomMightContain]]);
+    *      survivors are the true hits plus a ~0.03% false-positive
+    *      trickle (k=8, 12 bits/key);
+    *   3. survivors exact-verify against the eval gram set. The join
+    *      input is hit-sized, not corpus-sized, so Spark/AQE picks a
+    *      broadcast or a tiny shuffle join on its own — either way
+    *      nothing corpus-scale moves.
+    *
+    * False positives never reach the output (the verify join removes
+    * them), so the result is row-identical to [[contaminationHits]] —
+    * which is exactly what the oracle checks. */
+  def contaminationHitsBloom(train: DataFrame, eval_ : DataFrame,
+                             idCol: String, textCol: String, n: Int,
+                             bitsPerKey: Int = 12): DataFrame = {
+    import graft.functions.NativeExpressions
+    def grams(df: DataFrame) = df.select(col(idCol),
+      explode(Dedup.wordShingles(Dedup.tokens(col(textCol)), n)).as("__g"))
+    // materialized once, consumed by the count, the bitset build and
+    // the verify join
+    val evalGrams = grams(eval_).select("__g").distinct().localCheckpoint()
+    val nKeys = math.max(1L, evalGrams.count())
+    val mBits = java.lang.Long.highestOneBit(
+      math.max(64L, nKeys * bitsPerKey) * 2 - 1)
+    require(mBits <= (1L << 34), s"bloom bitset $mBits bits exceeds the 2 GiB cap")
+    val numHashes = math.max(1, math.round(0.693 * bitsPerKey).toInt)
+    val bits = evalGrams.select(xxhash64(col("__g")).as("__h"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(new Array[Long]((mBits / 64).toInt))(
+        (acc, h) => { NativeExpressions.bloomAdd(acc, numHashes, h); acc },
+        (a, b) => { var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
+    val candidates = grams(train).filter(
+      NativeExpressions.bloom_might_contain(xxhash64(col("__g")), bits, numHashes))
+    val hits = candidates.join(evalGrams, Seq("__g"))
+      .groupBy(idCol).agg(count(lit(1)).as("__h"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("__h"), lit(0L)).as("n_hits"),
+        (coalesce(col("__h"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Token-budget mixing: per source, keep documents in a
+    * deterministic hash order until the source's token budget is
+    * exhausted — the "give me exactly N tokens of web, M of code"
+    * step of training-mix construction, where [[mixtureSample]]'s
+    * rate form can't hit an absolute token target.
+    *
+    * The order is md5(id)-derived, so the SAME rows are selected by
+    * any engine (the oracle replays it), and the running token count
+    * comes from [[ScalableWindow.groupedPrefixSum]] — no source ever
+    * sorts in one task, which matters because real mixes have a
+    * dominant source holding most of the corpus.
+    *
+    * Output: kept rows (idCol, sourceCol, n_tokens, cum_tokens),
+    * where cum_tokens ≤ the source's budget (inclusive prefix sum —
+    * the first doc that would overflow the budget is dropped, along
+    * with everything after it in hash order). */
+  def tokenBudgetSample(docs: DataFrame, idCol: String, sourceCol: String,
+                        textCol: String, budgets: Map[String, Long],
+                        defaultBudget: Long, numPartitions: Int): DataFrame = {
+    val tok = docs.select(col(idCol), col(sourceCol),
+      graft.functions.NativeExpressions.space_token_count(col(textCol)).as("n_tokens"),
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("__ok"))
+    val cum = ScalableWindow.groupedPrefixSum(tok, Seq(sourceCol),
+      Seq("__ok", idCol), "n_tokens", "cum_tokens", numPartitions)
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(sourceCol) === k, lit(v)).otherwise(acc)
+    }
+    cum.filter(col("cum_tokens") <= budget)
+      .select(col(idCol), col(sourceCol), col("n_tokens"), col("cum_tokens"))
+  }
+
+  /** CCNet-style perplexity bucketing: score every document with the
+    * self-trained bigram LM ([[bigramLmScore]]), cut the scored corpus
+    * at the ⅓ and ⅔ exact quantiles, and label each doc head /
+    * middle / tail (best to worst model fit; unscoreable docs — fewer
+    * than two words — get 'na'). Downstream pipelines train on head,
+    * sample middle, and drop or audit tail.
+    *
+    * The quantile cutoffs use [[ScalableWindow.exactPercentiles]], so
+    * past the catalog-stats size limit they compute via distributed
+    * rank selection rather than one in-memory percentile buffer; the
+    * cutoffs then broadcast and bucketing is a pure map over the
+    * scored stream. Scores and cutoffs are both rounded to 6 decimals
+    * BEFORE comparing, so cross-engine float noise cannot flip a
+    * boundary document. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        singleNodeAggLimitBytes: Long = 64L << 20): DataFrame = {
+    val scored = bigramLmScore(docs, idCol, textCol)
+      .select(col(idCol), col("avg_logp"))
+    val cuts = ScalableWindow.exactPercentiles(
+      scored.filter(col("avg_logp").isNotNull).withColumn("__g", lit(1)),
+      "__g",
+      Seq(("__p_lo", "avg_logp", 1.0 / 3), ("__p_hi", "avg_logp", 2.0 / 3)),
+      singleNodeAggLimitBytes)
+      .select(round(col("__p_lo"), 6).as("__p_lo"),
+        round(col("__p_hi"), 6).as("__p_hi"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col(idCol), col("avg_logp"),
+        when(col("avg_logp").isNull, "na")
+          .when(col("avg_logp") > col("__p_hi"), "head")
+          .when(col("avg_logp") > col("__p_lo"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Gopher-style repetition signals, all row-local (zero shuffle):
     * duplicate-word fraction and the most frequent word bigram with
     * its share of all bigrams. High top-bigram share flags the

@@ -1213,5 +1213,111 @@ object PipelinePack {
         |      ORDER BY key, doc_id LIMIT 500) t
         |""".stripMargin) { (s, dir) =>
       TextPipeline.globalSample(docs(s, dir), "doc_id", k = 500)
+    },
+
+    // Decontamination via broadcast Bloom sketch + exact verify: the
+    // 100 TB shape (bitset rides the task binary, probe is map-side,
+    // the verify join is hit-sized). Result is row-identical to
+    // text_decontaminate — the oracle is the same exact-overlap SQL,
+    // which is precisely the claim being checked.
+    QueryDef(
+      "text_decontaminate_bloom",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+        |    THEN list_distinct(list_transform(range(1, len(t) - 6),
+        |         i -> array_to_string(t[i:i+7], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks
+        |), buck AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT) % 100 AS b
+        |  FROM documents
+        |), eg AS (
+        |  SELECT DISTINCT g FROM sh JOIN buck USING (doc_id) WHERE b >= 90
+        |), hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_hits
+        |  FROM sh JOIN eg USING (g) JOIN buck ON buck.doc_id = sh.doc_id
+        |  WHERE buck.b < 80 GROUP BY 1
+        |)
+        |SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d JOIN buck USING (doc_id)
+        |LEFT JOIN hits h ON h.doc_id = d.doc_id
+        |WHERE buck.b < 80
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir)
+      val bucket = graft.functions.TextFunctions.splitBucket(col("doc_id"))
+      TextPipeline.contaminationHitsBloom(
+        d.filter(bucket < 80), d.filter(bucket >= 90), "doc_id", "text", n = 8)
+    },
+
+    // Token-budget mixing: absolute per-source token targets filled in
+    // reproducible md5 order; the running count is the distributed
+    // grouped prefix sum, never a whole-source window task.
+    QueryDef(
+      "text_token_budget_mix",
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS ok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY ok, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, cum_tokens
+        |FROM c
+        |WHERE cum_tokens <= (CASE source WHEN 'src0' THEN 300
+        |                                 WHEN 'src1' THEN 1200
+        |                                 ELSE 700 END)
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.tokenBudgetSample(docs(s, dir), "doc_id", "source", "text",
+        budgets = Map("src0" -> 300L, "src1" -> 1200L), defaultBudget = 700L,
+        numPartitions = s.sparkContext.defaultParallelism)
+    },
+
+    // CCNet-style LM-perplexity bucketing: exact tercile cutoffs over
+    // the bigram-LM scores, head/middle/tail labels broadcast-mapped
+    // over the corpus. Cutoffs and scores compare after round(…, 6)
+    // on both engines, so boundary docs cannot flip on float noise.
+    QueryDef(
+      "text_perplexity_buckets",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), c1 AS (
+        |  SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) u GROUP BY 1
+        |), v AS (
+        |  SELECT count(*) AS vv FROM c1
+        |), ig AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM ig
+        |), c12 AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + v.vv)) AS lp
+        |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 ON c1.w = bg.w1, v
+        |), agg AS (
+        |  SELECT doc_id, round(avg(lp), 6) AS avg_logp FROM scored GROUP BY 1
+        |), s AS (
+        |  SELECT d.doc_id, a.avg_logp
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)
+        |), cuts AS (
+        |  SELECT round(quantile_cont(avg_logp, 1.0/3), 6) AS p_lo,
+        |         round(quantile_cont(avg_logp, 2.0/3), 6) AS p_hi
+        |  FROM s WHERE avg_logp IS NOT NULL
+        |)
+        |SELECT s.doc_id, s.avg_logp,
+        |  CASE WHEN s.avg_logp IS NULL THEN 'na'
+        |       WHEN s.avg_logp > cuts.p_hi THEN 'head'
+        |       WHEN s.avg_logp > cuts.p_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM s, cuts
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.perplexityBuckets(docs(s, dir), "doc_id", "text")
     })
 }

@@ -367,6 +367,77 @@ object TrainingOps {
         "query_vec_id", "query_embedding", k = 10)
     },
 
+    // Contrastive hard-negative mining: top-10 nearest DIFFERENT-label
+    // vectors per anchor, label filter fused before the top-k window.
+    QueryDef(
+      "emb_hard_negatives",
+      """WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(c.label AS BIGINT) AS neg_label,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cos_sim
+        |  FROM embeddings c CROSS JOIN q
+        |  WHERE q.vec_id <> c.vec_id AND c.label <> q.label
+        |)
+        |SELECT query_id, neighbor_id, neg_label, cos_sim,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |      FROM scored) t
+        |WHERE rnk <= 10
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding"), col("label").as("query_label")),
+        "query_vec_id", "query_embedding", "query_label", k = 10)
+    },
+
+    // The IVF-routed scale path of the same mining pass — deterministic
+    // quantizer, so the oracle replicates cells, probes and the final
+    // ranked negatives exactly (a value oracle for the approximate path).
+    QueryDef(
+      "emb_hard_negatives_ivf",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, label, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, e.label, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS ql FROM e WHERE vec_id < 8),
+        |qcells AS (
+        |  SELECT query_id, qv, ql, centroid_id AS cell FROM (
+        |    SELECT q.query_id, q.qv, q.ql, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+        |    FROM q, cent c) t WHERE r <= 3
+        |),
+        |cand AS (
+        |  SELECT qc.query_id, a.vec_id AS neighbor_id,
+        |    CAST(a.label AS BIGINT) AS neg_label,
+        |    round(list_cosine_similarity(a.v, qc.qv), 6) AS cos_sim
+        |  FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |  WHERE qc.query_id <> a.vec_id AND a.label <> qc.ql
+        |)
+        |SELECT query_id, neighbor_id, neg_label, cos_sim, CAST(rnk AS BIGINT) AS rnk
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        |      FROM cand) t
+        |WHERE rnk <= 10
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      Similarity.hardNegativesIvf(assigned, "vec_id", "embedding", e, "label",
+        centroids,
+        e.filter(col("vec_id") < 8).select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding"), col("label").as("query_label")),
+        "query_vec_id", "query_embedding", "query_label", k = 10, nProbe = 3)
+    },
+
     // IVF is deterministic end-to-end (seeded centroids, tie-broken
     // assignment/probing), so DuckDB can replicate the whole index:
     // same cells, same probes, same top-k — a value oracle for the

@@ -74,6 +74,95 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(hit._3 && hit._2 >= 1L)
   }
 
+  test("bloom static helpers: added keys always hit, absent keys mostly miss") {
+    import graft.functions.NativeExpressions
+    val bits = new Array[Long](1024) // 65536 bits, 1000 keys → ~65 b/key
+    val rnd = new scala.util.Random(11)
+    val keys = Array.fill(1000)(rnd.nextLong())
+    keys.foreach(NativeExpressions.bloomAdd(bits, 8, _))
+    assert(keys.forall(NativeExpressions.bloomContains(bits, 8, _)),
+      "bloom filters must never false-negative")
+    val absent = Array.fill(10000)(rnd.nextLong()).filterNot(keys.contains)
+    val fp = absent.count(NativeExpressions.bloomContains(bits, 8, _))
+    assert(fp < 100, s"false-positive rate implausibly high: $fp / ${absent.length}")
+  }
+
+  test("contaminationHitsBloom: row-identical to the exact broadcast form") {
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val shared2 = "one two three four five six seven eight nine"
+    val train = Seq(
+      (1L, s"prefix words here $shared suffix tail words"),
+      (2L, "totally unrelated content with no overlap at all whatsoever"),
+      (3L, s"$shared2 and then some more words"),
+      (4L, "short doc"),
+      (5L, s"double hit $shared padding $shared2 end")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (100L, s"$shared and some trailing context"),
+      (101L, s"leading context then $shared2 closing")
+    ).toDF("doc_id", "text")
+    val exact = TextPipeline.contaminationHits(train, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val bloom = TextPipeline.contaminationHitsBloom(train, eval_, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(t => t._1 == 5L && t._3), "planted double hit missed")
+    assert(exact.contains((2L, 0L, false)))
+  }
+
+  test("tokenBudgetSample: per-source budgets honored in md5 order, window-form equal") {
+    val docs = (1L to 40L).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      (i, src, Seq.fill((i % 5 + 1).toInt)("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = TextPipeline.tokenBudgetSample(docs, "doc_id", "source", "text",
+      budgets = Map("a" -> 15L), defaultBudget = 25L, numPartitions = 3)
+    // reference: the plain (single-task) window form
+    docs.createOrReplaceTempView("tbs_docs")
+    val expectRows = spark.sql(
+      """SELECT doc_id, source, cast(n_tokens AS long) AS n_tokens,
+        |  cast(sum(n_tokens) OVER (PARTITION BY source ORDER BY ok, doc_id)
+        |    AS long) AS cum_tokens
+        |FROM (SELECT doc_id, source,
+        |        size(split(text, ' ')) AS n_tokens,
+        |        cast(conv(substring(md5(cast(doc_id AS string)), 1, 8), 16, 10)
+        |          AS long) AS ok
+        |      FROM tbs_docs)
+        |""".stripMargin)
+      .filter(col("cum_tokens") <= when(col("source") === "a", 15L).otherwise(25L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotRows == expectRows)
+    // every kept row is within budget; the kept set is a prefix in hash order
+    assert(gotRows.filter(_._2 == "a").forall(_._4 <= 15L))
+    assert(gotRows.filter(_._2 == "b").forall(_._4 <= 25L))
+    assert(gotRows.nonEmpty)
+  }
+
+  test("perplexityBuckets: labels are ordered terciles; short docs get na") {
+    val docs = ((1L to 30L).map { i =>
+      // vary bigram typicality: low ids repeat the common phrase (high
+      // logp), high ids are all-distinct words (low logp)
+      val text =
+        if (i <= 10) "the cat sat on the mat " * 3
+        else if (i <= 20) s"the cat ran doc$i over field$i today maybe"
+        else s"zq$i xv$i wk$i jr$i pl$i mn$i"
+      (i, text.trim)
+    } :+ (99L, "single")).toDF("doc_id", "text")
+    val got = TextPipeline.perplexityBuckets(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getString(2)))
+    assert(got.find(_._1 == 99L).get._3 == "na")
+    val byBucket = got.filter(_._2.isDefined)
+      .groupBy(_._3).view.mapValues(_.map(_._2.get)).toMap
+    assert(Set("head", "middle", "tail").subsetOf(byBucket.keySet),
+      s"expected all three buckets, got ${byBucket.keySet}")
+    assert(byBucket("head").min >= byBucket("middle").max,
+      "head scores must dominate middle")
+    assert(byBucket("middle").min >= byBucket("tail").max,
+      "middle scores must dominate tail")
+  }
+
   test("repetitionSignals: hand-computed dup and top-bigram fractions") {
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
     val got = df

@@ -127,6 +127,24 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"unexpected CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("bloom decontamination probes map-side; token budget range-partitions") {
+    // the bloom probe must sit in the plan as a native filter on the
+    // train gram stream (map-side, inside the scan stage) — if it ever
+    // degrades to a join against the full eval gram set the sketch
+    // bought nothing
+    val bloom = SparkEntry.queries("text_decontaminate_bloom")(spark, dir)
+    val bloomPlan = bloom.queryExecution.executedPlan.toString
+    assert(bloomPlan.contains("bloom_might_contain"),
+      s"bloom probe missing from plan:\n$bloomPlan")
+    // the running token count must come from the range-partitioned
+    // two-pass prefix sum — a single-task per-source window would be
+    // the 100 TB failure mode
+    val mix = SparkEntry.queries("text_token_budget_mix")(spark, dir)
+    val mixPlan = mix.queryExecution.executedPlan.toString.toLowerCase
+    assert(mixPlan.contains("rangepartitioning"),
+      s"token budget mix lost its range repartition:\n$mixPlan")
+  }
+
   test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
     // Dup-dense corpora pile identical fingerprints into the same band
     // buckets; the candidate join must run over DISTINCT fingerprints

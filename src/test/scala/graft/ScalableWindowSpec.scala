@@ -40,6 +40,22 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(viol == 0, "consecutive row numbers follow the sort order")
   }
 
+  test("groupedPrefixSum equals the single-task window form") {
+    import org.apache.spark.sql.expressions.Window
+    val df = corpus.withColumn("v", (col("l_orderkey") % 13 + 1).cast("long"))
+    val got = ScalableWindow.groupedPrefixSum(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "v", "cum", 8)
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val expect = df.withColumn("cum", sum("v").over(w))
+    val key = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val diff = got.select((key.map(col) :+ col("cum")): _*)
+      .exceptAll(expect.select((key.map(col) :+ col("cum")): _*)).count()
+    assert(diff == 0, "distributed prefix sum must equal the window operator")
+    assert(got.count() == df.count())
+  }
+
   test("distributed exact percentiles equal the builtin aggregate, nulls and ties included") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

@@ -129,6 +129,36 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(ivf.size == brute.size, "IVF must still return k rows per query")
   }
 
+  test("hardNegatives: every mined negative differs in label; IVF full-probe equals brute") {
+    val dir = "/root/testdata/sf0.01"
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 8).select(
+      col("vec_id").as("qid"), col("embedding").as("qvec"), col("label").as("qlab"))
+    val brute = Similarity.hardNegatives(e, "vec_id", "embedding", "label",
+      q, "qid", "qvec", "qlab", k = 10)
+    val labels = e.select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = brute.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nid, negLab, _) =>
+      assert(negLab == labels(nid), "neg_label must be the neighbor's label")
+      assert(negLab != labels(qid), s"anchor $qid mined a same-label negative $nid")
+    }
+    // per-anchor ranks are dense 1..k
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length), s"ranks not dense for $qid")
+    }
+    // with nProbe >= |cells| the IVF route scans everything → identical
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val nCells = centroids.count().toInt
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    val ivf = Similarity.hardNegativesIvf(assigned, "vec_id", "embedding", e,
+      "label", centroids, q, "qid", "qvec", "qlab", k = 10, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSet
+    assert(ivf == rows.toSet, "full-probe IVF must equal brute force")
+  }
+
   test("k-means refinement keeps IVF exact-per-cell and high recall") {
     val dir = "/root/testdata/sf0.01"
     val e = Tables.load(spark, dir, "embeddings")
