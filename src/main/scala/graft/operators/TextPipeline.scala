@@ -155,6 +155,35 @@ object TextPipeline {
           .otherwise("tail").as("bucket"))
   }
 
+  /** N-gram novelty: per document, how much of it is phrasing the
+    * rest of the corpus never uses — the inverse of boilerplate.
+    * For each doc: its distinct word n-grams, each weighted by its
+    * corpus document frequency; novelty = share of grams with df = 1
+    * (unique to this doc), plus the mean df as a boilerplate gauge.
+    * Low novelty + high mean df ⇒ template/mirror content; dedup and
+    * quality filters both consume this signal.
+    *
+    * Plan: one (gram → df) aggregation over distinct per-doc grams
+    * (word-count-shaped), joined back to the per-doc gram stream —
+    * the join key is the gram, so skew follows gram popularity and
+    * AQE's skew-join handles the head. Nothing quadratic.
+    *
+    * Output: (idCol, n_grams, n_unique, novelty, mean_df) per doc;
+    * docs shorter than n words degenerate to their whole-text single
+    * shingle (same fallback as every shingle consumer here). */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(Dedup.wordShingles(Dedup.tokens(col(textCol)), n)).as("__g"))
+    val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
+    grams.join(dfreq, Seq("__g"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_unique"),
+        round(avg(when(col("__df") === 1, 1.0).otherwise(0.0)), 6).as("novelty"),
+        round(avg(col("__df")), 6).as("mean_df"))
+  }
+
   /** Gopher-style repetition signals, all row-local (zero shuffle):
     * duplicate-word fraction and the most frequent word bigram with
     * its share of all bigrams. High top-bigram share flags the

@@ -32,6 +32,27 @@ object AdvancedOps {
         Seq("click_id", "click_ts"))
     },
 
+    // Forward as-of: each purchase matched to the user's NEXT click
+    // at-or-after it (time-to-next-action analyses). DuckDB's ASOF
+    // accepts the <= inequality, so the oracle is native again.
+    QueryDef(
+      "q_asof_forward",
+      """SELECT p.user_id, p.event_id, p.ts,
+        |       c.event_id AS click_id, c.ts AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts <= c.ts
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin.forward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_ts"))
+    },
+
     // As-of with a 1-hour match tolerance: DuckDB has no native
     // tolerance, so the oracle nulls out stale matches with CASE.
     QueryDef(
@@ -146,6 +167,23 @@ object AdvancedOps {
       Tables.load(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(countDistinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("n_rows"))
+    },
+
+    // Sketch MERGEABILITY — the property that makes approx distinct
+    // usable at 100 TB: per-(flag, status) partial HLL sketches union
+    // into per-flag estimates WITHOUT rescanning the fact table (the
+    // re-aggregation pattern: daily partials → monthly rollup). The
+    // exact twin rides along; the spec bounds the merged estimate.
+    QueryDef.noOracle("q_sketch_merge") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val partials = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(hll_sketch_agg(col("l_partkey")).as("__sk"))
+      val merged = partials.groupBy("l_returnflag")
+        .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("approx_parts"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      merged.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("approx_parts"), col("exact_parts"))
     },
 
     // Approximate percentiles (KLL/GK-sketch class): the mergeable-

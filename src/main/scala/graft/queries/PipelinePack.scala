@@ -1280,6 +1280,32 @@ object PipelinePack {
         numPartitions = s.sparkContext.defaultParallelism)
     },
 
+    // N-gram novelty: share of a doc's distinct 3-grams unique to it
+    // corpus-wide, plus mean gram document frequency — the inverse-
+    // boilerplate signal. One wordcount-shaped df aggregation.
+    QueryDef(
+      "text_ngram_novelty",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+        |    THEN list_distinct(list_transform(range(1, len(t) - 1),
+        |         i -> array_to_string(t[i:i+2], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS g
+        |  FROM toks
+        |), dfreq AS (
+        |  SELECT g, count(*) AS df FROM sh GROUP BY 1
+        |)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  round(avg(CASE WHEN df = 1 THEN 1.0 ELSE 0.0 END), 6) AS novelty,
+        |  round(avg(df), 6) AS mean_df
+        |FROM sh JOIN dfreq USING (g)
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.ngramNovelty(docs(s, dir), "doc_id", "text", n = 3)
+    },
+
     // CCNet-style LM-perplexity bucketing: exact tercile cutoffs over
     // the bigram-LM scores, head/middle/tail labels broadcast-mapped
     // over the corpus. Cutoffs and scores compare after round(…, 6)

@@ -163,6 +163,20 @@ class PipelineOpsSpec extends SparkTestBase {
       "middle scores must dominate tail")
   }
 
+  test("ngramNovelty: hand-computed df shares, short-doc fallback") {
+    val docs = Seq(
+      (1L, "a b c d"), // grams: "a b c"(df2), "b c d"(df1)
+      (2L, "a b c e"), // grams: "a b c"(df2), "b c e"(df1)
+      (3L, "x y")      // short → single whole-text shingle (df1)
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.ngramNovelty(docs, "doc_id", "text", n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got(1L) == ((2L, 1L, 0.5, 1.5)))
+    assert(got(2L) == ((2L, 1L, 0.5, 1.5)))
+    assert(got(3L) == ((1L, 1L, 1.0, 1.0)))
+  }
+
   test("repetitionSignals: hand-computed dup and top-bigram fractions") {
     val df = Seq((1L, "a b a b a"), (2L, "x y z")).toDF("doc_id", "text")
     val got = df
@@ -646,6 +660,18 @@ class PipelineOpsSpec extends SparkTestBase {
       // default rsd 5%; allow 4 sigma
       assert(math.abs(ap - ex) <= math.max(4, 0.2 * ex),
         s"flag $k: approx $ap vs exact $ex out of bound")
+    }
+  }
+
+  test("q_sketch_merge: unioned partial HLL sketches bound-match the exact value") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q_sketch_merge")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (flag, ap, ex) =>
+      // lgConfigK=12 default → rse ~1.6%; allow 4 sigma + small-n slack
+      assert(math.abs(ap - ex) <= math.max(4, 0.07 * ex),
+        s"flag $flag: merged approx $ap vs exact $ex out of bound")
     }
   }
 

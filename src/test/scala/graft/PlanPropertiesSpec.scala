@@ -136,13 +136,16 @@ class PlanPropertiesSpec extends SparkTestBase {
     val bloomPlan = bloom.queryExecution.executedPlan.toString
     assert(bloomPlan.contains("bloom_might_contain"),
       s"bloom probe missing from plan:\n$bloomPlan")
-    // the running token count must come from the range-partitioned
-    // two-pass prefix sum — a single-task per-source window would be
-    // the 100 TB failure mode
+    // the running token count must come from the two-pass prefix sum:
+    // the corpus-side window is keyed by (partition-id, source) over
+    // the checkpointed range partitioning — a window partitioned by
+    // source ALONE would be the single-task-per-source 100 TB failure
+    // mode (the range exchange itself sits above the localCheckpoint,
+    // so the downstream plan shows the pinned `scan existingrdd`)
     val mix = SparkEntry.queries("text_token_budget_mix")(spark, dir)
-    val mixPlan = mix.queryExecution.executedPlan.toString.toLowerCase
-    assert(mixPlan.contains("rangepartitioning"),
-      s"token budget mix lost its range repartition:\n$mixPlan")
+    val mixPlan = mix.queryExecution.executedPlan.toString
+    assert(mixPlan.contains("windowspecdefinition(__ps_pid"),
+      s"token budget mix lost its partition-local window:\n$mixPlan")
   }
 
   test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
