@@ -15,10 +15,12 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
       _root_.graft.queries.Relational2.defs ++
+      _root_.graft.queries.Relational3.defs ++
       _root_.graft.queries.IngestPack.defs ++
       _root_.graft.queries.TrainingOps.defs ++
       _root_.graft.queries.PipelinePack.defs ++
-      _root_.graft.queries.AdvancedOps.defs
+      _root_.graft.queries.AdvancedOps.defs ++
+      _root_.graft.queries.CurationPack.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * revenue by nation — 3-way fact join + broadcast dim + agg.

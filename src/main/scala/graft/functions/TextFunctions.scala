@@ -54,6 +54,47 @@ object TextFunctions {
       "alpha_ratio" -> alphaRatio, "stopword_ratio" -> stopRatio)
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021 §A1.1, as also
+    * used by MassiveText/FineWeb-class curation): word-count bounds,
+    * mean-word-length bounds, symbol-to-word ratio ('#' and '...'),
+    * bullet-start / ellipsis-end line ratios, alpha-word ratio, and
+    * the required-stopword check — plus the combined keep verdict.
+    * Entirely row-local (one pass over words + one over lines, all
+    * codegen'd HOFs): composes with any scan at any scale, zero
+    * shuffle. Word convention: single-space split of lowercased text
+    * (matches the oracle's `string_split(lower(text), ' ')`).
+    */
+  def gopherSignals(text: Column): Seq[(String, Column)] = {
+    val words = split(lower(text), " ")
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val nChars = length(text).cast("long")
+    val meanWordLen = round((nChars - (nWords - 1)).cast("double") / nWords, 4)
+    val hashCount = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipsisCount = (size(split(text, "\\.\\.\\.")) - 1).cast("long")
+    val symbolRatio = round((hashCount + ellipsisCount).cast("double") / nWords, 4)
+    val bulletRatio = round(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("double") / nLines, 4)
+    val ellipsisLineRatio = round(size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines, 4)
+    val alphaWordRatio = round(size(filter(words, w => w.rlike("[a-z]")))
+      .cast("double") / nWords, 4)
+    val stopHits = size(array_intersect(array_distinct(words),
+      array(Stopwords.gopherRequired.map(lit): _*))).cast("long")
+    val keep = nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 && bulletRatio < 0.9 &&
+      ellipsisLineRatio < 0.3 && alphaWordRatio > 0.8 &&
+      stopHits >= 2L
+    Seq("n_words" -> nWords, "mean_word_len" -> meanWordLen,
+      "symbol_ratio" -> symbolRatio, "bullet_line_ratio" -> bulletRatio,
+      "ellipsis_line_ratio" -> ellipsisLineRatio,
+      "alpha_word_ratio" -> alphaWordRatio, "stop_hits" -> stopHits,
+      "keep" -> keep)
+  }
+
   /** Composite quality score in [0,1]: weighted blend of signals with
     * saturating length terms (heuristic, deterministic). */
   def qualityScore(text: Column): Column = {
@@ -153,6 +194,9 @@ object TextFunctions {
 object Stopwords {
   val en: Set[String] = Set("the", "a", "an", "of", "and", "to", "in", "is",
     "it", "that", "for", "on", "with", "as", "was", "at", "by", "be", "this", "are")
+  /** The Gopher rule's required-stopword list (≥2 must appear). */
+  val gopherRequired: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
   val de: Set[String] = Set("der", "die", "das", "und", "ist", "ich", "nicht",
     "mit", "ein", "eine", "zu", "den", "von", "im", "auf", "für", "dem", "sich", "auch", "es")
   val es: Set[String] = Set("el", "la", "de", "que", "y", "en", "un", "una",

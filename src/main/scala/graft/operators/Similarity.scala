@@ -153,6 +153,28 @@ object Similarity {
         (col("__pos") + 1).cast("long").as("pos"),
         (col("__s").cast("double") / col("n_vecs") / 1e6).as("pooled_val"))
 
+  /** Embedding-health outlier scan: the k vectors farthest (lowest
+    * cosine) from the corpus centroid — mislabeled/garbage embeddings
+    * surface here first. The centroid is exact: per-dimension integer
+    * micro-unit sums (order-independent, so partial aggregation
+    * cannot perturb it) — the collect is DIM-bounded (one row per
+    * dimension), never data-sized. Scoring is one broadcast-literal
+    * map pass over the corpus; the bottom-k is TakeOrderedAndProject
+    * (per-partition heaps, never a global sort). Ties break by id.
+    */
+  def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val sums = e.select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+      .groupBy("__p").agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+      .orderBy("__p").collect()
+    val centroid = sums.map(r => r.getLong(1).toDouble / r.getLong(2) / 1e6)
+    val cLit = array(centroid.map(lit).toSeq: _*)
+    e.select(col(idCol), round(cosine(col("__v"), cLit), 6).as("cos_centroid"))
+      .orderBy(col("cos_centroid").asc, col(idCol).asc).limit(k)
+  }
+
   /** Matryoshka-style truncation: keep the first `dims` dimensions and
     * L2-renormalize — the cheap storage/latency trade nested-embedding
     * models are trained for. Entirely row-local (no shuffle at any
