@@ -736,4 +736,138 @@ object Similarity {
           zip_with(col("__q"), col("__scales"), (q, s) => q * s),
           col("__v"), (r, x) => abs(r - x))), 6).as("max_abs_err"))
   }
+
+  /** Rank the corpus by cosine to the exact centroid of a member
+    * slice (e.g. the labeled "relevant" class) — the dense side of a
+    * hybrid retrieval stack, where the query embedding is a class
+    * prototype. Same micro-unit exact centroid as
+    * [[centroidOutliers]] (dim-bounded collect, broadcast-literal
+    * scoring pass); top-k is TakeOrderedAndProject; ranks are over
+    * the ROUNDED score so cross-engine float noise cannot reorder
+    * ties.
+    *
+    * Output: (idCol, score double, rnk long 1..k), cosine desc.
+    */
+  def centroidTopK(corpus: DataFrame, idCol: String, vecCol: String,
+                   isMember: Column, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol), isMember.as("__m"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val sums = e.filter(col("__m"))
+      .select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
+      .groupBy("__p").agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
+      .orderBy("__p").collect()
+    val centroid = sums.map(r => r.getLong(1).toDouble / r.getLong(2) / 1e6)
+    val cLit = array(centroid.map(lit).toSeq: _*)
+    val top = e.select(col(idCol), round(cosine(col("__v"), cLit), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol)).limit(k)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("score"), col("rnk"))
+  }
+
+  /** Reciprocal Rank Fusion (Cormack et al. 2009) of two ranked
+    * retrieval lists — the standard lexical+dense hybrid combiner:
+    * rrf(d) = Σ_lists 1/(kRrf + rank_list(d)), absent treated as 0.
+    * Each term is one IEEE divide of constants both engines share and
+    * the sum folds in a FIXED order (lex then dense), so scores are
+    * engine-exact without quantization.
+    *
+    * Plan: both inputs are top-k lists (k rows each) — the join and
+    * re-rank touch ≤2k rows regardless of corpus size; all the heavy
+    * lifting already happened inside the two retrieval plans.
+    *
+    * Output: (idCol, lex_rnk long?, dense_rnk long?, rrf_score
+    * double, rnk long 1..k).
+    */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, idCol: String,
+              kRrf: Int, k: Int): DataFrame = {
+    val l = lex.select(col(idCol), col("rnk").as("lex_rnk"))
+    val d = dense.select(col(idCol), col("rnk").as("dense_rnk"))
+    val fused = l.join(d, Seq(idCol), "full_outer")
+      .select(col(idCol), col("lex_rnk"), col("dense_rnk"),
+        round(coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("lex_rnk")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(kRrf.toDouble) + col("dense_rnk")), lit(0.0)),
+          6).as("rrf_score"))
+    val top = fused.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("rrf_score").desc, col(idCol))).cast("long"))
+  }
+
+  /** Exact upper-triangle covariance matrix of the embedding columns
+    * — the one dense aggregate PCA/whitening/correlation-pruning all
+    * start from. Elements quantize to integer micro-units BEFORE the
+    * cross-row sums (decimal accumulators for the products), so the
+    * matrix is order-independent and engine-exact — both engines cast
+    * the same integers to double at the very end.
+    *
+    * Plan: each row generates its dim·(dim+1)/2 upper-triangle
+    * products (codegen'd nested transform, no shuffle), and the hash
+    * aggregate's map-side partials reduce the stream to ≤2080 rows
+    * (dim 64) per task before the only exchange. The output is
+    * dim-bounded, never data-sized; corpus size only changes the scan.
+    *
+    * Output: (i long, j long 1-based i≤j, n long, cov double) —
+    * population covariance.
+    */
+  def covarianceUpper(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    val q = transform(col(vecCol).cast("array<double>"),
+      x => round(x * 1e6, 0).cast("long"))
+    val pairs = corpus.select(q.as("__q"))
+      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
+        transform(sequence(i, lit(dim)), j =>
+          struct(i.as("i"), j.as("j"),
+            element_at(col("__q"), i).as("qi"),
+            element_at(col("__q"), j).as("qj")))))).as("__p"))
+      .select(col("__p.i").as("i"), col("__p.j").as("j"),
+        col("__p.qi").as("qi"), col("__p.qj").as("qj"))
+    pairs.groupBy("i", "j").agg(
+        count(lit(1)).as("n"),
+        sum(col("qi")).as("__si"), sum(col("qj")).as("__sj"),
+        sum(col("qi").cast("decimal(38,0)") * col("qj")).as("__sij"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("n"),
+        round((col("__sij").cast("double") / col("n")
+          - (col("__si").cast("double") / col("n"))
+            * (col("__sj").cast("double") / col("n"))) / 1e12, 6).as("cov"))
+  }
+
+  /** PCA projection: eigendecompose the [[covarianceUpper]] matrix on
+    * the driver (dim×dim is KB-sized at any corpus scale — cyclic
+    * Jacobi, see [[graft.functions.LinAlg.symmetricEigen]]), keep the
+    * top `nComponents` eigenvectors (sign-fixed: largest-|x| entry
+    * positive), broadcast them as literals, and project every vector
+    * in one row-local map pass — no corpus shuffle anywhere.
+    *
+    * The eigenbasis is not SQL-replicable, so this query is
+    * spec-verified instead of oracled: see PcaSpec (orthonormality,
+    * descending eigenvalues, projection Gram ≈ eigenvalue diagonal);
+    * its input covariance IS oracled (`emb_covariance`).
+    *
+    * Output: (idCol, pc long 1-based, proj double) flattened — one
+    * row per kept component.
+    */
+  def pcaProject(corpus: DataFrame, idCol: String, vecCol: String,
+                 dim: Int, nComponents: Int): DataFrame = {
+    val covRows = covarianceUpper(corpus, vecCol, dim).collect()
+    val cov = Array.ofDim[Double](dim, dim)
+    covRows.foreach { r =>
+      val (i, j, c) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1,
+        r.getDouble(3))
+      cov(i)(j) = c; cov(j)(i) = c
+    }
+    val (vals, vecs) = graft.functions.LinAlg.symmetricEigen(cov)
+    val top = vals.zip(vecs).sortBy { case (v, _) => -v }.take(nComponents)
+      .map { case (_, v) =>
+        val m = v.indices.maxBy(i => (math.abs(v(i)), -i))
+        if (v(m) < 0) v.map(-_) else v
+      }
+    val wLit = array(top.map(v => array(v.map(lit).toSeq: _*)).toSeq: _*)
+    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .select(col(idCol), posexplode(
+        transform(wLit, w => aggregate(zip_with(col("__v"), w, (x, c) => x * c),
+          lit(0.0), (acc, v) => acc + v))).as(Seq("__p", "__proj")))
+      .select(col(idCol), (col("__p") + 1).cast("long").as("pc"),
+        round(col("__proj"), 6).as("proj"))
+  }
 }

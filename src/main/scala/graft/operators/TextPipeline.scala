@@ -863,4 +863,93 @@ object TextPipeline {
         countDistinct(col(idCol)).as("n_docs"))
       .filter(col("n_occurrences") > 1)
       .orderBy(col("n_occurrences").desc, col("chunk_md5"))
+
+  /** DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): fit
+    * two hashed-n-gram bag models — one on the TARGET slice (the
+    * high-quality distribution you want more of), one on the raw
+    * corpus — and score every document by its average per-gram
+    * log-likelihood ratio; the top-k by that importance weight are
+    * the selected training docs. Features are unigrams + adjacent
+    * bigrams hashed into `nBuckets` buckets (md5-derived so any
+    * engine reproduces them); both models use add-one smoothing.
+    *
+    * Plan: ONE corpus-tokenizing pass fits both models (map-side
+    * partials reduce the gram stream to `nBuckets` rows before the
+    * shuffle); the per-bucket log-ratios are quantized to integer
+    * nano-units and broadcast, so the scoring pass is a corpus scan +
+    * broadcast hash join + doc-keyed integer aggregation — the
+    * cross-row sum is order-independent, hence engine- and
+    * partitioning-exact. Top-k is TakeOrderedAndProject. Nothing in
+    * the plan holds more than `nBuckets` rows outside the corpus
+    * scans, so the shape survives 100 TB unchanged.
+    *
+    * Output: (idCol, n_grams long, dsir_score double, rnk long 1..k).
+    */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, nBuckets: Int, k: Int): DataFrame = {
+    val ws = split(lower(col(textCol)), " ")
+    val grams = concat(ws,
+      when(size(ws) >= 2, transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val bucketed = docs
+      .select(col(idCol), isTarget.as("__tgt"), explode(grams).as("__g"))
+      .select(col(idCol), col("__tgt"),
+        (conv(substring(md5(col("__g")), 1, 6), 16, 10).cast("long")
+          % nBuckets).as("__b"))
+    val counts = bucketed.groupBy("__b").agg(
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"),
+      count(lit(1)).as("__cr"))
+    val tot = counts.agg(sum("__ct").as("__tt"), sum("__cr").as("__tr"))
+    // λ_b = ln p_target(b) − ln p_raw(b), add-one smoothed, quantized
+    // to nano-units: both engines derive the SAME double from the same
+    // integers, and the per-doc sum below is integer arithmetic.
+    val lam = counts.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        round((log((col("__ct") + 1).cast("double") /
+            (col("__tt") + nBuckets).cast("double")) -
+          log((col("__cr") + 1).cast("double") /
+            (col("__tr") + nBuckets).cast("double"))) * 1e9, 0)
+          .cast("long").as("__lam_q"))
+    val scored = bucketed.join(broadcast(lam), Seq("__b"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"), sum("__lam_q").as("__sq"))
+      .select(col(idCol), col("n_grams"),
+        round(col("__sq").cast("double") / 1e9 / col("n_grams"), 6)
+          .as("dsir_score"))
+    val top = scored.orderBy(col("dsir_score").desc, col(idCol)).limit(k)
+    top.withColumn("rnk", row_number()
+        .over(Window.orderBy(col("dsir_score").desc, col(idCol))).cast("long"))
+      .select(col(idCol), col("n_grams"), col("dsir_score"), col("rnk"))
+  }
+
+  /** Quality-curriculum ordering: the "easy/clean first" training
+    * schedule — documents are bucketed into phases by the model-based
+    * quality score ([[classifierScore]]'s hashed linear model standing
+    * in for a trained one), then deterministically shuffled WITHIN
+    * each phase (md5 draw), and assigned their global training
+    * position. Swapping the threshold constants or the score source
+    * changes the curriculum, not the plan.
+    *
+    * Plan: scoring is the zero-shuffle native kernel; the global
+    * position comes from [[ScalableWindow.groupRowNumber]] over the
+    * (phase, draw) order — range-repartition + local rank + broadcast
+    * prefix-sum — so no task ever holds a phase (at 100 TB a phase is
+    * tens of TB; `row_number() OVER (ORDER BY …)` would be one task).
+    *
+    * Output: (idCol, phase long 0..2, global_pos long 1-based).
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+                      numPartitions: Int): DataFrame = {
+    val scored = classifierScore(docs, idCol, textCol)
+      .select(col(idCol),
+        when(col("raw_score") >= 5000, 0L)
+          .when(col("raw_score") >= 0, 1L).otherwise(2L).as("phase"),
+        md5(concat(lit("cur_"), col(idCol).cast("string"))).as("__key"))
+    graft.operators.ScalableWindow
+      .groupRowNumber(scored, Seq.empty, Seq("phase", "__key", idCol),
+        "global_pos", numPartitions)
+      .select(col(idCol), col("phase"), col("global_pos"))
+  }
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.TextFunctions
-import graft.operators.Similarity
+import graft.operators.{Similarity, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -181,6 +181,171 @@ object CurationPack {
         |ORDER BY cos_centroid, e.vec_id LIMIT 50
         |""".stripMargin) { (s, dir) =>
       Similarity.centroidOutliers(embs(s, dir), "vec_id", "embedding", k = 50)
+    },
+
+    // DSIR importance resampling (Xie et al. 2023): hashed
+    // unigram+bigram LMs for target (source='src0') vs raw corpus,
+    // per-doc avg log-likelihood ratio, top-100 selected. Log-ratios
+    // quantize to integer nano-units before the per-doc sum, so both
+    // engines fold the SAME integers in any order.
+    QueryDef(
+      "text_dsir_sample",
+      """WITH d AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id, source,
+        |    unnest(ws || list_transform(range(1, len(ws)),
+        |                                i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM d
+        |), b AS (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) % 2048 AS b FROM g
+        |), c AS (
+        |  SELECT b, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+        |    count(*) AS cr
+        |  FROM b GROUP BY 1
+        |), tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM c),
+        |lam AS (
+        |  SELECT b, CAST(round((ln((ct + 1.0) / (tt + 2048))
+        |    - ln((cr + 1.0) / (tr + 2048))) * 1e9) AS BIGINT) AS lam_q
+        |  FROM c, tot
+        |), s AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    round(CAST(sum(lam_q) AS DOUBLE) / 1e9 / count(*), 6) AS dsir_score
+        |  FROM b JOIN lam USING (b) GROUP BY 1
+        |)
+        |SELECT doc_id, n_grams, dsir_score,
+        |  CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM s ORDER BY dsir_score DESC, doc_id LIMIT 100
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.dsirSample(docs(s, dir), "doc_id", "text",
+        isTarget = col("source") === "src0", nBuckets = 2048, k = 100)
+    },
+
+    // Quality-curriculum ordering: classifier-score phases, md5
+    // within-phase shuffle, global training position — the position
+    // comes from the distributed two-pass ranker, never a one-task
+    // global window.
+    QueryDef(
+      "text_curriculum",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |), s AS (
+        |  SELECT doc_id, CAST(sum(
+        |    CAST('0x' || substr(md5('clf_' || word), 1, 6) AS BIGINT) % 2001 - 1000
+        |  ) AS BIGINT) AS raw_score
+        |  FROM (SELECT doc_id, unnest(w) AS word FROM t) x GROUP BY 1
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN raw_score >= 5000 THEN 0
+        |         WHEN raw_score >= 0 THEN 1 ELSE 2 END AS phase,
+        |    md5('cur_' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(phase AS BIGINT) AS phase,
+        |  CAST(row_number() OVER (ORDER BY phase, k, doc_id) AS BIGINT) AS global_pos
+        |FROM p
+        |""".stripMargin) { (s, dir) =>
+      TextPipeline.curriculumOrder(docs(s, dir), "doc_id", "text",
+        numPartitions = 32)
+    },
+
+    // Hybrid retrieval: BM25 lexical top-50 + dense top-50 by cosine
+    // to the label-0 class centroid, fused with Reciprocal Rank
+    // Fusion (k=60), top-20 reported. The fusion stage touches ≤100
+    // rows whatever the corpus size.
+    QueryDef(
+      "sim_hybrid_rrf",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+        |  WHERE w IN ('merge', 'hash', 'scan') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT w, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.doc_id,
+        |    ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      (tf.tf * 2.2) /
+        |      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+        |  FROM tf JOIN df USING (w) JOIN dl USING (doc_id), stats
+        |), agg AS (
+        |  SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY 1
+        |), lexr AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+        |  FROM agg ORDER BY score DESC, doc_id LIMIT 50
+        |), e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+        |), c AS (
+        |  SELECT i AS pos,
+        |    CAST(sum(CAST(round(v[i] * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 1000000.0 AS cv
+        |  FROM e, range(1, 65) r(i) WHERE label = 0 GROUP BY i
+        |), cent AS (SELECT list(cv ORDER BY pos) AS cl FROM c),
+        |den AS (
+        |  SELECT vec_id, round(list_cosine_similarity(v, cl), 6) AS score
+        |  FROM e, cent ORDER BY score DESC, vec_id LIMIT 50
+        |), denr AS (
+        |  SELECT vec_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS dense_rnk
+        |  FROM den
+        |), f AS (
+        |  SELECT coalesce(l.doc_id, d.vec_id) AS doc_id, l.lex_rnk, d.dense_rnk,
+        |    round(coalesce(1.0::DOUBLE / (60 + l.lex_rnk), 0.0)
+        |        + coalesce(1.0::DOUBLE / (60 + d.dense_rnk), 0.0), 6) AS rrf_score
+        |  FROM lexr l FULL OUTER JOIN denr d ON l.doc_id = d.vec_id
+        |)
+        |SELECT doc_id, lex_rnk, dense_rnk, rrf_score,
+        |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rnk
+        |FROM f ORDER BY rrf_score DESC, doc_id LIMIT 20
+        |""".stripMargin) { (s, dir) =>
+      val lex = graft.operators.TextPipeline.bm25TopK(docs(s, dir), "doc_id",
+        "text", terms = Seq("merge", "hash", "scan"), k = 50)
+      val dense = Similarity.centroidTopK(embs(s, dir), "vec_id", "embedding",
+        isMember = col("label") === 0, k = 50)
+        .withColumnRenamed("vec_id", "doc_id")
+      Similarity.rrfFuse(lex, dense, "doc_id", kRrf = 60, k = 20)
+    },
+
+    // Exact upper-triangle covariance of the embedding dimensions —
+    // the dense aggregate PCA starts from. Micro-unit integer sums
+    // (HUGEINT/decimal products) make the 2080-row matrix
+    // engine-exact; the output is dim-bounded at any corpus size.
+    QueryDef(
+      "emb_covariance",
+      """WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (
+        |  SELECT i, j,
+        |    CAST(round(v[i]*1000000.0) AS BIGINT) AS qi,
+        |    CAST(round(v[j]*1000000.0) AS BIGINT) AS qj
+        |  FROM e, range(1, 65) r(i), range(1, 65) r2(j)
+        |  WHERE j >= i
+        |)
+        |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+        |  count(*) AS n,
+        |  round((CAST(sum(CAST(qi AS HUGEINT) * qj) AS DOUBLE) / count(*)
+        |    - (CAST(sum(qi) AS DOUBLE) / count(*))
+        |      * (CAST(sum(qj) AS DOUBLE) / count(*))) / 1e12, 6) AS cov
+        |FROM q GROUP BY i, j
+        |""".stripMargin) { (s, dir) =>
+      Similarity.covarianceUpper(embs(s, dir), "embedding", dim = 64)
+    },
+
+    // PCA projection onto the top-8 principal components. The
+    // eigenbasis comes from a driver-side Jacobi solve of the
+    // (oracled) covariance matrix — not SQL-replicable, so this query
+    // is rows-gated here and invariant-checked in PcaSpec
+    // (orthonormal basis, descending eigenvalues, projection Gram ≈
+    // eigenvalue diagonal).
+    QueryDef.noOracle("emb_pca_project") { (s, dir) =>
+      Similarity.pcaProject(embs(s, dir), "vec_id", "embedding",
+        dim = 64, nComponents = 8)
     }
   )
 }

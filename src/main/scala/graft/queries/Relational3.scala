@@ -244,6 +244,32 @@ object Relational3 {
       val med = li.groupBy("l_returnflag")
         .agg(round(median(col("l_quantity")), 4).as("med_qty"))
       mode.join(med, "l_returnflag")
+    },
+
+    // QUALIFY — filter on a window function (top-3 orders per
+    // customer by price). The rank comes from the distributed
+    // two-pass ranker ([[graft.operators.ScalableWindow]]) keyed on
+    // the customer, so a mega-customer never lands in one task; the
+    // descending price order rides a negated sort column (the ranker
+    // orders ascending).
+    QueryDef(
+      "q_qualify",
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |""".stripMargin) { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("__negp", -col("o_totalprice"))
+      graft.operators.ScalableWindow
+        .groupRowNumber(o, Seq("o_custkey"), Seq("__negp", "o_orderkey"),
+          "rn", 32)
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("rn"))
     }
   )
 }

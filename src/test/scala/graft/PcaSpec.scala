@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.LinAlg
+import graft.operators.{Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Invariant checks for the PCA path (driver-side Jacobi eigensolve +
+  * distributed projection — the eigenbasis is not SQL-replicable, so
+  * emb_pca_project is verified here rather than against DuckDB), plus
+  * hand fixtures for RRF fusion, DSIR selection, and curriculum order.
+  */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("symmetricEigen: A·v = λ·v and orthonormal basis on a known matrix") {
+    val a = Array(
+      Array(4.0, 1.0, 0.5, 0.0),
+      Array(1.0, 3.0, 0.2, 0.1),
+      Array(0.5, 0.2, 2.0, 0.3),
+      Array(0.0, 0.1, 0.3, 1.0))
+    val (vals, vecs) = LinAlg.symmetricEigen(a)
+    val n = a.length
+    // eigen residual ||A v - λ v|| ~ 0
+    for (i <- 0 until n) {
+      val av = Array.tabulate(n)(r => (0 until n).map(c => a(r)(c) * vecs(i)(c)).sum)
+      val res = math.sqrt((0 until n).map(r => math.pow(av(r) - vals(i) * vecs(i)(r), 2)).sum)
+      assert(res < 1e-9, s"residual for eigenpair $i: $res")
+    }
+    // orthonormality
+    for (i <- 0 until n; j <- 0 until n) {
+      val dot = (0 until n).map(k => vecs(i)(k) * vecs(j)(k)).sum
+      assert(math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-9)
+    }
+    // trace preserved
+    assert(math.abs(vals.sum - (0 until n).map(i => a(i)(i)).sum) < 1e-9)
+  }
+
+  test("pcaProject: planted dominant direction is PC1; Gram of projections ≈ diag") {
+    // vectors spread mostly along u = (1,1,0,0)/√2, a little along
+    // (0,0,1,-1)/√2 — PC1 must align with u.
+    val rows = (0 until 40).map { i =>
+      val t = (i - 19.5) / 4.0          // big spread
+      val s = ((i * 7) % 11 - 5.0) / 20.0 // small spread
+      (i.toLong, Array(t * 0.7071f + 0.01f * i, t * 0.7071f,
+        s * 0.7071f, -s * 0.7071f).map(_.toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val proj = Similarity.pcaProject(df, "vec_id", "embedding", dim = 4, nComponents = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(proj.length === 80)
+    val byPc = proj.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    def varOf(xs: Array[Double]): Double = {
+      val m = xs.sum / xs.length
+      xs.map(x => (x - m) * (x - m)).sum / xs.length
+    }
+    val v1 = varOf(byPc(1L)); val v2 = varOf(byPc(2L))
+    // PC1 captures the dominant direction's variance, strictly more than PC2
+    assert(v1 > 10 * v2, s"v1=$v1 v2=$v2")
+    // cross-PC projections are uncorrelated (off-diagonal Gram ≈ 0
+    // relative to the PC1 mass)
+    val p1 = proj.filter(_._2 == 1L).sortBy(_._1).map(_._3)
+    val p2 = proj.filter(_._2 == 2L).sortBy(_._1).map(_._3)
+    val m1 = p1.sum / p1.length; val m2 = p2.sum / p2.length
+    val cross = p1.zip(p2).map { case (x, y) => (x - m1) * (y - m2) }.sum / p1.length
+    assert(math.abs(cross) < 1e-3 * v1, s"cross=$cross v1=$v1")
+  }
+
+  test("covarianceUpper matches a hand covariance on a tiny fixture") {
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f, 0.0f)), (3L, Seq(5.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    val cov = Similarity.covarianceUpper(df, "embedding", dim = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // means: (3, 2); cov11 = ((−2)²+0²+2²)/3 = 8/3; cov22 = (0+4+4)/3 = 8/3
+    // cov12 = ((−2)(0)+0(−2)+2·2)/3 = 4/3
+    assert(math.abs(cov((1L, 1L)) - 8.0 / 3) < 1e-5)
+    assert(math.abs(cov((2L, 2L)) - 8.0 / 3) < 1e-5)
+    assert(math.abs(cov((1L, 2L)) - 4.0 / 3) < 1e-5)
+  }
+
+  test("rrfFuse: exact scores and ordering on a hand fixture") {
+    val lex = Seq((10L, 9.0, 1L), (20L, 8.0, 2L), (30L, 7.0, 3L))
+      .toDF("doc_id", "score", "rnk")
+    val dense = Seq((20L, 0.9, 1L), (40L, 0.8, 2L))
+      .toDF("doc_id", "score", "rnk")
+    val out = Similarity.rrfFuse(lex, dense, "doc_id", kRrf = 60, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getLong(4))).toList
+    def rrf(rs: Seq[Long]): Double =
+      BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 20 appears in both lists (ranks 2 and 1) → wins
+    assert(out.head._1 === 20L && out.head._3 === 1L)
+    assert(math.abs(out.head._2 - rrf(Seq(2L, 1L))) < 1e-9)
+    // then the rank-1 singletons: lex rank 1 (10) and dense... both
+    // 1/(61): tie broken by doc_id → 10 before 40
+    assert(out.map(_._1) === List(20L, 10L, 40L, 30L))
+  }
+
+  test("dsirSample: docs sharing the target slice's vocabulary rank first") {
+    // target docs use 'alpha beta'-family tokens; half the pool does
+    // too, the other half is disjoint 'omega' vocabulary.
+    val docs =
+      (0L to 3L).map(i => (i, "alpha beta gamma alpha beta", "tgt")) ++
+        (10L to 13L).map(i => (i, "alpha beta gamma delta beta", "poolA")) ++
+        (20L to 23L).map(i => (i, "omega psi chi phi upsilon", "poolB"))
+    val df = docs.toDF("doc_id", "text", "source")
+    val out = TextPipeline.dsirSample(df, "doc_id", "text",
+      isTarget = col("source") === "tgt", nBuckets = 512, k = 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getLong(3)))
+    val rankOf = out.map(t => t._1 -> t._3).toMap
+    // every target/poolA doc must outrank every poolB doc
+    val likeTarget = (0L to 3L) ++ (10L to 13L)
+    for (a <- likeTarget; b <- 20L to 23L)
+      assert(rankOf(a) < rankOf(b), s"doc $a should outrank $b")
+  }
+
+  test("curriculumOrder: contiguous positions, phases monotone, md5 order within phase") {
+    val docs = (1L to 30L).map(i => (i, if (i % 3 == 0)
+      "the of and to have with that be good clean" // positive-ish score varies
+    else "zzqx vvrk wwty uupl")).toDF("doc_id", "text")
+    val out = TextPipeline.curriculumOrder(docs, "doc_id", "text", numPartitions = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sorted.toList === (1L to 30L).toList)
+    // positions respect phase blocks
+    val sorted = out.sortBy(_._3)
+    assert(sorted.map(_._2).toList === sorted.map(_._2).toList.sorted)
+    // within a phase, order follows the md5 draw
+    sorted.groupBy(_._2).foreach { case (_, rows) =>
+      val keys = rows.sortBy(_._3).map(t =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cur_${t._1}".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+      assert(keys.toList === keys.sorted.toList)
+    }
+  }
+}
