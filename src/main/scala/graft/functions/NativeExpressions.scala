@@ -429,6 +429,68 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Bucketed unigram+bigram hashed features for DSIR: lower the
+    * text, split on single spaces, and emit one bucket id per unigram
+    * and adjacent bigram — (first 24 bits of md5(gram)) % nBuckets,
+    * i.e. exactly `CAST('0x' || substr(md5(g), 1, 6) AS BIGINT) %
+    * nBuckets`, the engine-portable hash family the oracles replay.
+    * A bigram's bytes are the CONTIGUOUS lowered slice spanning both
+    * tokens (the split is single-space and grams re-join with a
+    * single space), so unigrams and bigrams share one memoized
+    * byte-slice digest cache — word frequencies are Zipfian, so
+    * corpus-scale digests collapse to vocabulary-scale (the
+    * [[ClassifierScoreText]] lesson). Replaces two interpreted
+    * md5→hex→conv chains per gram occurrence. */
+  case class DsirGramBuckets(child: Expression, nBuckets: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val cacheLocal = new ThreadLocal[ClfScoreCache] {
+      override def initialValue(): ClfScoreCache = new ClfScoreCache
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val md = md5Local.get()
+      val cache = cacheLocal.get()
+      val d = new Array[Byte](16)
+      def bucketOf(s: Int, len: Int): Long =
+        cache.getOrCompute(b, s, len) {
+          md.reset()
+          md.update(b, s, len)
+          md.digest(d, 0, 16)
+          (((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)) % nBuckets
+        }
+      // token boundaries over the single-space split
+      var nTok = 1
+      var i = 0
+      while (i < b.length) { if (b(i) == ' ') nTok += 1; i += 1 }
+      val starts = new Array[Int](nTok)
+      val ends = new Array[Int](nTok)
+      var t = 0
+      var start = 0
+      i = 0
+      while (i <= b.length) {
+        if (i == b.length || b(i) == ' ') {
+          starts(t) = start; ends(t) = i; t += 1; start = i + 1
+        }
+        i += 1
+      }
+      val nGrams = if (nTok >= 2) 2 * nTok - 1 else nTok
+      val out = new Array[Long](nGrams)
+      t = 0
+      while (t < nTok) {
+        out(t) = bucketOf(starts(t), ends(t) - starts(t))
+        t += 1
+      }
+      t = 0
+      while (t < nTok - 1) {
+        out(nTok + t) = bucketOf(starts(t), ends(t + 1) - starts(t))
+        t += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -1283,6 +1345,8 @@ object NativeExpressions {
     ExpressionUtils.column(SpaceTokenCount(ExpressionUtils.expression(text)))
   def classifier_score_text(text: Column): Column =
     ExpressionUtils.column(ClassifierScoreText(ExpressionUtils.expression(text)))
+  def dsir_gram_buckets(text: Column, nBuckets: Int): Column =
+    ExpressionUtils.column(DsirGramBuckets(ExpressionUtils.expression(text), nBuckets))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

@@ -801,35 +801,45 @@ object Similarity {
     * matrix is order-independent and engine-exact — both engines cast
     * the same integers to double at the very end.
     *
-    * Plan: each row generates its dim·(dim+1)/2 upper-triangle
-    * products (codegen'd nested transform, no shuffle), and the hash
-    * aggregate's map-side partials reduce the stream to ≤2080 rows
-    * (dim 64) per task before the only exchange. The output is
-    * dim-bounded, never data-sized; corpus size only changes the scan.
+    * Plan: ONE aggregation — the [[graft.functions.GramMatrixAgg]]
+    * kernel accumulates the dim·(dim+1)/2 upper-triangle products in
+    * a primitive long array per partition (BigInteger-folded, so no
+    * corpus size can overflow it) and merges dim-bounded partials;
+    * no exploded corpus×pairs intermediate ever exists (the earlier
+    * generate-2080-structs-per-row plan measured 4.7 s at sf0.1 —
+    * this kernel replays the same exact integer arithmetic in a tight
+    * multiply-add loop). The finish arithmetic runs on the driver
+    * over ONE dim-bounded row — the same class of dim-bounded collect
+    * as [[centroidOutliers]].
     *
     * Output: (i long, j long 1-based i≤j, n long, cov double) —
     * population covariance.
     */
   def covarianceUpper(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
-    val q = transform(col(vecCol).cast("array<double>"),
-      x => round(x * 1e6, 0).cast("long"))
-    val pairs = corpus.select(q.as("__q"))
-      .select(explode(flatten(transform(sequence(lit(1), lit(dim)), i =>
-        transform(sequence(i, lit(dim)), j =>
-          struct(i.as("i"), j.as("j"),
-            element_at(col("__q"), i).as("qi"),
-            element_at(col("__q"), j).as("qj")))))).as("__p"))
-      .select(col("__p.i").as("i"), col("__p.j").as("j"),
-        col("__p.qi").as("qi"), col("__p.qj").as("qj"))
-    pairs.groupBy("i", "j").agg(
-        count(lit(1)).as("n"),
-        sum(col("qi")).as("__si"), sum(col("qj")).as("__sj"),
-        sum(col("qi").cast("decimal(38,0)") * col("qj")).as("__sij"))
-      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        col("n"),
-        round((col("__sij").cast("double") / col("n")
-          - (col("__si").cast("double") / col("n"))
-            * (col("__sj").cast("double") / col("n"))) / 1e12, 6).as("cov"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val g = corpus
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .agg(graft.functions.GramMatrix.gram_matrix(col("__v"), dim).as("__g"))
+      .select(col("__g.n"), col("__g.sums"), col("__g.prods"))
+      .head()
+    val n = g.getLong(0)
+    if (n == 0) return Seq.empty[(Long, Long, Long, Double)]
+      .toDF("i", "j", "n", "cov")
+    val sums = g.getSeq[java.math.BigDecimal](1).map(_.doubleValue()).toArray
+    val prods = g.getSeq[java.math.BigDecimal](2).map(_.doubleValue()).toArray
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rows = for {
+      i <- 0 until dim
+      j <- i until dim
+    } yield {
+      val k = i * dim - i * (i - 1) / 2 + (j - i)
+      val cov = round6((prods(k) / n - (sums(i) / n) * (sums(j) / n)) / 1e12)
+      ((i + 1).toLong, (j + 1).toLong, n, cov)
+    }
+    rows.toDF("i", "j", "n", "cov")
   }
 
   /** PCA projection: eigendecompose the [[covarianceUpper]] matrix on

@@ -96,6 +96,31 @@ class PcaSpec extends SparkTestBase {
     assert(out.map(_._1) === List(20L, 10L, 40L, 30L))
   }
 
+  test("dsir_gram_buckets ≡ declarative md5 bucket form (incl. unicode, empty, 1-token)") {
+    val texts = Seq(
+      "The QUICK brown Fox jumps",
+      "único Ünïcode ÇASE déjà vu",
+      "single",
+      "",
+      "a a a repeated a a",
+      "t1 t2")
+    val df = texts.toDF("text")
+    val ws = split(lower(col("text")), " ")
+    val grams = concat(ws,
+      when(size(ws) >= 2, transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        .otherwise(array().cast("array<string>")))
+    val declarative = df.select(transform(grams, g =>
+      conv(substring(md5(g), 1, 6), 16, 10).cast("long") % 2048).as("b"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    val kernel = df.select(graft.functions.NativeExpressions
+        .dsir_gram_buckets(col("text"), 2048).as("b"))
+      .collect().map(_.getSeq[Long](0).sorted)
+    declarative.zip(kernel).zipWithIndex.foreach { case ((d, k), i) =>
+      assert(d === k, s"mismatch on input ${i}: '${texts(i)}'")
+    }
+  }
+
   test("dsirSample: docs sharing the target slice's vocabulary rank first") {
     // target docs use 'alpha beta'-family tokens; half the pool does
     // too, the other half is disjoint 'omega' vocabulary.
