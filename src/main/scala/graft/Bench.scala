@@ -31,6 +31,16 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // single-file parquet needs small splits for scan parallelism on
+      // a 32-thread box (132 MB orders at sf10 = 2 tasks at the 128m
+      // default: scan+noop measured 8.8 s vs 1.1 s at 16m)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
+      // the 128-key default demotes every TypedImperativeAggregate
+      // with many groups to sort-based aggregation (topKPerGroup on
+      // 1.5M groups: 21 s fallback vs 11 s hashed)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
     // Extra session conf for experiments: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })

@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: parallel single-file scans, hashed object aggs
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -491,6 +491,47 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-term occurrence counts for a FIXED small term set in one
+    * byte walk: lower the text, split on single spaces, count tokens
+    * byte-equal to each term — exactly
+    * `terms.map(t => count of w in split(lower(text), " ") where
+    * w = t)`. Feeds BM25 term frequencies without materializing the
+    * token array or exploding |tokens| rows through a filter that
+    * discards ~all of them (measured: the explode form cost 4.5 s at
+    * sf1 against DuckDB's 2.1). Output array<long>, one slot per
+    * term, query-sized not corpus-sized. */
+  case class TermCounts(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val termBytes: Array[Array[Byte]] =
+      terms.map(_.getBytes(StandardCharsets.UTF_8)).toArray
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val out = new Array[Long](termBytes.length)
+      var start = 0
+      var i = 0
+      while (i <= b.length) {
+        if (i == b.length || b(i) == ' ') {
+          val len = i - start
+          var t = 0
+          while (t < termBytes.length) {
+            val tb = termBytes(t)
+            if (tb.length == len) {
+              var j = 0
+              while (j < len && tb(j) == b(start + j)) j += 1
+              if (j == len) out(t) += 1
+            }
+            t += 1
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -1347,6 +1388,8 @@ object NativeExpressions {
     ExpressionUtils.column(ClassifierScoreText(ExpressionUtils.expression(text)))
   def dsir_gram_buckets(text: Column, nBuckets: Int): Column =
     ExpressionUtils.column(DsirGramBuckets(ExpressionUtils.expression(text), nBuckets))
+  def term_counts(text: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(TermCounts(ExpressionUtils.expression(text), terms))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

@@ -253,4 +253,32 @@ object ScalableWindow {
           col("__max_qty").as("max_qty"))
     }
   }
+
+  /** Sort-free per-group top-k by (valCol DESC, tieCol ASC): a
+    * k-bounded heap aggregate ([[graft.functions.TopKDescAgg]])
+    * instead of `row_number() OVER ... WHERE rn <= k`. The window
+    * form sorts the whole input TWICE when groups are many and
+    * scattered (the partial WindowGroupLimit's map-side sort prunes
+    * nothing but still sorts everything — measured 19.1 s on 15M
+    * rows / 1.5M groups vs 7.6 s with the rule disabled); this is a
+    * plain hash aggregation with k-bounded per-group state at every
+    * stage and NO sort of data-sized input anywhere. Use the window
+    * form when groups are few (its per-group sort parallelizes
+    * poorly only across groups); use this when groups are many or
+    * the fact table is huge.
+    *
+    * Output: groupCols ++ (valCol, tieCol, `out` rank 1..k).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], valCol: String,
+                   tieCol: String, k: Int, out: String): DataFrame = {
+    val tk = df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.topk_desc(
+        struct(col(valCol), col(tieCol)), k).as("__tk"))
+    tk.select(groupCols.map(col) :+
+        posexplode(col("__tk")).as(Seq("__p", "__r")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__r")(valCol).as(valCol),
+        col("__r")(tieCol).as(tieCol),
+        (col("__p") + 1).cast("long").as(out)): _*)
+  }
 }

@@ -121,6 +121,27 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("term_counts ≡ explode+filter counts (incl. unicode, case, empty)") {
+    val terms = Seq("merge", "hash", "déjà")
+    val texts = Seq(
+      "Merge the HASH then merge again",
+      "déjà vu DÉJÀ vu",
+      "",
+      "nothing matches here",
+      "hash")
+    val df = texts.toDF("text")
+    val declarative = df.select(
+      array(terms.map(t => size(filter(split(lower(col("text")), " "),
+        w => w === t)).cast("long")): _*).as("c"))
+      .collect().map(_.getSeq[Long](0).toList)
+    val kernel = df.select(graft.functions.NativeExpressions
+        .term_counts(col("text"), terms).as("c"))
+      .collect().map(_.getSeq[Long](0).toList)
+    declarative.zip(kernel).zipWithIndex.foreach { case ((d, k), i) =>
+      assert(d === k, s"mismatch on '${texts(i)}'")
+    }
+  }
+
   test("dsirSample: docs sharing the target slice's vocabulary rank first") {
     // target docs use 'alpha beta'-family tokens; half the pool does
     // too, the other half is disjoint 'omega' vocabulary.

@@ -119,6 +119,35 @@ class ScalableWindowSpec extends SparkTestBase {
     }
   }
 
+  test("topKPerGroup equals the window rank-filter form, ties on value included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 4000).map { i =>
+      ((i % 331).toLong, (rnd.nextInt(50) + 1).toDouble, i.toLong)
+    } ++ Seq((5L, 50.0, 9001L), (5L, 50.0, 9002L)) // value ties → tie-key order
+    val df = rows.toDF("g", "v", "id").repartition(8)
+    val heap = ScalableWindow.topKPerGroup(df, Seq("g"), "v", "id", 3, "rn")
+      .select("g", "v", "id", "rn").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sorted
+    val win = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g")
+          .orderBy(col("v").desc, col("id"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("g", "v", "id", "rn").collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3))).sorted
+    assert(heap.toList === win.toList)
+  }
+
+  test("topKPerGroup: groups smaller than k emit all rows, ranked") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, 10L), (1L, 1.0, 11L), (2L, 5.0, 20L))
+      .toDF("g", "v", "id")
+    val out = ScalableWindow.topKPerGroup(df, Seq("g"), "v", "id", 3, "rn")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .sorted.toList
+    assert(out === List((1L, 1.0, 11L, 2L), (1L, 2.0, 10L, 1L), (2L, 5.0, 20L, 1L)))
+  }
+
   test("distributed rank-family path equals the window operator, ties included") {
     val df = corpus.cache()
     try {
