@@ -532,6 +532,73 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003) fused into one byte walk: hash every k-token gram
+    * (md5 60-bit family — the fingerprint CHOICE depends on hash
+    * VALUES, so the oracle must replay the exact hashes, unlike
+    * equality-only shingling), slide a w-hash window, keep each
+    * window's MINIMUM, emit the distinct minima. Guarantees any
+    * shared token run of length ≥ w+k−1 shares a fingerprint at
+    * ~2/(w+1) shingle density (we keep the plain window min — the
+    * paper's rightmost-min refinement only thins density and is
+    * position-dependent, which an engine-order-free oracle can't
+    * replay). A k-gram's bytes are the CONTIGUOUS lowered slice
+    * spanning its tokens, so digests memoize on byte slices like
+    * [[DsirGramBuckets]]. Docs with fewer than w k-grams emit
+    * nothing (callers treat them as unfingerprinted). */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val cacheLocal = new ThreadLocal[ClfScoreCache] {
+      override def initialValue(): ClfScoreCache = new ClfScoreCache
+    }
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val md = md5Local.get()
+      val cache = cacheLocal.get()
+      // token boundaries
+      var nTok = 1
+      var i = 0
+      while (i < b.length) { if (b(i) == ' ') nTok += 1; i += 1 }
+      if (nTok < k + w - 1) return new GenericArrayData(Array.empty[Any])
+      val starts = new Array[Int](nTok)
+      val ends = new Array[Int](nTok)
+      var t = 0; var start = 0; i = 0
+      while (i <= b.length) {
+        if (i == b.length || b(i) == ' ') {
+          starts(t) = start; ends(t) = i; t += 1; start = i + 1
+        }
+        i += 1
+      }
+      val nGrams = nTok - k + 1
+      val hs = new Array[Long](nGrams)
+      val d = new Array[Byte](16)
+      i = 0
+      while (i < nGrams) {
+        val s = starts(i); val e = ends(i + k - 1)
+        hs(i) = cache.getOrCompute(b, s, e - s) {
+          md.reset(); md.update(b, s, e - s); md.digest(d, 0, 16)
+          var x = 0L; var j = 0
+          while (j < 7) { x = (x << 8) | (d(j) & 0xffL); j += 1 }
+          (x << 4) | ((d(7) >> 4) & 0xfL)
+        }
+        i += 1
+      }
+      // sliding window minima, deduplicated (w is small: direct scan)
+      val seen = new java.util.HashSet[Long]()
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var j = 0
+      while (j <= nGrams - w) {
+        var m = hs(j); var x = 1
+        while (x < w) { if (hs(j + x) < m) m = hs(j + x); x += 1 }
+        if (seen.add(m)) out += m
+        j += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature straight from tokens: shingling, hashing, and
     * the per-hash minima fused into one loop — no intermediate shingle
     * array, no distinct pass (duplicate shingles can't change minima).
@@ -1390,6 +1457,8 @@ object NativeExpressions {
     ExpressionUtils.column(DsirGramBuckets(ExpressionUtils.expression(text), nBuckets))
   def term_counts(text: Column, terms: Seq[String]): Column =
     ExpressionUtils.column(TermCounts(ExpressionUtils.expression(text), terms))
+  def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,
       useMd5: Boolean = false): Column =
     ExpressionUtils.column(MinHashFromTokens(ExpressionUtils.expression(tokens), k, numHashes, seed, useMd5))

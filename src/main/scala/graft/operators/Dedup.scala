@@ -731,4 +731,43 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         coalesce(col("__rm"), lit(0L)).as("n_removed"))
   }
+
+  /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): each doc keeps the sliding
+    * window-minima of its k-gram md5 hashes (see
+    * [[graft.functions.NativeExpressions.WinnowFingerprints]] for the
+    * fused kernel and the guarantee: any shared token run of length
+    * ≥ w+k−1 shares a fingerprint, at ~2/(w+1) shingle density), and
+    * docs sharing ≥ minShared fingerprints pair up.
+    *
+    * Plan: fingerprint selection is ROW-LOCAL — one kernel pass over
+    * the corpus scan, no shuffle; the exchanges are (1) the
+    * fingerprint-keyed frequency blocker (keep fingerprints shared by
+    * 2..maxDf docs — boilerplate mega-buckets drop exactly like the
+    * shingle blocker's, so no occupancy² pair blowup) and (2) the
+    * pair-expansion self-join keyed on the 8-byte fingerprint. The
+    * shuffled stream is fingerprints (~tokens/(w+1) per doc), never
+    * text.
+    *
+    * Output: (doc_a, doc_b, n_shared) with n_shared ≥ minShared,
+    * ordered n_shared desc then pair, capped at topN.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 5, w: Int = 4, maxDf: Int = 50,
+                  minShared: Int = 2, topN: Int = 100): DataFrame = {
+    val fp = df.select(col(idCol).as("doc"),
+        explode(graft.functions.NativeExpressions
+          .winnow_fingerprints(col(textCol), k, w)).as("fp"))
+    val shared = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select("fp")
+    val blocked = fp.join(shared, "fp")
+    blocked.select(col("fp"), col("doc").as("doc_a"))
+      .join(blocked.select(col("fp"), col("doc").as("doc_b")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(topN)
+  }
 }

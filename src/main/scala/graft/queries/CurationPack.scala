@@ -346,6 +346,41 @@ object CurationPack {
     QueryDef.noOracle("emb_pca_project") { (s, dir) =>
       Similarity.pcaProject(embs(s, dir), "vec_id", "embedding",
         dim = 64, nComponents = 8)
+    },
+
+    // Winnowing fingerprint overlap (MOSS): k=5-gram md5 hashes,
+    // w=4 window minima, distinct per doc; docs sharing ≥2
+    // fingerprints pair up (fingerprints hitting >50 docs are
+    // boilerplate and drop, like the shingle blocker).
+    QueryDef(
+      "dedup_winnow",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(ws) - 3),
+        |      i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 15)
+        |           AS BIGINT)) AS hs
+        |  FROM t WHERE len(ws) >= 8
+        |), f AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(hs) - 2),
+        |      j -> list_min(hs[j:j+3]))) AS fps
+        |  FROM g
+        |), p AS (
+        |  SELECT doc_id AS doc, unnest(fps) AS fp FROM f
+        |), blocked AS (
+        |  SELECT fp FROM p GROUP BY fp HAVING count(*) BETWEEN 2 AND 50
+        |), pb AS (SELECT p.doc, p.fp FROM p JOIN blocked USING (fp))
+        |SELECT a.doc AS doc_a, b.doc AS doc_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM pb a JOIN pb b USING (fp)
+        |WHERE a.doc < b.doc
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 100
+        |""".stripMargin) { (s, dir) =>
+      graft.operators.Dedup.winnowPairs(docs(s, dir), "doc_id", "text",
+        k = 5, w = 4, maxDf = 50, minShared = 2, topN = 100)
     }
   )
 }

@@ -270,6 +270,55 @@ object Relational3 {
           Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3, out = "rn")
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
           col("rn"))
+    },
+
+    // GROUP BY ALL (group by every non-aggregate select item) —
+    // Spark 4 supports it natively in SQL; exercised through
+    // spark.sql over a temp view so the SQL surface itself is what's
+    // tested. Plans identically to the explicit GROUP BY.
+    QueryDef(
+      "q_groupby_all",
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem GROUP BY ALL
+        |""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(l_extendedprice), 2) AS rev
+          |FROM lineitem GROUP BY ALL""".stripMargin)
+    },
+
+    // Windowed COUNT(DISTINCT) — neither engine-portable nor
+    // Spark-supported directly, so the operator IS the standard
+    // rewrite: first-occurrence flag (row_number over the
+    // (user, type) pair by time) running-summed over the user's
+    // timeline. Both windows are keyed on high-cardinality user_id —
+    // balanced tasks, no single-task global window.
+    QueryDef(
+      "q_window_count_distinct",
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY ts, event_id) AS occ
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS distinct_types_so_far
+        |FROM e
+        |""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+        .withColumn("occ", row_number().over(
+          Window.partitionBy("user_id", "event_type")
+            .orderBy(col("ts"), col("event_id"))))
+      e.withColumn("distinct_types_so_far",
+          sum(when(col("occ") === 1, 1L).otherwise(0L)).over(
+            Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("event_id"), col("distinct_types_so_far"))
     }
   )
 }

@@ -160,6 +160,51 @@ class PcaSpec extends SparkTestBase {
       assert(rankOf(a) < rankOf(b), s"doc $a should outrank $b")
   }
 
+  test("winnow_fingerprints ≡ declarative window-min form; shared-run guarantee holds") {
+    import org.apache.spark.sql.functions.{array_distinct, array_join, array_min, transform => ftransform}
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val texts = Seq(
+      s"intro words here $shared trailing tail tokens",
+      s"$shared completely different suffix material",
+      "too short", // < k+w-1 tokens → no fingerprints
+      "unrelated content with no overlap at all whatsoever present")
+    val df = texts.toDF("text")
+    val (k, w) = (5, 4)
+    val ws = split(lower(col("text")), " ")
+    val hs = ftransform(sequence(lit(1), size(ws) - (k - 1)),
+      i => conv(substring(md5(array_join(slice(ws, i, lit(k)), " ")), 1, 15), 16, 10)
+        .cast("long"))
+    val declarative = df
+      .select(when(size(ws) >= k + w - 1,
+        array_distinct(ftransform(sequence(lit(1), size(hs) - (w - 1)),
+          j => array_min(slice(hs, j, lit(w))))))
+        .otherwise(array().cast("array<long>")).as("fps"))
+      .collect().map(_.getSeq[Long](0).sorted.toList)
+    val kernel = df.select(graft.functions.NativeExpressions
+        .winnow_fingerprints(col("text"), k, w).as("fps"))
+      .collect().map(_.getSeq[Long](0).sorted.toList)
+    declarative.zip(kernel).zipWithIndex.foreach { case ((d, kk), i) =>
+      assert(d === kk, s"mismatch on '${texts(i)}'")
+    }
+    // guarantee: docs 0 and 1 share an 8-token run = w+k-1 → must share ≥1 fp
+    assert(kernel(0).toSet.intersect(kernel(1).toSet).nonEmpty)
+    assert(kernel(2).isEmpty)
+    assert(kernel(3).toSet.intersect(kernel(0).toSet).isEmpty)
+  }
+
+  test("winnowPairs: the planted shared-run pair surfaces; short docs don't") {
+    val shared = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, s"prefix a b $shared suffix c d"),
+      (2L, s"$shared wholly other ending material here now"),
+      (3L, "totally disjoint text with nothing in common at all whatsoever"),
+      (4L, "tiny doc")).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowPairs(docs, "doc_id", "text",
+      k = 5, w = 4, maxDf = 50, minShared = 1, topN = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+
   test("curriculumOrder: contiguous positions, phases monotone, md5 order within phase") {
     val docs = (1L to 30L).map(i => (i, if (i % 3 == 0)
       "the of and to have with that be good clean" // positive-ish score varies
