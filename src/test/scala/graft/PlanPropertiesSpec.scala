@@ -49,6 +49,49 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"corpus side of mixture sample must not shuffle:\n$mixPlan")
   }
 
+  test("round-6 kernels: dsir scoring and winnow fingerprinting are corpus-shuffle-free; topk has no sort; covariance is one object agg") {
+    // DSIR scoring pass: once the λ array is a literal, the plan per
+    // row is kernel → index → fold — the only exchanges permitted in
+    // the whole query are the nBuckets-row model fit and the final
+    // top-k; the scoring projection itself must not re-shuffle the
+    // corpus. Probe the operator's scoring shape directly.
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val gb = graft.functions.NativeExpressions.dsir_gram_buckets(col("text"), 64)
+    val lamLit = array((0 until 64).map(i => lit(i.toLong)): _*)
+    val scoring = docs.select(col("doc_id"),
+      aggregate(transform(gb, b => element_at(lamLit, (b + 1).cast("int"))),
+        lit(0L), (a, x) => a + x).as("s"))
+    assert(!scoring.queryExecution.executedPlan.toString.contains("Exchange"),
+      "dsir scoring pass must be shuffle-free")
+
+    // winnow fingerprint selection: row-local kernel, no exchange
+    val fps = docs.select(graft.functions.NativeExpressions
+      .winnow_fingerprints(col("text"), 5, 4).as("f"))
+    assert(!fps.queryExecution.executedPlan.toString.contains("Exchange"),
+      "winnow fingerprinting must be row-local")
+
+    // topKPerGroup: NO SortExec anywhere — that is its whole point
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val topk = graft.operators.ScalableWindow.topKPerGroup(orders,
+      Seq("o_custkey"), "o_totalprice", "o_orderkey", 3, "rn")
+    val topkPlan = topk.queryExecution.executedPlan.toString
+    assert(!topkPlan.contains("Sort "), s"heap top-k must not sort:\n$topkPlan")
+    assert(topkPlan.contains("ObjectHashAggregate"),
+      s"heap top-k should run as object hash aggregate:\n$topkPlan")
+
+    // covariance: the corpus feeds ONE aggregation; the only exchange
+    // is the dim-bounded partial merge (single-row output)
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val gram = embs.select(col("embedding").cast("array<double>").as("v"))
+      .agg(graft.functions.GramMatrix.gram_matrix(col("v"), 64).as("g"))
+    val gramPlan = gram.queryExecution.executedPlan.toString
+    assert(gramPlan.contains("ObjectHashAggregate"),
+      s"gram matrix should aggregate imperatively:\n$gramPlan")
+    assert(!gramPlan.contains("Generate"),
+      s"gram matrix must not explode pair rows:\n$gramPlan")
+  }
+
   test("substringSpans windows partition by doc — no global sort") {
     val df = SparkEntry.queries("dedup_substring")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
