@@ -737,6 +737,24 @@ object Similarity {
           col("__v"), (r, x) => abs(r - x))), 6).as("max_abs_err"))
   }
 
+  /** Recall@k of an approximate retrieval run against the exact
+    * baseline — the metric every ANN index is tuned by (probe more
+    * cells ↔ higher recall). Inputs are the (query_id, neighbor_id)
+    * top-k outputs of the two runs; both are k·|queries| rows, so the
+    * join and aggregate are query-sized regardless of corpus size —
+    * the heavy lifting happened inside the two retrieval plans.
+    *
+    * Output: (query_id, n_hits long, recall_at_k double).
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1L).as("__hit")), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id").agg(
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k, 6).as("recall_at_k"))
+
   /** Rank the corpus by cosine to the exact centroid of a member
     * slice (e.g. the labeled "relevant" class) — the dense side of a
     * hybrid retrieval stack, where the query embedding is a class

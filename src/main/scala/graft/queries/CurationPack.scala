@@ -348,6 +348,57 @@ object CurationPack {
         dim = 64, nComponents = 8)
     },
 
+    // Population Stability Index between the train and holdout
+    // splits over token-length bins — the standard drift monitor a
+    // production corpus pipeline alarms on (PSI > 0.2 ⇒ investigate).
+    // Bins have FIXED edges (100-token steps, capped at bin 7) and
+    // add-one smoothing, so every probability is derived from exact
+    // integers; the split is the engine-portable md5 per-mille draw.
+    // One corpus pass → ≤8-row aggregate; arithmetic on the bin table.
+    QueryDef(
+      "text_psi_drift",
+      """WITH d AS (
+        |  SELECT len(string_split(text, ' ')) AS nt,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+        |      % 1000 AS b
+        |  FROM documents
+        |), binned AS (
+        |  SELECT CASE WHEN nt // 100 > 7 THEN 7 ELSE nt // 100 END AS bin,
+        |         CASE WHEN b < 800 THEN 1 ELSE 0 END AS is_train
+        |  FROM d
+        |), c AS (
+        |  SELECT bin, sum(is_train) AS n_train, sum(1 - is_train) AS n_hold
+        |  FROM binned GROUP BY 1
+        |), tot AS (SELECT sum(n_train) AS tt, sum(n_hold) AS th, count(*) AS nb FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(n_train AS BIGINT) AS n_train, CAST(n_hold AS BIGINT) AS n_hold,
+        |  round((n_train + 1.0) / (tt + nb), 6) AS p_train,
+        |  round((n_hold + 1.0) / (th + nb), 6) AS p_hold,
+        |  round(((n_train + 1.0) / (tt + nb) - (n_hold + 1.0) / (th + nb))
+        |    * ln(((n_train + 1.0) / (tt + nb)) / ((n_hold + 1.0) / (th + nb))), 6)
+        |    AS psi_term
+        |FROM c, tot
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(
+        TextFunctions.spaceTokenCount(col("text")).as("nt"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10)
+          .cast("long") % 1000).as("b"))
+      val binned = d.select(
+        least(expr("nt div 100"), lit(7L)).as("bin"),
+        when(col("b") < 800, 1L).otherwise(0L).as("is_train"))
+      val c = binned.groupBy("bin").agg(
+        sum("is_train").as("n_train"),
+        sum(lit(1L) - col("is_train")).as("n_hold"))
+      val tot = c.agg(sum("n_train").as("tt"), sum("n_hold").as("th"),
+        count(lit(1)).as("nb"))
+      val pt = (col("n_train") + 1.0) / (col("tt") + col("nb"))
+      val ph = (col("n_hold") + 1.0) / (col("th") + col("nb"))
+      c.crossJoin(broadcast(tot)).select(
+        col("bin"), col("n_train"), col("n_hold"),
+        round(pt, 6).as("p_train"), round(ph, 6).as("p_hold"),
+        round((pt - ph) * log(pt / ph), 6).as("psi_term"))
+    },
+
     // Winnowing fingerprint overlap (MOSS): k=5-gram md5 hashes,
     // w=4 window minima, distinct per doc; docs sharing ≥2
     // fingerprints pair up (fingerprints hitting >50 docs are

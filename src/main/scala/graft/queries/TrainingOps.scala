@@ -564,6 +564,70 @@ object TrainingOps {
         "query_vec_id", "query_embedding", k = 10, nProbe = 3, m = 8, dim = 64)
     },
 
+    // Recall@10 of the IVF route against the brute baseline — the
+    // metric the nProbe knob trades against scan cost. Both runs'
+    // top-k tables are query-sized; the recall join touches ≤2·k·|q|
+    // rows at any corpus scale.
+    QueryDef(
+      "ann_ivf_recall",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |brute AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY round(list_cosine_similarity(c.v, q.qv), 6) DESC,
+        |                 c.vec_id) AS rnk
+        |    FROM e c, q WHERE q.query_id <> c.vec_id) t WHERE rnk <= 10
+        |),
+        |cent AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id % 50 = 0),
+        |assigned AS (
+        |  SELECT vec_id, v, centroid_id AS cell FROM (
+        |    SELECT e.vec_id, e.v, c.centroid_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.centroid_id) AS r
+        |    FROM e, cent c) t WHERE r = 1
+        |),
+        |qcells AS (
+        |  SELECT query_id, qv, centroid_id AS cell FROM (
+        |    SELECT q.query_id, q.qv, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.centroid_id) AS r
+        |    FROM q, cent c) t WHERE r <= 3
+        |),
+        |ivf AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT cand.query_id, cand.neighbor_id,
+        |      row_number() OVER (PARTITION BY cand.query_id
+        |        ORDER BY cand.cos_sim DESC, cand.neighbor_id) AS rnk
+        |    FROM (
+        |      SELECT qc.query_id, a.vec_id AS neighbor_id,
+        |        round(list_cosine_similarity(a.v, qc.qv), 6) AS cos_sim
+        |      FROM assigned a JOIN qcells qc ON a.cell = qc.cell
+        |      WHERE qc.query_id <> a.vec_id) cand) t WHERE rnk <= 10
+        |)
+        |SELECT b.query_id,
+        |  CAST(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  round(sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 10.0, 6)
+        |    AS recall_at_k
+        |FROM brute b LEFT JOIN ivf i
+        |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+        |GROUP BY 1
+        |""".stripMargin) { (s, dir) =>
+      val e = embs(s, dir)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_vec_id"),
+          col("embedding").as("query_embedding"))
+      val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        queries, "query_vec_id", "query_embedding", k = 10)
+      val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", stride = 50)
+      val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+      val ivf = Similarity.ivfTopK(assigned, "vec_id", "embedding", centroids,
+        queries, "query_vec_id", "query_embedding", k = 10, nProbe = 3)
+      Similarity.recallAtK(ivf, brute, k = 10)
+    },
+
     // ---- text analysis --------------------------------------------
     QueryDef(
       "text_quality",

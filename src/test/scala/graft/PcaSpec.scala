@@ -205,6 +205,16 @@ class PcaSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("recallAtK: hand fixture — hits counted, misses zero, absent query rows") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val out = Similarity.recallAtK(approx, exact, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toList
+    assert(out === List((1L, 1L, 0.5), (2L, 2L, 1.0)))
+  }
+
   test("curriculumOrder: contiguous positions, phases monotone, md5 order within phase") {
     val docs = (1L to 30L).map(i => (i, if (i % 3 == 0)
       "the of and to have with that be good clean" // positive-ish score varies
