@@ -188,23 +188,42 @@ object Relational3 {
         |  UNION ALL
         |  SELECT ws + INTERVAL '7' DAY FROM spine
         |  WHERE ws < CAST('1995-11-27' AS TIMESTAMP)
+        |), buck AS (
+        |  SELECT CAST('1995-01-02' AS TIMESTAMP)
+        |    + INTERVAL (7 * CAST(floor(date_diff('day', DATE '1995-01-02',
+        |        l_shipdate) / 7) AS INT)) DAY AS ws,
+        |    l_orderkey
+        |  FROM lineitem
         |)
-        |SELECT s.ws, count(l.l_orderkey) AS n
-        |FROM spine s LEFT JOIN lineitem l
-        |  ON l.l_shipdate >= s.ws AND l.l_shipdate < s.ws + INTERVAL '7' DAY
+        |SELECT s.ws, count(b.l_orderkey) AS n
+        |FROM spine s LEFT JOIN buck b ON b.ws = s.ws
         |GROUP BY s.ws
         |""".stripMargin) { (s, dir) =>
       Tables.registerAll(s, dir)
+      // The spine comes from the recursion (the surface under test);
+      // the facts attach by EQUI-join on the computed week bucket —
+      // the theta form (l_shipdate >= ws AND < ws + 7d) planned as an
+      // interpreted BroadcastNestedLoopJoin evaluating the interval
+      // arithmetic per (row, week) pair: 6.3 s at sf0.1 for 29M
+      // pairs; the bucket equi-join broadcasts 48 spine rows through
+      // a codegen'd hash join (0.7 s). Semantics identical: each row
+      // maps to exactly one week, out-of-range rows map to no spine
+      // week.
       s.sql(
         """WITH RECURSIVE spine(ws) AS (
           |  SELECT CAST('1995-01-02' AS TIMESTAMP)
           |  UNION ALL
           |  SELECT ws + INTERVAL '7' DAY FROM spine
           |  WHERE ws < CAST('1995-11-27' AS TIMESTAMP)
+          |), buck AS (
+          |  SELECT timestampadd(DAY,
+          |      7 * CAST(floor(datediff(l_shipdate, DATE'1995-01-02') / 7) AS INT),
+          |      TIMESTAMP'1995-01-02') AS ws,
+          |    l_orderkey
+          |  FROM lineitem
           |)
-          |SELECT s.ws, count(l.l_orderkey) AS n
-          |FROM spine s LEFT JOIN lineitem l
-          |  ON l.l_shipdate >= s.ws AND l.l_shipdate < s.ws + INTERVAL '7' DAY
+          |SELECT s.ws, count(b.l_orderkey) AS n
+          |FROM spine s LEFT JOIN buck b ON b.ws = s.ws
           |GROUP BY s.ws
           |""".stripMargin)
     },
