@@ -348,6 +348,67 @@ object CurationPack {
         dim = 64, nComponents = 8)
     },
 
+    // Zipf-slope fit over the vocabulary head: log-log OLS of
+    // frequency against rank (natural corpora fit slope ≈ −1;
+    // template/boilerplate corpora flatten). Top-1000 ranks come
+    // from the TakeOrdered vocab head (per-partition heaps), the
+    // regression is one regr_slope/regr_r2 aggregate over 1000 rows.
+    QueryDef(
+      "text_zipf_fit",
+      """WITH w AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |), c AS (
+        |  SELECT word, count(*) AS n FROM w GROUP BY 1
+        |), r AS (
+        |  SELECT n, row_number() OVER (ORDER BY n DESC, word) AS rnk FROM c
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+        |  round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+        |  round(regr_r2(ln(n), ln(rnk)), 6) AS r2
+        |FROM r WHERE rnk <= 1000
+        |""".stripMargin) { (s, dir) =>
+      val head = TextPipeline.vocabTopK(docs(s, dir), "text", k = 1000)
+      head.agg(count(lit(1)).as("n_ranks"),
+        round(expr("regr_slope(ln(n), ln(rnk))"), 6).as("zipf_slope"),
+        round(expr("regr_r2(ln(n), ln(rnk))"), 6).as("r2"))
+    },
+
+    // Weighted sampling without replacement (Efraimidis & Spirakis
+    // 2006, "A-ES"): key = u^(1/w) with a deterministic md5 uniform
+    // draw, top-k by key — the length-weighted "sample proportional
+    // to tokens" draw pipelines use. Entirely row-local until the
+    // TakeOrderedAndProject top-k; ranks are over the ROUNDED key so
+    // cross-engine float noise cannot reorder the cut.
+    QueryDef(
+      "text_weighted_sample",
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || substr(md5('ws_' || CAST(doc_id AS VARCHAR)), 1, 12)
+        |      AS BIGINT) AS h
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, n_chars,
+        |    round(exp(ln((h + 1.0) / 281474976710656.0)
+        |      / (n_chars / 100.0)), 6) AS key
+        |  FROM d
+        |)
+        |SELECT doc_id, n_chars, key,
+        |  CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rnk
+        |FROM k ORDER BY key DESC, doc_id LIMIT 100
+        |""".stripMargin) { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        conv(substring(md5(concat(lit("ws_"), col("doc_id").cast("string"))),
+          1, 12), 16, 10).cast("long").as("h"))
+      val keyed = d.select(col("doc_id"), col("n_chars"),
+        round(exp(log((col("h") + 1.0) / 281474976710656.0)
+          / (col("n_chars") / 100.0)), 6).as("key"))
+      val top = keyed.orderBy(col("key").desc, col("doc_id")).limit(100)
+      top.withColumn("rnk", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("key").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id"), col("n_chars"), col("key"), col("rnk"))
+    },
+
     // Population Stability Index between the train and holdout
     // splits over token-length bins — the standard drift monitor a
     // production corpus pipeline alarms on (PSI > 0.2 ⇒ investigate).

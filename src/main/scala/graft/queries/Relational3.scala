@@ -338,6 +338,42 @@ object Relational3 {
             Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
               .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("user_id"), col("event_id"), col("distinct_types_so_far"))
+    },
+
+    // Robust anomaly detection: modified z-score on median/MAD
+    // (Iglewicz & Hoaglin's |0.6745·(x−med)/MAD| > 3.5 rule) per
+    // event_type — outliers survive the statistic that flags them,
+    // unlike mean/stddev. Two group-cardinality median aggregates +
+    // two broadcast joins; the corpus is scanned twice, shuffled to
+    // |event_type| rows each time.
+    QueryDef(
+      "q_anomaly_mad",
+      """WITH m AS (
+        |  SELECT event_type, median(value) AS med FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, e.event_id, e.value, m.med,
+        |    abs(e.value - m.med) AS adev
+        |  FROM events e JOIN m USING (event_type)
+        |), mad AS (
+        |  SELECT event_type, median(adev) AS mad FROM d GROUP BY 1
+        |)
+        |SELECT d.event_type, d.event_id, round(d.value, 6) AS value,
+        |  round(0.6745 * (d.value - d.med) / mad.mad, 4) AS mod_z
+        |FROM d JOIN mad USING (event_type)
+        |WHERE mad.mad > 0
+        |  AND abs(0.6745 * (d.value - d.med) / mad.mad) > 3.5
+        |""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events")
+      val m = e.groupBy("event_type").agg(median(col("value")).as("med"))
+      val d = e.join(broadcast(m), "event_type")
+        .select(col("event_type"), col("event_id"), col("value"), col("med"),
+          abs(col("value") - col("med")).as("adev"))
+      val mad = d.groupBy("event_type").agg(median(col("adev")).as("mad"))
+      val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+      d.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0 && abs(z) > 3.5)
+        .select(col("event_type"), col("event_id"),
+          round(col("value"), 6).as("value"), round(z, 4).as("mod_z"))
     }
   )
 }

@@ -205,6 +205,56 @@ class PcaSpec extends SparkTestBase {
     assert(pairs === Set((1L, 2L)))
   }
 
+  test("weighted sample (A-ES): key formula exact, heavier docs rank higher in expectation") {
+    // formula replication on a tiny fixture: key = u^(100/n_chars),
+    // u = (md5_48('ws_'||id) + 1) / 2^48
+    val df = Seq((7L, 400L), (8L, 50L)).toDF("doc_id", "n_chars")
+    val out = df.select(col("doc_id"),
+        round(exp(log((conv(substring(md5(concat(lit("ws_"),
+          col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long") + 1.0)
+          / 281474976710656.0) / (col("n_chars") / 100.0)), 6).as("key"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    def handKey(id: Long, nc: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"ws_$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 281474976710656.0
+      BigDecimal(math.exp(math.log(u) / (nc / 100.0)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(7L) === handKey(7L, 400L))
+    assert(out(8L) === handKey(8L, 50L))
+    // statistical sanity: with uniform u, E[key] grows with weight —
+    // over many ids, heavy docs should dominate the top ranks
+    val many = (1L to 400L).map(i => (i, if (i <= 200) 2000L else 100L))
+      .toDF("doc_id", "n_chars")
+    val keyed = many.select(col("doc_id"), col("n_chars"),
+      exp(log((conv(substring(md5(concat(lit("ws_"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("long") + 1.0)
+        / 281474976710656.0) / (col("n_chars") / 100.0)).as("key"))
+    val top50 = keyed.orderBy(col("key").desc).limit(50)
+      .filter(col("n_chars") === 2000L).count()
+    assert(top50 >= 40, s"expected heavy docs to dominate top-50, got $top50")
+  }
+
+  test("MAD modified z-score: planted outlier flagged, inliers pass") {
+    // spread matters: an all-identical group has MAD = 0 and is
+    // excluded by the mad > 0 guard (division degenerate)
+    val vals = ((1 to 30).map(i => 10.0 + (i % 3 - 1) * 0.5) ++ Seq(1000.0))
+      .zipWithIndex.map { case (v, i) => ("t", i.toLong, v) }
+    val df = vals.toDF("event_type", "event_id", "value")
+    val m = df.groupBy("event_type").agg(median(col("value")).as("med"))
+    val d = df.join(broadcast(m), "event_type")
+      .select(col("event_type"), col("event_id"), col("value"), col("med"),
+        abs(col("value") - col("med")).as("adev"))
+    val mad = d.groupBy("event_type").agg(median(col("adev")).as("mad"))
+    val z = lit(0.6745) * (col("value") - col("med")) / col("mad")
+    val flagged = d.join(broadcast(mad), "event_type")
+      .filter(col("mad") > 0 && abs(z) > 3.5)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(flagged === Set(30L), s"only the planted outlier: $flagged")
+  }
+
   test("recallAtK: hand fixture — hits counted, misses zero, absent query rows") {
     val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
       .toDF("query_id", "neighbor_id")
