@@ -113,4 +113,34 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightCols.map(c => when(gapOk, col("__payload").getField(c)).as(c)): _*)
   }
+
+  /** Nearest-match as-of: per left row, the right row minimizing
+    * |leftTs − rightTs| within the key group, either direction; exact
+    * ties (equal gaps) resolve to the BACKWARD match. Composed from
+    * the two directional passes — two one-shuffle union+window plans
+    * re-joined on the left row (left columns must uniquely identify a
+    * row, which every id-carrying table satisfies); the gap compare
+    * is exact integer micros. `rightTsOut` names the carried right
+    * timestamp column inside `rightCols` used for the gap.
+    */
+  def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, rightCols: Seq[String],
+              rightTsOut: String): DataFrame = {
+    require(rightCols.contains(rightTsOut),
+      s"rightCols must carry the matched timestamp column $rightTsOut")
+    val leftCols = left.columns.toSeq
+    val b = backward(left, right, keys, leftTs, rightTs, rightCols)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(c).as(s"__b_$c")): _*)
+    val f = forward(left, right, keys, leftTs, rightTs, rightCols)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(c).as(s"__f_$c")): _*)
+    val j = b.join(f, leftCols)
+    val gb = unix_micros(col(leftTs).cast("timestamp")) -
+      unix_micros(col(s"__b_$rightTsOut").cast("timestamp"))
+    val gf = unix_micros(col(s"__f_$rightTsOut").cast("timestamp")) -
+      unix_micros(col(leftTs).cast("timestamp"))
+    val useB = col(s"__b_$rightTsOut").isNotNull &&
+      (col(s"__f_$rightTsOut").isNull || gb <= gf)
+    j.select(leftCols.map(col) ++ rightCols.map(c =>
+      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)): _*)
+  }
 }

@@ -53,6 +53,45 @@ object AdvancedOps {
         Seq("click_id", "click_ts"))
     },
 
+    // Nearest-direction as-of: the click closest in time to each
+    // purchase, either side, exact ties to the backward match —
+    // composed from the two directional one-shuffle passes re-joined
+    // on the purchase row; gap compare in exact integer micros.
+    QueryDef(
+      "q_asof_nearest",
+      """WITH p AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |), b AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |    c.event_id AS b_id, c.ts AS b_ts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |), f AS (
+        |  SELECT p.user_id, p.event_id, p.ts,
+        |    c.event_id AS f_id, c.ts AS f_ts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+        |)
+        |SELECT b.user_id, b.event_id, b.ts,
+        |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts))
+        |    THEN b.b_id ELSE f.f_id END AS click_id,
+        |  CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL OR
+        |    epoch_us(b.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(b.ts))
+        |    THEN b.b_ts ELSE f.f_ts END AS click_ts
+        |FROM b JOIN f
+        |  ON b.user_id = f.user_id AND b.event_id = f.event_id AND b.ts = f.ts
+        |""".stripMargin) { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("click_id"), col("ts").as("click_ts"))
+      AsOfJoin.nearest(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_id", "click_ts"), rightTsOut = "click_ts")
+    },
+
     // As-of with a 1-hour match tolerance: DuckDB has no native
     // tolerance, so the oracle nulls out stale matches with CASE.
     QueryDef(

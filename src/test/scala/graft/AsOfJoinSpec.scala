@@ -97,4 +97,30 @@ class AsOfJoinSpec extends SparkTestBase {
     }
     assert(strict.size > 150, "most rows should be unambiguous")
   }
+
+  test("nearest as-of: min |gap| either side, exact tie → backward, one-sided nulls") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p_back"),  // back 30min, fwd 2h → backward
+      (1L, ts("2024-01-01 13:30:00"), "p_fwd"),   // back 1h30, fwd 30min? see right
+      (1L, ts("2024-01-01 07:00:00"), "p_only_fwd"), // nothing before → forward
+      (2L, ts("2024-01-01 10:00:00"), "p_tie"),   // 1h both sides → backward
+      (3L, ts("2024-01-01 10:00:00"), "p_none")   // no clicks for key
+    ).toDF("user_id", "ts", "pid")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:30:00"), "c_a"),
+      (1L, ts("2024-01-01 12:00:00"), "c_b"),
+      (1L, ts("2024-01-01 14:00:00"), "c_c"),
+      (2L, ts("2024-01-01 09:00:00"), "c_t1"),
+      (2L, ts("2024-01-01 11:00:00"), "c_t2")
+    ).toDF("user_id", "ts", "cid")
+      .select(col("user_id"), col("ts"), col("cid"), col("ts").as("cts"))
+    val out = AsOfJoin.nearest(left, right, Seq("user_id"), "ts", "ts",
+      Seq("cid", "cts"), rightTsOut = "cts")
+      .select("pid", "cid").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p_back") === "c_a")      // 30min back beats 2h fwd
+    assert(out("p_fwd") === "c_c")       // 30min fwd beats 1h30 back
+    assert(out("p_only_fwd") === "c_a")  // nothing before → earliest after
+    assert(out("p_tie") === "c_t1")      // equal gaps → backward
+    assert(out("p_none") === null)
+  }
 }
