@@ -30,11 +30,17 @@ object Verify {
     // dropping the query from the report (r5 lesson: q_asof_tolerance
     // vanished instead of failing).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Schema per successful query — drives the oracle-side signed-zero
+    // canonicalization below (see graft.util.Canon).
+    val schemas = scala.collection.mutable.LinkedHashMap[String, org.apache.spark.sql.types.StructType]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val out = graft.util.Canon.normalizeNegZero(fn(spark, sfDir))
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        schemas(name) = out.schema
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: $msg")
@@ -60,8 +66,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Canonicalize signed zero on the oracle side too: wrap each SQL
+    // whose Spark result schema has float/double columns (-0.0 → +0.0
+    // via `+ 0`). Queries with no captured schema (failed, or filtered
+    // out by `only` during local iteration) dump unwrapped.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        val sql = schemas.get(k).map(graft.util.Canon.wrapOracleSql(v, _)).getOrElse(v)
+        s"${q(k)}: ${q(sql)}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
       .mkString("{", ",", "}")

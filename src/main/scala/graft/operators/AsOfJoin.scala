@@ -50,14 +50,14 @@ object AsOfJoin {
     *                    matches farther away become NULL (left join
     *                    semantics preserved)
     */
-  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTs: String, rightTs: String, rightCols: Seq[String],
-           direction: String, toleranceMs: Long): DataFrame = {
-    require(rightCols.nonEmpty, "need at least one right payload column")
-    require(direction == "backward" || direction == "forward", s"bad direction $direction")
-    val leftCols = left.columns.toSeq
-    val matchedTs = "__matched_ts"
+  private val matchedTs = "__matched_ts"
 
+  /** Tag right rows 0 / left rows 1 and union them on a shared schema:
+    * (keys, __ts, __tag, __matched_ts, left payload, right payload). */
+  private def taggedUnion(left: DataFrame, right: DataFrame,
+                          keys: Seq[String], leftTs: String, rightTs: String,
+                          rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
     val taggedRight = right.select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__tag"),
@@ -70,6 +70,15 @@ object AsOfJoin {
           lit(null).cast(right.schema(rightTs).dataType).as(matchedTs)) ++
         leftCols.filterNot(keys.contains).map(col) ++
         rightCols.map(c => lit(null).as(c)): _*)
+    taggedRight.unionByName(taggedLeft)
+  }
+
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String, rightCols: Seq[String],
+           direction: String, toleranceMs: Long): DataFrame = {
+    require(rightCols.nonEmpty, "need at least one right payload column")
+    require(direction == "backward" || direction == "forward", s"bad direction $direction")
+    val leftCols = left.columns.toSeq
 
     // forward direction is backward over the reversed timeline; the
     // tag keeps equal timestamps inclusive in both directions
@@ -87,7 +96,7 @@ object AsOfJoin {
     // whole rows and NULL payload values survive — DuckDB ASOF semantics.
     val payload = when(col("__tag") === 0,
       struct((rightCols :+ matchedTs).map(col): _*))
-    val carried = taggedRight.unionByName(taggedLeft)
+    val carried = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
       .withColumn("__payload", last(payload, ignoreNulls = true).over(w))
 
     // timestamp columns (TZ or NTZ): tolerance in ms via exact integer
@@ -116,11 +125,24 @@ object AsOfJoin {
 
   /** Nearest-match as-of: per left row, the right row minimizing
     * |leftTs − rightTs| within the key group, either direction; exact
-    * ties (equal gaps) resolve to the BACKWARD match. Composed from
-    * the two directional passes — two one-shuffle union+window plans
-    * re-joined on the left row (left columns must uniquely identify a
-    * row, which every id-carrying table satisfies); the gap compare
-    * is exact integer micros. `rightTsOut` names the carried right
+    * ties (equal gaps) resolve to the BACKWARD match.
+    *
+    * Fused single-pass form (r6 verdict item 7): ONE union sorted by
+    * (__ts, __tag asc) carries BOTH candidates simultaneously —
+    * `last(payload)` over unbounded-preceding..current (backward) and
+    * `first(payload)` over current..unbounded-following (forward).
+    * The two frames share one partitioning + ordering, so Catalyst
+    * plans them in a single WindowExec: one exchange, one sort, no
+    * re-join — and therefore no "left columns uniquely identify a
+    * row" requirement and no NULL-payload row loss (the previous
+    * two-pass form re-joined on all left columns, silently dropping
+    * left rows with a NULL payload value; null != null).
+    *
+    * An equal-ts right row sorts BEFORE the left row, so the forward
+    * frame misses it — harmless for nearest: the backward frame
+    * catches it at gap 0, which wins every tie. The gap compare is
+    * exact integer micros for timestamp columns, the column's own
+    * unit for numerics. `rightTsOut` names the carried right
     * timestamp column inside `rightCols` used for the gap.
     */
   def nearest(left: DataFrame, right: DataFrame, keys: Seq[String],
@@ -129,18 +151,33 @@ object AsOfJoin {
     require(rightCols.contains(rightTsOut),
       s"rightCols must carry the matched timestamp column $rightTsOut")
     val leftCols = left.columns.toSeq
-    val b = backward(left, right, keys, leftTs, rightTs, rightCols)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(c).as(s"__b_$c")): _*)
-    val f = forward(left, right, keys, leftTs, rightTs, rightCols)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(c).as(s"__f_$c")): _*)
-    val j = b.join(f, leftCols)
-    val gb = unix_micros(col(leftTs).cast("timestamp")) -
-      unix_micros(col(s"__b_$rightTsOut").cast("timestamp"))
-    val gf = unix_micros(col(s"__f_$rightTsOut").cast("timestamp")) -
-      unix_micros(col(leftTs).cast("timestamp"))
-    val useB = col(s"__b_$rightTsOut").isNotNull &&
-      (col(s"__f_$rightTsOut").isNull || gb <= gf)
-    j.select(leftCols.map(col) ++ rightCols.map(c =>
-      when(useB, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c)): _*)
+    val base = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val payload = when(col("__tag") === 0,
+      struct((rightCols :+ matchedTs).map(col): _*))
+    val carried = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
+      .withColumn("__b", last(payload, ignoreNulls = true).over(wb))
+      .withColumn("__f", first(payload, ignoreNulls = true).over(wf))
+
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val bTs = col("__b").getField(matchedTs)
+    val fTs = col("__f").getField(matchedTs)
+    val (gb, gf) = right.schema(rightTs).dataType match {
+      case TimestampType | TimestampNTZType =>
+        (unix_micros(col("__ts").cast("timestamp")) -
+           unix_micros(bTs.cast("timestamp")),
+         unix_micros(fTs.cast("timestamp")) -
+           unix_micros(col("__ts").cast("timestamp")))
+      case _ =>
+        (col("__ts").cast("double") - bTs.cast("double"),
+         fTs.cast("double") - col("__ts").cast("double"))
+    }
+    val useB = bTs.isNotNull && (fTs.isNull || gb <= gf)
+    carried.filter(col("__tag") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c =>
+        when(useB, col("__b").getField(c))
+          .otherwise(col("__f").getField(c)).as(c)): _*)
   }
 }

@@ -846,9 +846,11 @@ object Similarity {
       .toDF("i", "j", "n", "cov")
     val sums = g.getSeq[java.math.BigDecimal](1).map(_.doubleValue()).toArray
     val prods = g.getSeq[java.math.BigDecimal](2).map(_.doubleValue()).toArray
+    // `+ 0.0` canonicalizes signed zero (BigDecimal has none, but the
+    // DuckDB oracle's round() can emit -0.0 — see graft.util.Canon).
     def round6(x: Double): Double =
       java.math.BigDecimal.valueOf(x)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
     val rows = for {
       i <- 0 until dim
       j <- i until dim

@@ -123,4 +123,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out("p_tie") === "c_t1")      // equal gaps → backward
     assert(out("p_none") === null)
   }
+
+  test("nearest as-of: single exchange, NULL-payload left rows preserved") {
+    // The pre-r7 two-pass form re-joined backward and forward on ALL
+    // left columns, so a left row with a NULL payload column vanished
+    // (null != null). The fused form keeps it; pin both the row and
+    // the one-shuffle plan shape.
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "p1"),
+      (1L, ts("2024-01-01 11:00:00"), null: String)
+    ).toDF("user_id", "ts", "pid")
+    val right = Seq((1L, ts("2024-01-01 09:30:00"), "c_a"))
+      .toDF("user_id", "ts", "cid")
+      .select(col("user_id"), col("ts"), col("cid"), col("ts").as("cts"))
+    val out = AsOfJoin.nearest(left, right, Seq("user_id"), "ts", "ts",
+      Seq("cid", "cts"), rightTsOut = "cts")
+    val plan = out.queryExecution.executedPlan.toString
+    val nExchanges = "(?m)^.*Exchange".r.findAllIn(plan).size
+    assert(nExchanges == 1, s"fused nearest should shuffle once, plan:\n$plan")
+    val rows = out.collect()
+    assert(rows.length == 2, "NULL-payload left row must survive")
+    val nullPid = rows.find(_.isNullAt(2)).get
+    assert(nullPid.getString(3) == "c_a")
+  }
 }

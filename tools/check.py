@@ -2,7 +2,7 @@
 """Local stand-in for the driver's correctness gate: for each query
 result parquet dumped by graft.Verify, run the corresponding oracle SQL
 in DuckDB over the same scale-factor tables and compare (columns sorted
-by name, rows sorted, floats rounded). Usage:
+by name, rows sorted, bit-exact after -0.0 -> +0.0). Usage:
     python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
 """
 import sys, json, glob, os
@@ -13,18 +13,27 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
+def _canon_scalar(v):
+    # -0.0 -> +0.0 so signed zero can't hide a bit-level mismatch the
+    # driver's hash gate WOULD see (r6 lesson: emb_covariance).
+    if isinstance(v, (float, np.floating)):
+        return float(v) + 0.0
+    if isinstance(v, (list, np.ndarray)):
+        return tuple(_canon_scalar(x) for x in v)
+    return v
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype == np.float64 or df[c].dtype == np.float32:
-            df[c] = df[c].round(6)
+            df[c] = df[c] + 0.0  # -0.0 -> +0.0, every other value identical
         # normalize timestamps to tz-naive us
         if str(df[c].dtype).startswith("datetime64"):
             if getattr(df[c].dtype, "tz", None) is not None:
                 df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype == object:
-            df[c] = df[c].apply(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            df[c] = df[c].apply(_canon_scalar)
     df = df.sort_values(by=list(df.columns), ignore_index=True, kind="mergesort")
     return df
 
@@ -67,8 +76,11 @@ def main():
             results[name] = f"NROWS spark={len(a)} duck={len(b)}"
         else:
             try:
+                # Bit-faithful, like the driver's hash gate: exact
+                # equality after signed-zero canonicalization. The old
+                # rtol=1e-6 compare masked the r6 -0.0 miss locally.
                 pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                              check_exact=False, rtol=1e-6, atol=1e-6)
+                                              check_exact=True)
                 results[name] = "OK"
             except AssertionError as e:
                 results[name] = "DIFF " + str(e).replace("\n", " | ")[:300]
