@@ -532,6 +532,79 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** OPEN-vocabulary per-document word counts in one byte walk —
+    * exactly the multiset of `split(lower(text), " ")` (empty tokens
+    * from doubled/leading/trailing spaces included, matching the SQL
+    * form) collapsed to (word, tf) pairs. The [[TermCounts]] lesson
+    * applied to the unrestricted case (r6 verdict item 5): the
+    * explode+groupBy(doc, word) form shuffles one row per TOKEN and
+    * hash-aggregates the whole corpus's token stream; this kernel
+    * counts inside the row with an open-addressing slice map over the
+    * lowered byte buffer (no per-token string allocation — words
+    * materialize once per DISTINCT word on emit), so the first
+    * shuffle the plan ever sees is already (doc, distinct-word)
+    * sized. Output order is map-slot order — callers must aggregate
+    * or sort, never rely on it. */
+  case class WordCounts(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      // open addressing at ≤50% load; capacity a power of two
+      val cap = Integer.highestOneBit(math.max(8, nTok * 2) * 2 - 1)
+      val mask = cap - 1
+      val starts = new Array[Int](cap)
+      val lens = new Array[Int](cap)
+      val counts = new Array[Long](cap)
+      java.util.Arrays.fill(lens, -1)
+      var distinct = 0
+      var start = 0
+      i = 0
+      while (i <= n) {
+        if (i == n || b(i) == ' ') {
+          val len = i - start
+          var h = -2128831035 // FNV-1a
+          var j = start
+          while (j < i) { h = (h ^ b(j)) * 16777619; j += 1 }
+          var slot = h & mask
+          var placed = false
+          while (!placed) {
+            if (lens(slot) < 0) {
+              starts(slot) = start; lens(slot) = len; counts(slot) = 1L
+              distinct += 1; placed = true
+            } else if (lens(slot) == len && {
+              var j2 = 0
+              while (j2 < len && b(starts(slot) + j2) == b(start + j2)) j2 += 1
+              j2 == len
+            }) { counts(slot) += 1; placed = true }
+            else slot = (slot + 1) & mask
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      val out = new Array[Any](distinct)
+      var k = 0
+      i = 0
+      while (i < cap) {
+        if (lens(i) >= 0) {
+          out(k) = InternalRow(
+            UTF8String.fromBytes(b, starts(i), lens(i)), counts(i))
+          k += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003) fused into one byte walk: hash every k-token gram
     * (md5 60-bit family — the fingerprint CHOICE depends on hash
@@ -1457,6 +1530,8 @@ object NativeExpressions {
     ExpressionUtils.column(DsirGramBuckets(ExpressionUtils.expression(text), nBuckets))
   def term_counts(text: Column, terms: Seq[String]): Column =
     ExpressionUtils.column(TermCounts(ExpressionUtils.expression(text), terms))
+  def word_counts(text: Column): Column =
+    ExpressionUtils.column(WordCounts(ExpressionUtils.expression(text)))
   def winnow_fingerprints(text: Column, k: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprints(ExpressionUtils.expression(text), k, w))
   def minhash_from_tokens(tokens: Column, k: Int, numHashes: Int, seed: Long = 42L,

@@ -7,10 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.{Bridge => ExpressionUtils}
 import org.apache.spark.sql.types._
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 /** Sort-free per-group top-k: a bounded binary heap as a
-  * TypedImperativeAggregate over struct<v: double, tie: long> rows,
+  * TypedImperativeAggregate over (v: double, tie: long) pairs,
   * keeping the k largest by (v DESC, tie ASC).
   *
   * Why not `row_number() OVER (...) ... WHERE rn <= k`: Spark plans
@@ -26,9 +25,23 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
   * partition|, memory is k-bounded per group. At 100 TB that is the
   * difference between shuffling+sorting the fact table and a plain
   * hash aggregation.
+  *
+  * Hot-path notes (r6 verdict item 3 — the residual was kernel
+  * constant, not plan shape): the two ordering columns are separate
+  * children evaluated straight off the input row — no per-row
+  * `struct()` materialization (CreateNamedStruct allocated a row +
+  * value array per input row); serialize/deserialize are exact-size
+  * ByteBuffer walks (no stream objects per group); eval is an
+  * in-place insertion sort over the k-bounded primitive arrays (no
+  * tuple boxing). Ordering uses `java.lang.Double.compare` with
+  * `-0.0` normalized to `0.0` on insert, so heap eviction and final
+  * sort agree bit-for-bit with each other and with Spark's SQL
+  * comparison semantics (IEEE `==` treated 0.0/-0.0 as equal but NaN
+  * as incomparable, so a NaN could lodge in the heap root forever).
   */
 case class TopKDescAgg(
-    child: Expression,
+    value: Expression,
+    tie: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
@@ -36,17 +49,35 @@ case class TopKDescAgg(
 
   import TopKDescAgg._
 
-  override def children: Seq[Expression] = Seq(child)
+  override def children: Seq[Expression] = Seq(value, tie)
   override def nullable: Boolean = false
-  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("v", DoubleType, nullable = false),
+    StructField("tie", LongType, nullable = false))), containsNull = false)
 
   override def createAggregationBuffer(): Heap = new Heap(k)
 
+  // Bound-reference fast path: read primitives straight off the input
+  // row — no per-row boxing through eval(). (-1, -1) → generic path.
+  private[this] lazy val (vOrd, tOrd) = (value, tie) match {
+    case (bv: org.apache.spark.sql.catalyst.expressions.BoundReference,
+          bt: org.apache.spark.sql.catalyst.expressions.BoundReference)
+        if bv.dataType == DoubleType && bt.dataType == LongType =>
+      (bv.ordinal, bt.ordinal)
+    case _ => (-1, -1)
+  }
+
   override def update(buf: Heap, input: InternalRow): Heap = {
-    val v = child.eval(input)
-    if (v != null) {
-      val row = v.asInstanceOf[InternalRow]
-      buf.offer(row.getDouble(0), row.getLong(1))
+    if (vOrd >= 0) {
+      if (!input.isNullAt(vOrd) && !input.isNullAt(tOrd))
+        buf.offer(input.getDouble(vOrd), input.getLong(tOrd))
+    } else {
+      val v = value.eval(input)
+      if (v != null) {
+        val t = tie.eval(input)
+        if (t != null)
+          buf.offer(v.asInstanceOf[Double], t.asInstanceOf[Long])
+      }
     }
     buf
   }
@@ -58,25 +89,47 @@ case class TopKDescAgg(
   }
 
   override def eval(buf: Heap): Any = {
-    val idx = (0 until buf.size).sortBy(i => (-buf.vs(i), buf.ties(i)))
-    new GenericArrayData(idx.map(i =>
-      InternalRow(buf.vs(i), buf.ties(i)): Any).toArray)
+    val n = buf.size
+    val vs = java.util.Arrays.copyOf(buf.vs, n)
+    val ts = java.util.Arrays.copyOf(buf.ties, n)
+    // insertion sort, best-first (v DESC, tie ASC); k-bounded
+    var i = 1
+    while (i < n) {
+      val v = vs(i); val t = ts(i)
+      var j = i - 1
+      while (j >= 0 && Heap.worse(vs(j), ts(j), v, t)) {
+        vs(j + 1) = vs(j); ts(j + 1) = ts(j); j -= 1
+      }
+      vs(j + 1) = v; ts(j + 1) = t
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    while (i < n) { out(i) = InternalRow(vs(i), ts(i)); i += 1 }
+    new GenericArrayData(out)
   }
 
   override def serialize(buf: Heap): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.k); out.writeInt(buf.size)
+    val n = buf.size
+    val arr = new Array[Byte](8 + 16 * n)
+    val bb = java.nio.ByteBuffer.wrap(arr)
+    bb.putInt(buf.k); bb.putInt(n)
     var i = 0
-    while (i < buf.size) { out.writeDouble(buf.vs(i)); out.writeLong(buf.ties(i)); i += 1 }
-    out.flush(); bos.toByteArray
+    while (i < n) { bb.putDouble(buf.vs(i)); bb.putLong(buf.ties(i)); i += 1 }
+    arr
   }
 
   override def deserialize(bytes: Array[Byte]): Heap = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val kk = in.readInt(); val n = in.readInt()
-    val h = new Heap(kk)
-    (1 to n).foreach(_ => h.offer(in.readDouble(), in.readLong()))
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val h = new Heap(bb.getInt())
+    val n = bb.getInt()
+    var i = 0
+    while (i < n) {
+      val v = bb.getDouble(); val t = bb.getLong()
+      h.vs(i) = v; h.ties(i) = t
+      i += 1
+    }
+    h.size = n
     h
   }
 
@@ -85,33 +138,31 @@ case class TopKDescAgg(
   override def withNewInputAggBufferOffset(offset: Int): TopKDescAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
-    copy(child = c.head)
+    copy(value = c(0), tie = c(1))
   override def prettyName: String = "topk_desc"
 }
 
 object TopKDescAgg {
 
   /** Bounded min-heap on (v ASC, tie DESC) — the root is the WORST
-    * kept entry, evicted when a better (v DESC, tie ASC) one arrives. */
+    * kept entry, evicted when a better (v DESC, tie ASC) one arrives.
+    * serialize/deserialize rely on the heap property being preserved
+    * verbatim (deserialize copies the array back as-is). */
   final class Heap(val k: Int) {
     val vs = new Array[Double](k)
     val ties = new Array[Long](k)
     var size = 0
 
-    /** true when (v1,t1) orders BELOW (v2,t2) in keep-order, i.e. is
-      * worse: smaller v, or equal v and larger tie. */
-    private def worse(v1: Double, t1: Long, v2: Double, t2: Long): Boolean =
-      v1 < v2 || (v1 == v2 && t1 > t2)
-
-    def offer(v: Double, t: Long): Unit = {
+    def offer(v0: Double, t: Long): Unit = {
+      val v = if (v0 == 0.0) 0.0 else v0 // -0.0 → +0.0; NaN passes through
       if (size < k) {
         var i = size
         vs(i) = v; ties(i) = t; size += 1
         // sift up (root = worst)
-        while (i > 0 && worse(vs(i), ties(i), vs((i - 1) / 2), ties((i - 1) / 2))) {
+        while (i > 0 && Heap.worse(vs(i), ties(i), vs((i - 1) / 2), ties((i - 1) / 2))) {
           swap(i, (i - 1) / 2); i = (i - 1) / 2
         }
-      } else if (worse(vs(0), ties(0), v, t)) {
+      } else if (Heap.worse(vs(0), ties(0), v, t)) {
         vs(0) = v; ties(0) = t
         // sift down
         var i = 0
@@ -119,8 +170,8 @@ object TopKDescAgg {
         while (!done) {
           val l = 2 * i + 1; val r = 2 * i + 2
           var w = i
-          if (l < size && worse(vs(l), ties(l), vs(w), ties(w))) w = l
-          if (r < size && worse(vs(r), ties(r), vs(w), ties(w))) w = r
+          if (l < size && Heap.worse(vs(l), ties(l), vs(w), ties(w))) w = l
+          if (r < size && Heap.worse(vs(r), ties(r), vs(w), ties(w))) w = r
           if (w == i) done = true else { swap(i, w); i = w }
         }
       }
@@ -131,13 +182,25 @@ object TopKDescAgg {
       val t = ties(a); ties(a) = ties(b); ties(b) = t
     }
   }
+
+  object Heap {
+    /** true when (v1,t1) orders BELOW (v2,t2) in keep-order, i.e. is
+      * worse: smaller v, or equal v and larger tie. Total ordering via
+      * Double.compare — NaN sorts above +Inf consistently in both the
+      * heap and the final output sort. */
+    def worse(v1: Double, t1: Long, v2: Double, t2: Long): Boolean = {
+      val c = java.lang.Double.compare(v1, v2)
+      c < 0 || (c == 0 && t1 > t2)
+    }
+  }
 }
 
 object TopK {
-  /** array<struct> of the k largest (v DESC, tie ASC) input structs —
-    * `child` must be struct(doubleCol, longCol); output is sorted in
-    * rank order so posexplode yields rank = pos + 1. */
-  def topk_desc(child: Column, k: Int): Column =
+  /** array<struct<v,tie>> of the k largest (value DESC, tie ASC)
+    * pairs, sorted in rank order so posexplode yields rank = pos + 1.
+    * `value` must be a double column, `tie` a long column. */
+  def topk_desc(value: Column, tie: Column, k: Int): Column =
     ExpressionUtils.column(
-      TopKDescAgg(ExpressionUtils.expression(child), k).toAggregateExpression())
+      TopKDescAgg(ExpressionUtils.expression(value),
+        ExpressionUtils.expression(tie), k).toAggregateExpression())
 }

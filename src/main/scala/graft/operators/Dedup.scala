@@ -109,7 +109,7 @@ object Dedup {
                    threshold: Double = 0.7, seed: Long = 42L,
                    maxBucketSize: Int = 10000, useMd5: Boolean = false,
                    oph: Boolean = true,
-                   checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature table feeds FIVE consumers (bucket-size agg, the
@@ -158,7 +158,7 @@ object Dedup {
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
                    useMd5: Boolean = false, oph: Boolean = true,
-                   checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
       threshold, seed = seed, useMd5 = useMd5, oph = oph, checkpoint = checkpoint)
     val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
@@ -195,7 +195,7 @@ object Dedup {
     * maxHamming ≤ 3 by the pigeonhole over 4 bands. */
   def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3,
-                     checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): DataFrame = {
+                     checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
     // Pin the (id, fingerprint) table: it feeds FOUR consumers below
     // (distinct-fp aggregate, two expansion joins, within-fp join),
     // and without the pin each consumer re-runs the fingerprint
@@ -299,7 +299,7 @@ object Dedup {
     }
 
     var edges = canon(pairs.select(col(aCol).cast("long").as("u"),
-      col(bCol).cast("long").as("v"))).localCheckpoint()
+      col(bCol).cast("long").as("v"))).transform(graft.util.Checkpoints.pin)
 
     // Size-adaptive (same pattern as ScalableWindow, crossover measured
     // in BENCH_LOCAL.md): the canonical edge list is already
@@ -320,7 +320,7 @@ object Dedup {
       val mins = nbr.groupBy("u").agg(min("v").as("__mv"))
         .select(col("u"), least(col("u"), col("__mv")).as("__m"))
       val large = canon(nbr.join(mins, "u").filter(col("v") > col("u"))
-        .select(col("v").as("u"), col("__m").as("v"))).localCheckpoint()
+        .select(col("v").as("u"), col("__m").as("v"))).transform(graft.util.Checkpoints.pin)
 
       // small-star: connect every smaller neighbor (and u itself) to
       // the min of u's smaller neighborhood
@@ -329,7 +329,7 @@ object Dedup {
       val small = canon(
         le.join(mins2, "u").filter(col("v") =!= col("__m"))
           .select(col("v").as("u"), col("__m").as("v"))
-          .union(mins2.select(col("u"), col("__m").as("v")))).localCheckpoint()
+          .union(mins2.select(col("u"), col("__m").as("v")))).transform(graft.util.Checkpoints.pin)
 
       val smallFp = fingerprint(small)
       converged = smallFp == edgesFp
@@ -499,7 +499,7 @@ object Dedup {
                         shingleK: Int = 5, numHashes: Int = 128,
                         bands: Int = 32, seed: Long = 42L,
                         useMd5: Boolean = false, oph: Boolean = true,
-                        checkpoint: DataFrame => DataFrame = _.localCheckpoint(eager = false)): MinhashIndex = {
+                        checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // pinned for the same reason as in minhashPairs: bands + sigs are

@@ -49,12 +49,12 @@ object Graph {
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
       .distinct()
     val undirected = sym.unionAll(sym.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.pin)
     val deg = undirected.groupBy("u").agg(count(lit(1)).as("degree"))
     val all = nodes.select(col(nodeCol).cast("long").as("u")).distinct()
       .join(deg, Seq("u"), "left_outer")
       .select(col("u"), coalesce(col("degree"), lit(0L)).as("degree"))
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.pin)
 
     var ranks = all.select(col("u"), lit(1000000L).as("pr"))
     (1 to iters).foreach { _ =>
@@ -66,7 +66,7 @@ object Graph {
         .join(contrib, Seq("u"), "left_outer")
         .select(col("u"),
           (lit(150000L) + expr("85 * coalesce(__s, 0L) div 100")).as("pr"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.pin)
     }
     all.join(ranks, Seq("u"))
       .select(col("u").as("node"), col("degree"), col("pr"))

@@ -31,23 +31,56 @@ import org.apache.spark.sql.functions._
   */
 object ScalableWindow {
 
+  /** Default checkpoint strategy for the two-pass window scheme
+    * (pins the sampled range boundaries — see [[groupRowNumber]]):
+    * `localCheckpoint()` (executor-memory blocks, fastest) unless
+    * `graft.checkpoint.reliable=true`, which switches EVERY consumer
+    * — Bench, Verify, the query packs, the server — to reliable
+    * `df.checkpoint()`, recoverable from storage after executor loss.
+    * The checkpoint location comes from `graft.checkpoint.dir` if the
+    * SparkContext doesn't already have one (point it at HDFS/object
+    * storage on a cluster). One switch, all call sites. */
+  def defaultCheckpoint(df: DataFrame): DataFrame =
+    graft.util.Checkpoints.pin(df)
+
+  /** Size-adaptive arm switch for [[groupRowNumber]] /
+    * [[groupedPrefixSum]] (same pattern as [[exactPercentiles]]):
+    * below the limit the plain window operator wins — the distributed
+    * scheme's range-repartition + checkpoint + broadcast-back costs a
+    * flat ~1–2 s that dominates small inputs (r6: text_cap_per_source
+    * 5.4× and text_shuffle_shard 3.4× vs DuckDB at sf10, pure
+    * constant). Catalog stats only, no extra job. Conservative by
+    * construction: the hazard is the largest GROUP in one task, and
+    * whole-input ≤ limit bounds every group. Tunable via
+    * `graft.window.singleTaskLimitBytes` (default 256 MiB ≈ a few
+    * seconds of single-task sort worst-case, the break-even band). */
+  private def smallInput(df: DataFrame): Boolean = {
+    val limit = df.sparkSession.conf
+      .getOption("graft.window.singleTaskLimitBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit)
+  }
+
   /** Adds `out` = 1-based global row number of each row within its
     * group, ordered by orderCols (which must be non-null and unique
     * per group for rank-family semantics to hold).
     *
     * `checkpoint` pins the ranged partitioning (see the comment at the
-    * call site). The default, `localCheckpoint`, stores blocks on
-    * executors — fastest, but a lost executor forces a recompute that
-    * would re-sample the range boundaries and shear the offsets. On a
-    * cluster job that must survive executor loss, pass a RELIABLE
-    * variant instead, e.g. `df => df.checkpoint()` (after
-    * `sparkContext.setCheckpointDir` on HDFS/object storage): same
-    * pinned boundaries, recoverable from storage. */
+    * call site). The default routes through
+    * [[graft.util.Checkpoints.pin]]: `localCheckpoint` normally, or
+    * reliable `df.checkpoint()` when `graft.checkpoint.reliable=true`
+    * — the cluster-survivability switch, one config for every
+    * consumer. A custom function can still be passed explicitly. */
   def groupRowNumber(df: DataFrame, groupCols: Seq[String],
                      orderCols: Seq[String], out: String,
                      numPartitions: Int,
-                     checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+                     checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (smallInput(df)) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+      return df.withColumn(out, row_number().over(w).cast("long"))
+    }
     val keyCols = (groupCols ++ orderCols).map(col)
     val (pid, lrn, off, cnt) = ("__gw_pid", "__gw_lrn", "__gw_off", "__gw_n")
     // Materialized ONCE: repartitionByRange samples its boundaries
@@ -88,8 +121,14 @@ object ScalableWindow {
   def groupedPrefixSum(df: DataFrame, groupCols: Seq[String],
                        orderCols: Seq[String], valCol: String, out: String,
                        numPartitions: Int,
-                       checkpoint: DataFrame => DataFrame = _.localCheckpoint()): DataFrame = {
+                       checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    if (smallInput(df)) {
+      val w = Window.partitionBy(groupCols.map(col): _*)
+        .orderBy(orderCols.map(col): _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      return df.withColumn(out, sum(col(valCol)).over(w))
+    }
     val keyCols = (groupCols ++ orderCols).map(col)
     val (pid, ls, off, tot) = ("__ps_pid", "__ps_ls", "__ps_off", "__ps_t")
     val ranged = checkpoint(
@@ -267,18 +306,32 @@ object ScalableWindow {
     * poorly only across groups); use this when groups are many or
     * the fact table is huge.
     *
+    * The input is repartitioned on the group keys FIRST, so both
+    * aggregate phases run in one post-shuffle stage. In this
+    * operator's regime (scattered many-group input) a map-side
+    * partial compresses almost nothing — each map partition still
+    * sees most groups once — but pays a heap serialize/deserialize
+    * per (partition × group): measured at sf10 (15M rows, 1.5M
+    * groups, k=3) 7.5 s two-phase vs 5.0 s repartition-first. The
+    * shuffle moves raw (key, v, tie) rows either way; row count is
+    * the same, payloads are a few bytes wider, object churn drops
+    * ~8×. If a use case ever has rows/group ≫ cluster partition
+    * count, the plain two-phase groupBy is the better call — use the
+    * window form or a direct groupBy there.
+    *
     * Output: groupCols ++ (valCol, tieCol, `out` rank 1..k).
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], valCol: String,
                    tieCol: String, k: Int, out: String): DataFrame = {
-    val tk = df.groupBy(groupCols.map(col): _*)
+    val tk = df.repartition(groupCols.map(col): _*)
+      .groupBy(groupCols.map(col): _*)
       .agg(graft.functions.TopK.topk_desc(
-        struct(col(valCol), col(tieCol)), k).as("__tk"))
+        col(valCol), col(tieCol), k).as("__tk"))
     tk.select(groupCols.map(col) :+
         posexplode(col("__tk")).as(Seq("__p", "__r")): _*)
       .select(groupCols.map(col) ++ Seq(
-        col("__r")(valCol).as(valCol),
-        col("__r")(tieCol).as(tieCol),
+        col("__r")("v").as(valCol),
+        col("__r")("tie").as(tieCol),
         (col("__p") + 1).cast("long").as(out)): _*)
   }
 }

@@ -70,7 +70,7 @@ object TextPipeline {
       explode(Dedup.wordShingles(Dedup.tokens(col(textCol)), n)).as("__g"))
     // materialized once, consumed by the count, the bitset build and
     // the verify join
-    val evalGrams = grams(eval_).select("__g").distinct().localCheckpoint()
+    val evalGrams = grams(eval_).select("__g").distinct().transform(graft.util.Checkpoints.pin)
     val nKeys = math.max(1L, evalGrams.count())
     val mBits = java.lang.Long.highestOneBit(
       math.max(64L, nKeys * bitsPerKey) * 2 - 1)
@@ -294,7 +294,7 @@ object TextPipeline {
                        out: String, numPartitions: Int): DataFrame = {
     val ranged = df.repartitionByRange(numPartitions, col(orderCol))
       .withColumn("__pp_pid", spark_partition_id())
-      .localCheckpoint()
+      .transform(graft.util.Checkpoints.pin)
     val wLocal = Window.partitionBy("__pp_pid").orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = ranged.withColumn("__pp_ls",
@@ -400,9 +400,23 @@ object TextPipeline {
     */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
-    val words = docs.select(col(idCol),
-      explode(split(lower(col(textCol)), " ")).as("word"))
-    val tf = words.groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    // Per-doc counting fused into one byte walk (WordCounts): the
+    // explode form shuffled one row per TOKEN into groupBy(doc, word);
+    // here tf is computed row-locally and the first shuffle is already
+    // (doc, distinct-word) sized — the BM25 TermCounts lesson applied
+    // to the open-vocabulary case (r6: 2.18× DuckDB at sf1, explode
+    // was the cost).
+    // The explicit repartition(word) makes BOTH consumers — the df
+    // aggregate and the join probe — branch from ONE exchange
+    // (ReusedExchange), so the kernel+scan run once instead of twice;
+    // it is also the plan that holds when the vocabulary outgrows a
+    // broadcast (open web text), where AQE's broadcast conversion
+    // can't save the second pass.
+    val tf = docs.select(col(idCol),
+        explode(graft.functions.NativeExpressions.word_counts(col(textCol)))
+          .as("__wc"))
+      .select(col(idCol), col("__wc.word").as("word"), col("__wc.tf").as("tf"))
+      .repartition(col("word"))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("__n"))
     val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
@@ -714,7 +728,7 @@ object TextPipeline {
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .select(col("w"), col("c"), ne.codepoint_split(col("w")).as("sym"))
-      .localCheckpoint(eager = false)
+      .transform(graft.util.Checkpoints.pinLazy)
     val spark = corpus.sparkSession
     lazy val spillDir: String = spillPath.getOrElse(
       java.nio.file.Files.createTempDirectory("graft_bpe_spill").toString)
@@ -778,7 +792,7 @@ object TextPipeline {
           val p = s"$spillDir/round_$round"
           words.write.mode("overwrite").parquet(p)
           words = spark.read.parquet(p)
-        } else words = words.localCheckpoint(eager = false)
+        } else words = words.transform(graft.util.Checkpoints.pinLazy)
       }
     }
     (words, merges.toSeq)

@@ -416,7 +416,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val stamped =
       if (df.columns.contains(idCol)) df
       else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
-    val batch = stamped.localCheckpoint()
+    val batch = stamped.transform(graft.util.Checkpoints.pin)
     val dir = dedupIndexDir(db, table)
     val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
     val haveIndex = Files.exists(bandsPath)
@@ -460,7 +460,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         (col("__ix_dup") || col("__bg") =!= col(idCol)).as("__is_dup"),
         coalesce(col("__ix_of"),
           when(col("__bg") =!= col(idCol), col("__bg"))).as("__dup_of"))
-    val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val tagged = batch.join(verdicts, Seq(idCol)).transform(graft.util.Checkpoints.pin)
     val survivors = tagged.filter(!col("__is_dup"))
 
     // TABLE append happens BEFORE the index append: if the worker dies
@@ -517,7 +517,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val stamped =
       if (df.columns.contains(idCol)) df
       else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
-    val batch = stamped.localCheckpoint()
+    val batch = stamped.transform(graft.util.Checkpoints.pin)
     val dir = dedupIndexDir(db, table)
     val (vecsPath, centsPath) = (dir.resolve("vecs"), dir.resolve("centroids"))
     val haveIndex = Files.exists(centsPath)
@@ -534,7 +534,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       if (haveIndex) spark.read.parquet(centsPath.toString)
       else parsed.orderBy(idCol).limit(centroidCap)
         .select(col(idCol).as("centroid_id"), col("__vec").as("centroid_vec"))
-        .localCheckpoint()
+        .transform(graft.util.Checkpoints.pin)
     val cos = graft.operators.Similarity.cosine(_, _)
 
     val indexVerdicts =
@@ -573,7 +573,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         (col("__ix_dup") || col("__bg") =!= col(idCol)).as("__is_dup"),
         coalesce(col("__ix_of"),
           when(col("__bg") =!= col(idCol), col("__bg"))).as("__dup_of"))
-    val tagged = batch.join(verdicts, Seq(idCol)).localCheckpoint()
+    val tagged = batch.join(verdicts, Seq(idCol)).transform(graft.util.Checkpoints.pin)
     val survivors = tagged.filter(!col("__is_dup"))
 
     // same crash-ordering rule as the minhash path: table first, index

@@ -46,6 +46,54 @@ object Profile {
           t(label)(noop(
             graft.operators.ScalableWindow.analyticRankQuery(li, limit)))
         }
+      case "qualify" =>
+        // break q_qualify's residual into scan / heap-agg / explode
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        spark.conf.set(
+          "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        val orders = graft.Tables.load(spark, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        println(s"[prof] rows=${orders.count()} dir=$dir")
+        for (round <- 0 to 2) {
+          val pre = if (round == 0) "warm_" else s"r$round "
+          t(pre + "scan")(noop(orders))
+          t(pre + "agg_only")(noop(
+            orders.groupBy(col("o_custkey"))
+              .agg(graft.functions.TopK.topk_desc(
+                col("o_totalprice"), col("o_orderkey"), 3).as("__tk"))))
+          t(pre + "agg_pre_repart")(noop(
+            orders.repartition(col("o_custkey"))
+              .groupBy(col("o_custkey"))
+              .agg(graft.functions.TopK.topk_desc(
+                col("o_totalprice"), col("o_orderkey"), 3).as("__tk"))))
+          t(pre + "full")(noop(graft.operators.ScalableWindow.topKPerGroup(
+            orders, Seq("o_custkey"), "o_totalprice", "o_orderkey", 3, "rn")))
+          t(pre + "window_form")(noop {
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy("o_custkey")
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            orders.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          })
+        }
+      case "tfidf" =>
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+        val docs = graft.Tables.load(spark, dir, "documents")
+        println(s"[prof] docs=${docs.count()}")
+        for (round <- 0 to 2) {
+          val pre = if (round == 0) "warm_" else s"r$round "
+          t(pre + "scan_text")(noop(docs.select("doc_id", "text")))
+          t(pre + "kernel_explode")(noop(docs.select(col("doc_id"),
+            explode(graft.functions.NativeExpressions.word_counts(col("text")))
+              .as("__wc"))))
+          t(pre + "full")(noop(graft.operators.TextPipeline.tfidfTopTerms(
+            docs, "doc_id", "text", 5)))
+        }
+        val q = graft.operators.TextPipeline.tfidfTopTerms(docs, "doc_id", "text", 5)
+        noop(q)
+        println(q.queryExecution.executedPlan.toString.linesIterator
+          .map(l => s"[prof] $l").mkString("\n"))
       case other => sys.error(s"unknown profile: $other")
     }
     spark.stop()

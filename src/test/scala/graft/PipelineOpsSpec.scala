@@ -908,6 +908,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(run() == got, "shuffle order must be run-independent")
   }
 
+  test("word_counts kernel: exact multiset of split(lower, ' '), empty tokens included") {
+    // The open-vocabulary counting kernel must agree with the SQL form
+    // on every edge: doubled/leading/trailing spaces (empty tokens),
+    // case folding, unicode, single-word docs.
+    val texts = Seq(
+      "The quick brown fox the THE  fox", // doubled space → empty token
+      " leading and trailing ",
+      "",
+      "solo",
+      "Ünïcode ünïcode ÜNÏCODE mixé")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val kernel = df.select(col("doc_id"),
+        explode(graft.functions.NativeExpressions.word_counts(col("text")))
+          .as("__wc"))
+      .select(col("doc_id"), col("__wc.word").as("word"), col("__wc.tf").as("tf"))
+    val reference = df.select(col("doc_id"),
+        explode(split(lower(col("text")), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    assert(kernel.exceptAll(reference).count() == 0 &&
+      reference.exceptAll(kernel).count() == 0,
+      "kernel counts must equal the split+groupBy form")
+  }
+
   test("fuzzyContaminationHits: near-identical eval doc flagged, unrelated not; worst hit wins ties by id") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "zz" else s"w$i").mkString(" ")

@@ -185,8 +185,13 @@ class PlanPropertiesSpec extends SparkTestBase {
     // source ALONE would be the single-task-per-source 100 TB failure
     // mode (the range exchange itself sits above the localCheckpoint,
     // so the downstream plan shows the pinned `scan existingrdd`)
-    val mix = SparkEntry.queries("text_token_budget_mix")(spark, dir)
-    val mixPlan = mix.queryExecution.executedPlan.toString
+    // force the distributed arm — at spec scale the size-adaptive
+    // switch would (correctly) take the plain window
+    spark.conf.set("graft.window.singleTaskLimitBytes", "0")
+    val mixPlan =
+      try SparkEntry.queries("text_token_budget_mix")(spark, dir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("graft.window.singleTaskLimitBytes")
     assert(mixPlan.contains("windowspecdefinition(__ps_pid"),
       s"token budget mix lost its partition-local window:\n$mixPlan")
   }

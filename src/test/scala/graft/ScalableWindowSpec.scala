@@ -18,10 +18,17 @@ class ScalableWindowSpec extends SparkTestBase {
       .repartition(8)
   }
 
+  /** Force the distributed arm (the size-adaptive switch would take
+    * the plain window at spec scale). */
+  private def distributedArm[T](body: => T): T = {
+    spark.conf.set("graft.window.singleTaskLimitBytes", "0")
+    try body finally spark.conf.unset("graft.window.singleTaskLimitBytes")
+  }
+
   test("groupRowNumber: dense 1..n per group, order respected") {
     val df = corpus
-    val rn = ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
-      Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8)
+    val rn = distributedArm(ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8))
     val byGroup = rn.groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), min("rn").as("mn"), max("rn").as("mx"),
         countDistinct("rn").as("d"))
@@ -40,11 +47,32 @@ class ScalableWindowSpec extends SparkTestBase {
     assert(viol == 0, "consecutive row numbers follow the sort order")
   }
 
+  test("size-adaptive arm: plain window under the limit, distributed above, equal results") {
+    val df = corpus
+    val args = (Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8)
+    // spec-scale input is far below the default 256 MiB limit → the
+    // small arm: a single plain Window, no range exchange
+    val small = ScalableWindow.groupRowNumber(df, args._1, args._2, args._3, args._4)
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("__gw_pid") && !smallPlan.contains("RangePartitioning"),
+      s"small arm must be the plain window:\n$smallPlan")
+    // forced-big (limit 0) → the distributed two-pass scheme
+    val big = distributedArm(
+      ScalableWindow.groupRowNumber(df, args._1, args._2, args._3, args._4))
+    assert(big.queryExecution.executedPlan.toString.contains("__gw_pid"),
+      "distributed arm must be the two-pass scheme")
+    val key = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val diff = small.select((key :+ "rn").map(col): _*)
+      .exceptAll(big.select((key :+ "rn").map(col): _*)).count()
+    assert(diff == 0, "both arms must agree row-for-row")
+  }
+
   test("groupedPrefixSum equals the single-task window form") {
     import org.apache.spark.sql.expressions.Window
     val df = corpus.withColumn("v", (col("l_orderkey") % 13 + 1).cast("long"))
-    val got = ScalableWindow.groupedPrefixSum(df, Seq("l_returnflag"),
-      Seq("l_quantity", "l_orderkey", "l_linenumber"), "v", "cum", 8)
+    val got = distributedArm(ScalableWindow.groupedPrefixSum(df, Seq("l_returnflag"),
+      Seq("l_quantity", "l_orderkey", "l_linenumber"), "v", "cum", 8))
     val w = Window.partitionBy("l_returnflag")
       .orderBy("l_quantity", "l_orderkey", "l_linenumber")
       .rowsBetween(Window.unboundedPreceding, 0)
@@ -102,9 +130,9 @@ class ScalableWindowSpec extends SparkTestBase {
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(ckpt)
     val df = corpus
-    val rn = ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
+    val rn = distributedArm(ScalableWindow.groupRowNumber(df, Seq("l_returnflag"),
       Seq("l_quantity", "l_orderkey", "l_linenumber"), "rn", 8,
-      checkpoint = d => d.checkpoint())
+      checkpoint = d => d.checkpoint()))
     val first = rn.collect().map(_.toSeq).toSet
     // simulate executor-loss-and-recompute: drop every cached block
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -116,6 +144,38 @@ class ScalableWindowSpec extends SparkTestBase {
     dense.foreach { r =>
       assert(r.getAs[Long]("mn") == 1L && r.getAs[Long]("mx") == r.getAs[Long]("n")
         && r.getAs[Long]("d") == r.getAs[Long]("n"), s"dense per group: $r")
+    }
+  }
+
+  test("graft.checkpoint.reliable=true flips every consumer to reliable checkpoints") {
+    // One config switch: the default checkpoint seam
+    // (graft.util.Checkpoints.pin) must write to the checkpoint dir
+    // instead of executor-local blocks, with identical results.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-rel-ckpt").toString
+    spark.conf.set("graft.checkpoint.reliable", "true")
+    spark.conf.set("graft.checkpoint.dir", ckpt)
+    def filesUnder(dir: String): Long =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(
+          new java.net.URI(dir).getPath match { case "" | null => dir; case p => p }))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+    try {
+      // a prior test may already have set a context checkpoint dir —
+      // the seam keeps it; baseline BEFORE construction (the eager
+      // checkpoint fires while the plan is built)
+      val preexisting = spark.sparkContext.getCheckpointDir
+      val before = preexisting.map(filesUnder).getOrElse(0L)
+      val rn = distributedArm(ScalableWindow.groupRowNumber(corpus,
+        Seq("l_returnflag"), Seq("l_quantity", "l_orderkey", "l_linenumber"),
+        "rn", 8))
+      val effective = spark.sparkContext.getCheckpointDir.getOrElse(ckpt)
+      val written = filesUnder(effective)
+      assert(written > before, "reliable checkpoint must persist to the checkpoint dir")
+      val dense = rn.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), countDistinct("rn").as("d")).collect()
+      dense.foreach(r => assert(r.getAs[Long]("d") == r.getAs[Long]("n")))
+    } finally {
+      spark.conf.unset("graft.checkpoint.reliable")
+      spark.conf.unset("graft.checkpoint.dir")
     }
   }
 
