@@ -47,7 +47,22 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // SPARK_GRAFT_GC=1: per-query GC time + heap deltas on stderr
+    // (stdout keeps the one-line driver contract). Used to pin the
+    // in-sweep-vs-isolated gap mechanism for the heavy dedup queries.
+    val traceGc = sys.env.contains("SPARK_GRAFT_GC")
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    def heapUsedMb: Long =
+      java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+
     def materialize(name: String): Double = {
+      val gc0 = if (traceGc) gcMillis else 0L
+      val h0 = if (traceGc) heapUsedMb else 0L
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -55,7 +70,18 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (traceGc)
+        System.err.println(f"[gc] $name wall=$dt%.2f gcSec=${(gcMillis - gc0) / 1e3}%.2f " +
+          f"heapBeforeMb=$h0 heapAfterMb=$heapUsedMb")
+      // Queries are self-contained: drop any lazily-pinned checkpoint
+      // blocks the query left behind so they can't crowd the next
+      // query's unified memory (r7 measurement: 20 GB of residue from
+      // a heavy predecessor made dedup_minhash 1.25× slower in-session
+      // vs isolated; GC itself was <1% of wall either way).
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      dt
     }
 
     // Optional args: bench only these queries (fast iteration).

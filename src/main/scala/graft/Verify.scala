@@ -40,6 +40,11 @@ object Verify {
         val out = graft.util.Canon.normalizeNegZero(fn(spark, sfDir))
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         schemas(name) = out.schema
+        // drop lazily-pinned checkpoint blocks between queries — they
+        // otherwise accumulate across the 169-query dump and crowd
+        // execution memory (see Bench for the measurement)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"

@@ -30,6 +30,12 @@ import java.math.BigInteger
   * path directly). The final values are emitted as decimal(38,0), so
   * the downstream double casts see the same exact integers DuckDB's
   * HUGEINT sums produce.
+  *
+  * Input hygiene: a NULL vector is skipped (standard aggregate
+  * null-semantics — a SQL oracle must count with count(v), not
+  * count(*), if nullable embeddings ever appear); a ragged vector
+  * (fewer than `dim` elements) throws rather than silently skewing
+  * the denominators.
   */
 case class GramMatrixAgg(
     child: Expression,
@@ -55,7 +61,13 @@ case class GramMatrixAgg(
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
-      if (a.numElements() >= dim) {
+      // Fail FAST on a ragged vector: silently excluding it from n
+      // while a SQL oracle's count(*) still counts the row would skew
+      // every covariance denominator — make the divergence loud.
+      if (a.numElements() < dim) {
+        throw new IllegalArgumentException(
+          s"gram_matrix: vector has ${a.numElements()} elements, needs >= $dim")
+      } else {
         // quantize exactly like round(x * 1e6, 0).cast("long"):
         // double multiply, BigDecimal HALF_UP at scale 0, long cast
         val q = new Array[Long](dim)

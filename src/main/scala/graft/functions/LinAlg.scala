@@ -42,11 +42,16 @@ object LinAlg {
           if (math.abs(apq) > 1e-300) {
             // classic two-sided rotation zeroing a(p)(q)
             val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
-            val t = math.signum(theta) /
-              (math.abs(theta) + math.sqrt(theta * theta + 1)) match {
-                case 0.0 => 1.0 // theta == 0 → 45° rotation
-                case x => x
-              }
+            // |theta| > ~1.3e154 overflows theta² to Infinity, which
+            // would collapse the quotient to 0.0 and (in the old
+            // `case 0.0 => 1.0` form) mis-rotate 45° where a near-zero
+            // rotation was meant; use the asymptotic tan ≈ 1/(2θ)
+            // there and reserve the 45° case for a true zero.
+            val t =
+              if (theta == 0.0) 1.0 // 45° rotation
+              else if (math.abs(theta) > 1e150) 1 / (2 * theta)
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1))
             val c = 1 / math.sqrt(t * t + 1)
             val s = t * c
             var k = 0

@@ -78,6 +78,18 @@ class PcaSpec extends SparkTestBase {
     assert(math.abs(cov((1L, 2L)) - 4.0 / 3) < 1e-5)
   }
 
+  test("gram_matrix fails fast on a ragged vector instead of skewing denominators") {
+    val df = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(3.0f))) // second is ragged
+      .toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.covarianceUpper(df, "embedding", dim = 2).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("") +:
+        Option(t.getCause).map(rootMsg).toSeq).mkString(" | ")
+    assert(rootMsg(ex).contains("gram_matrix"), s"got: ${rootMsg(ex)}")
+  }
+
   test("rrfFuse: exact scores and ordering on a hand fixture") {
     val lex = Seq((10L, 9.0, 1L), (20L, 8.0, 2L), (30L, 7.0, 3L))
       .toDF("doc_id", "score", "rnk")
