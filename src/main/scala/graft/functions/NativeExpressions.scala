@@ -276,6 +276,107 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Distinct k-word shingle HASHES of a raw text column — the fused
+    * form of `xxhash64(explode(word_shingles(split(lower(text),
+    * "\\s+"), k)))`'s per-doc stage: one lowercase pass plus one byte
+    * walk, no token array, no concatenated shingle strings, no
+    * per-shingle UTF8String garbage. The hashes are INTERNAL join
+    * keys only (never output), so the function family is free as long
+    * as equal shingle strings map to equal hashes: per-word FNV-1a 64
+    * chained order-dependently and finished with a murmur3 avalanche.
+    * Join-key collision exposure is the same as the xxhash64 path it
+    * replaces (~|shingles|²/2⁶⁴).
+    *
+    * Tokenization replicates `split(lower(text), "\\s+")` (Java limit
+    * -1) exactly: separator = maximal ASCII-whitespace run, a leading
+    * or trailing run yields an empty edge token, empty text is one
+    * empty token. Short docs (< k tokens) hash the whole token list as
+    * a single shingle, like [[WordShingles]]. */
+  case class ShingleHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    private def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+    private final val FnvBasis = 0xcbf29ce484222325L
+    private final val FnvPrime = 0x100000001b3L
+
+    private def fmix64(h0: Long): Long = {
+      var h = h0
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+      h ^ (h >>> 33)
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      // per-token FNV-1a hashes, split(\s+, -1) boundary semantics
+      var whs = new Array[Long](16)
+      var nt = 0
+      def addWord(h: Long): Unit = {
+        if (nt == whs.length) whs = java.util.Arrays.copyOf(whs, nt * 2)
+        whs(nt) = h; nt += 1
+      }
+      var segStart = 0
+      var i = 0
+      while (i < n) {
+        if (isWs(b(i))) {
+          var h = FnvBasis
+          var j = segStart
+          while (j < i) { h = (h ^ (b(j) & 0xffL)) * FnvPrime; j += 1 }
+          addWord(h)
+          while (i < n && isWs(b(i))) i += 1
+          segStart = i
+        } else i += 1
+      }
+      { // final piece — empty iff the text ends in whitespace (or is empty)
+        var h = FnvBasis
+        var j = segStart
+        while (j < n) { h = (h ^ (b(j) & 0xffL)) * FnvPrime; j += 1 }
+        addWord(h)
+      }
+      val nWin = if (nt >= k) nt - k + 1 else 1
+      // distinct via open addressing; 0 is the empty-slot sentinel
+      // (a real hash of 0 is remapped — bias 2⁻⁶⁴, join-safe)
+      val cap = Integer.highestOneBit(math.max(8, nWin * 2) * 2 - 1)
+      val mask = cap - 1
+      val set = new Array[Long](cap)
+      var distinct = 0
+      def add(h0: Long): Unit = {
+        val h = if (h0 == 0L) 1L else h0
+        var slot = (h.toInt ^ (h >>> 32).toInt) & mask
+        while (set(slot) != 0L && set(slot) != h) slot = (slot + 1) & mask
+        if (set(slot) == 0L) { set(slot) = h; distinct += 1 }
+      }
+      if (nt >= k) {
+        var s = 0
+        while (s < nWin) {
+          var h = FnvBasis
+          var j = 0
+          while (j < k) { h = (h ^ whs(s + j)) * FnvPrime; j += 1 }
+          add(fmix64(h))
+          s += 1
+        }
+      } else {
+        var h = FnvBasis
+        var j = 0
+        while (j < nt) { h = (h ^ whs(j)) * FnvPrime; j += 1 }
+        add(fmix64(h))
+      }
+      val out = new Array[Long](distinct)
+      var r = 0
+      i = 0
+      while (i < cap) {
+        if (set(i) != 0L) { out(r) = set(i); r += 1 }
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
     * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
     * sequence, so byte-space count == char-space count). The length-
@@ -1520,6 +1621,8 @@ object NativeExpressions {
     ExpressionUtils.column(WordShingles(ExpressionUtils.expression(tokens), k))
   def word_shingles_all(tokens: Column, k: Int): Column =
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
+  def shingle_hashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), k))
   def classifier_score(tokens: Column): Column =
     ExpressionUtils.column(ClassifierScore(ExpressionUtils.expression(tokens)))
   def space_token_count(text: Column): Column =

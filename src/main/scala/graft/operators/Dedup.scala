@@ -398,23 +398,36 @@ object Dedup {
     * Jaccard and [[containmentPairs]] into directed containment. */
   private def shingleIntersections(df: DataFrame, idCol: String, textCol: String,
                                    shingleK: Int, maxShingleFreq: Int): DataFrame = {
-    // set_size rides along with each exploded shingle (row-local, the
-    // shingle array is already distinct), so pair rows carry both set
-    // sizes out of the self-join — no separate size joins at all
-    // join key is the shingle's 64-bit hash, not the string: smaller
-    // shuffle, faster compares (collision odds ~|shingles|²/2⁶⁴)
+    // One corpus pass, two shuffles — the minimum for this operator:
+    //   1. shingle stream (doc, set_size, hash), hashes computed
+    //      row-local by the fused ShingleHashes byte walk (no token
+    //      array, no shingle strings — internal 64-bit join keys);
+    //   2. pair stream out of the per-shingle capped-collect agg.
+    // The previous shape (count per shingle → filter rare → re-join →
+    // self-join) paid a SECOND tokenize+shingle scan of the corpus and
+    // a third shuffle for the frequency filter; ShinglePairsAgg folds
+    // the cap into cap-bounded aggregation state instead (boilerplate
+    // shingles flip to overflow and emit nothing — state stays ≤
+    // 16·cap bytes however frequent the shingle). set_size rides along
+    // with each exploded shingle so pair rows carry both set sizes out
+    // of the aggregate — no size joins.
+    //
+    // repartition-first (single post-shuffle agg phase) for the same
+    // measured reason as ScalableWindow.topKPerGroup: shingle groups
+    // are many and scattered (most have 1-2 members), a map-side
+    // partial compresses ~nothing but pays an object-state
+    // serialize/deserialize per (partition × group).
     val sh = df.select(col(idCol).as("doc"),
-      wordShingles(tokens(col(textCol)), shingleK).as("__sh"))
+      graft.functions.NativeExpressions.shingle_hashes(col(textCol), shingleK).as("__sh"))
       .select(col("doc"), size(col("__sh")).cast("long").as("set_size"),
-        explode(col("__sh")).as("__s"))
-      .select(col("doc"), col("set_size"), xxhash64(col("__s")).as("s"))
-    val rare = sh.groupBy("s").agg(count(lit(1)).as("__f"))
-      .filter(col("__f") <= maxShingleFreq).select("s")
-    val blocked = sh.join(rare, "s")
-    blocked
-      .select(col("s"), col("doc").as("doc_a"), col("set_size").as("size_a"))
-      .join(blocked.select(col("s"), col("doc").as("doc_b"), col("set_size").as("size_b")), "s")
-      .filter(col("doc_a") < col("doc_b"))
+        explode(col("__sh")).as("s"))
+    sh.repartition(col("s"))
+      .groupBy("s")
+      .agg(graft.functions.ShinglePairs.shingle_pairs(
+        col("doc"), col("set_size"), maxShingleFreq).as("__p"))
+      .select(explode(col("__p")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.size_a").as("size_a"), col("p.size_b").as("size_b"))
       .groupBy("doc_a", "doc_b", "size_a", "size_b").agg(count(lit(1)).as("n_common"))
   }
 

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NativeExpressions
+import graft.operators.Dedup
+
+/** The fused shingle kernel ([[NativeExpressions.ShingleHashes]] +
+  * [[graft.functions.ShinglePairsAgg]]) must reproduce the string-path
+  * semantics it replaced: tokenization = split(lower(text), "\\s+")
+  * with Java limit -1 (leading/trailing-whitespace edge tokens kept),
+  * distinct k-shingles, short-doc whole-text fallback, and the global
+  * frequency cap excluding boilerplate shingles. */
+class ShinglePairsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val trickyTexts = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "  leading whitespace here with plenty of words to shingle",
+    "trailing whitespace after these several shingle words  ",
+    "\tmixed\nwhitespace\r kinds separate these seven words fine",
+    "double  spaces  between  every  word  pair  here",
+    "short doc", // < k tokens → whole-doc fallback shingle
+    "", // empty text → one empty token → one fallback shingle
+    "   ", // all-whitespace → two empty edge tokens
+    "UPPER Case MiXeD letters lower the SAME way always",
+    "repeat repeat repeat repeat repeat repeat repeat repeat" // dup shingles collapse
+  )
+
+  test("ShingleHashes: distinct count matches the split+word_shingles string path") {
+    val df = trickyTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        size(NativeExpressions.shingle_hashes(col("text"), 5)).as("n_hash"),
+        size(NativeExpressions.word_shingles(
+          split(lower(col("text")), "\\s+"), 5)).as("n_str"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"doc ${r.getLong(0)} '${trickyTexts(r.getLong(0).toInt)}': " +
+          s"hash-path ${r.getInt(1)} != string-path ${r.getInt(2)}")
+    }
+  }
+
+  test("ShingleHashes: equal shingle strings hash equal across docs (pair intersections match)") {
+    // doc pairs sharing exact word windows; intersection sizes computed
+    // independently over the string shingles must match n_common from
+    // the fused pair pipeline
+    val texts = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "alpha beta gamma delta epsilon zeta different tail words here",
+      3L -> "totally unrelated content with no overlap at all whatsoever now",
+      4L -> "  alpha beta gamma delta epsilon zeta eta theta iota kappa" // leading ws shifts tokens
+    )
+    val df = texts.toDF("doc_id", "text")
+    val expected = {
+      val sh = texts.map { case (id, t) =>
+        id -> t.split("\\s+", -1).map(_.toLowerCase).sliding(5).map(_.mkString(" ")).toSet
+      }.toMap
+      (for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        common = (sa intersect sb).size if common > 0
+      } yield (a, b) -> common).toMap
+    }
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text",
+        shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, s"got $got expected $expected")
+  }
+
+  test("shingle_pairs: frequency cap excludes boilerplate buckets, keeps exactly-at-cap") {
+    val rows = Seq(
+      (10L, 5L, "common"), (11L, 6L, "common"), (12L, 7L, "common"), // freq 3
+      (20L, 3L, "pairish"), (21L, 4L, "pairish"), // freq 2
+      (30L, 9L, "lonely")) // freq 1 → no pairs
+      .toDF("doc", "set_size", "s")
+    def pairsAtCap(cap: Int): Set[(Long, Long, Long, Long)] =
+      rows.groupBy("s")
+        .agg(graft.functions.ShinglePairs.shingle_pairs(
+          col("doc"), col("set_size"), cap).as("p"))
+        .select(explode(col("p")).as("p")).select("p.*")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // cap 3: the freq-3 bucket is AT cap → kept (3 pairs), plus the pair bucket
+    assert(pairsAtCap(3) == Set(
+      (10L, 11L, 5L, 6L), (10L, 12L, 5L, 7L), (11L, 12L, 6L, 7L),
+      (20L, 21L, 3L, 4L)))
+    // cap 2: freq-3 bucket overflows → only the pair bucket remains
+    assert(pairsAtCap(2) == Set((20L, 21L, 3L, 4L)))
+  }
+
+  test("shingle_pairs: merge propagates overflow across partials") {
+    // force many partitions so partial buffers merge; a 5-member
+    // bucket over cap 4 must vanish regardless of partial layout
+    val rows = (0 until 5).map(i => (i.toLong, i.toLong + 100, "hot")).toDF("doc", "set_size", "s")
+      .repartition(5)
+    val out = rows.groupBy("s")
+      .agg(graft.functions.ShinglePairs.shingle_pairs(col("doc"), col("set_size"), 4).as("p"))
+      .select(explode(col("p")).as("p"))
+      .count()
+    assert(out == 0L, "overflowed bucket must emit nothing")
+  }
+}
