@@ -20,6 +20,20 @@ import java.nio.charset.StandardCharsets
   * the sf0.1 corpus and removes the explode+wide-agg shuffle from the
   * MinHash path entirely.
   */
+/** Shared 64-bit mixing for the internal-hash kernels (ShingleHashes,
+  * TokenHashes, BigramHashes): murmur3's fmix64 avalanche over chained
+  * FNV-1a words. These hashes are join/count keys only — never output —
+  * so the family is interchangeable as long as equal strings map to
+  * equal hashes and the avalanche keeps bucket skew at bay. */
+object ShingleHashing {
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^ (h >>> 33)
+  }
+}
+
 object NativeExpressions {
 
   private def toDoubles(a: ArrayData): Array[Double] = a.toDoubleArray()
@@ -301,13 +315,7 @@ object NativeExpressions {
 
     private final val FnvBasis = 0xcbf29ce484222325L
     private final val FnvPrime = 0x100000001b3L
-
-    private def fmix64(h0: Long): Long = {
-      var h = h0
-      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
-      h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
-      h ^ (h >>> 33)
-    }
+    private def fmix64(h: Long): Long = ShingleHashing.fmix64(h)
 
     override def nullSafeEval(v: Any): Any = {
       val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
@@ -373,6 +381,83 @@ object NativeExpressions {
         i += 1
       }
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Per-token 64-bit hashes of `split(lower(text), " ")` (single-space
+    * separator, limit -1: consecutive spaces yield empty tokens, empty
+    * text is one empty token) — internal join/count keys for the
+    * language-model operators, where the word itself never reaches the
+    * output. One lowercase pass + one byte walk; no token array of
+    * strings. FNV-1a 64 per piece + murmur3 avalanche. */
+  case class TokenHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      val out = new Array[Long](nTok)
+      var t = 0
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          out(t) = ShingleHashing.fmix64(h); t += 1
+          h = 0xcbf29ce484222325L
+        } else h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      out(t) = ShingleHashing.fmix64(h)
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Adjacent-bigram hash stream over the same tokenization as
+    * [[TokenHashes]]: array<struct<w1, bg>> of length (tokens - 1)
+    * (empty below 2 tokens), where w1 is the left token's hash —
+    * joinable against the [[TokenHashes]] unigram counts — and bg a
+    * hash of the ordered pair. The HOF form this replaces
+    * (`transform(sequence(...), i -> struct(element_at ...))`)
+    * interprets its lambda per element and shuffles two STRING join
+    * keys; this is one byte walk emitting two longs. */
+  case class BigramHashes(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("w1", LongType, nullable = false),
+      StructField("bg", LongType, nullable = false))), containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      if (nTok < 2) return new GenericArrayData(Array.empty[Any])
+      val hs = new Array[Long](nTok)
+      var t = 0
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          hs(t) = ShingleHashing.fmix64(h); t += 1
+          h = 0xcbf29ce484222325L
+        } else h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      hs(t) = ShingleHashing.fmix64(h)
+      val out = new Array[Any](nTok - 1)
+      i = 0
+      while (i < nTok - 1) {
+        val bg = ShingleHashing.fmix64(
+          (0xcbf29ce484222325L ^ hs(i)) * 0x100000001b3L ^ hs(i + 1))
+        out(i) = InternalRow(hs(i), bg)
+        i += 1
+      }
+      new GenericArrayData(out)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
@@ -1623,6 +1708,10 @@ object NativeExpressions {
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
   def shingle_hashes(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), k))
+  def token_hashes(text: Column): Column =
+    ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(text)))
+  def bigram_hashes(text: Column): Column =
+    ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
   def classifier_score(tokens: Column): Column =
     ExpressionUtils.column(ClassifierScore(ExpressionUtils.expression(tokens)))
   def space_token_count(text: Column): Column =

@@ -173,8 +173,14 @@ object TextPipeline {
     * shingle (same fallback as every shingle consumer here). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
+    // grams as 64-bit ShingleHashes keys (fused byte walk, no token
+    // arrays or gram strings): the gram never reaches the output, only
+    // its df, so the hash is a free join key — the stream is computed
+    // twice (df aggregation + the join-back) and the fused form makes
+    // the recompute a single pass over the raw text both times.
     val grams = docs.select(col(idCol),
-      explode(Dedup.wordShingles(Dedup.tokens(col(textCol)), n)).as("__g"))
+      explode(graft.functions.NativeExpressions.shingle_hashes(
+        col(textCol), n)).as("__g"))
     val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
     grams.join(dfreq, Seq("__g"))
       .groupBy(idCol)
@@ -214,17 +220,21 @@ object TextPipeline {
     * (docs with <2 words score null).
     */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val uni = toks.select(explode(col("__t")).as("__w1"))
+    // Words never reach the output — only their counts do — so both
+    // streams carry 64-bit internal hashes (TokenHashes/BigramHashes:
+    // one byte walk per row, no token arrays, no HOF-interpreted
+    // struct building) and every join key is one long instead of one
+    // or two strings. The bigram key is the fused pair hash; w1 rides
+    // along to meet the unigram counts.
+    val uni = docs.select(explode(
+        graft.functions.NativeExpressions.token_hashes(col(textCol))).as("__w1"))
       .groupBy("__w1").agg(count(lit(1)).as("__c1"))
     val vocab = uni.agg(count(lit(1)).as("__V"))
-    val bg = toks.filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t")) - 1),
-        i => struct(element_at(col("__t"), i).as("__w1"),
-          element_at(col("__t"), i + 1).as("__w2")))).as("__b"))
-      .select(col(idCol), col("__b.__w1").as("__w1"), col("__b.__w2").as("__w2"))
-    val c12 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c12"))
-    val scored = bg.join(c12, Seq("__w1", "__w2")).join(uni, Seq("__w1"))
+    val bg = docs.select(col(idCol), explode(
+        graft.functions.NativeExpressions.bigram_hashes(col(textCol))).as("__b"))
+      .select(col(idCol), col("__b.w1").as("__w1"), col("__b.bg").as("__bg"))
+    val c12 = bg.groupBy("__bg").agg(count(lit(1)).as("__c12"))
+    val scored = bg.join(c12, Seq("__bg")).join(uni, Seq("__w1"))
       .crossJoin(broadcast(vocab))
       .select(col(idCol), log((col("__c12") + 1).cast("double") /
         (col("__c1") + col("__V")).cast("double")).as("__lp"))

@@ -87,6 +87,40 @@ class ShinglePairsSpec extends SparkTestBase {
     assert(pairsAtCap(2) == Set((20L, 21L, 3L, 4L)))
   }
 
+  test("TokenHashes/BigramHashes: counts and equalities match split(lower, ' ') semantics") {
+    val texts = Seq(
+      0L -> "The quick brown Fox",
+      1L -> "the  quick", // double space → empty middle token
+      2L -> "", // one empty token, zero bigrams
+      3L -> "single",
+      4L -> "the quick brown fox") // case-folds equal to doc 0
+    val df = texts.toDF("doc_id", "text")
+    val counts = df.select(col("doc_id"),
+        size(NativeExpressions.token_hashes(col("text"))).as("nt"),
+        size(NativeExpressions.bigram_hashes(col("text"))).as("nb"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    texts.foreach { case (id, t) =>
+      val nt = t.split(" ", -1).length
+      assert(counts(id) == ((nt, math.max(0, nt - 1))), s"doc $id: ${counts(id)}")
+    }
+    // equal words hash equal across docs: docs 0 and 4 share all
+    // unigrams and bigrams after lowercasing
+    val uni = df.select(col("doc_id"),
+        NativeExpressions.token_hashes(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(uni(0L) == uni(4L), "case-folded docs must produce identical token hashes")
+    assert(uni(0L).distinct.size == 4, "distinct words stay distinct")
+    val bgs = df.select(col("doc_id"),
+        NativeExpressions.bigram_hashes(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(bgs(0L) == bgs(4L))
+    // bigram hash is order-dependent: (the,quick) != (quick,the)
+    val ab = Seq((0L, "alpha beta"), (1L, "beta alpha")).toDF("doc_id", "text")
+      .select(NativeExpressions.bigram_hashes(col("text")).as("b"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0).head.getLong(1))
+    assert(ab(0) != ab(1), "ordered pairs must hash differently")
+  }
+
   test("shingle_pairs: merge propagates overflow across partials") {
     // force many partitions so partial buffers merge; a 5-member
     // bucket over cap 4 must vanish regardless of partial layout
