@@ -462,6 +462,52 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Positional k-word shingle hashes over `split(lower(text), " ")`
+    * (single-space separator, limit -1, empty tokens preserved —
+    * the [[WordShinglesAll]] tokenization): slot i holds the hash of
+    * the window starting at token i, length max(0, tokens-k+1), NO
+    * dedup. The positional twin of [[ShingleHashes]] for the
+    * substring-span operators, where the gram is a join key and its
+    * POSITION is the payload. One byte walk, no token or gram
+    * strings. */
+  case class ShingleHashesAll(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      if (nTok < k)
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(Array.empty[Long])
+      val hs = new Array[Long](nTok)
+      var t = 0
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          hs(t) = ShingleHashing.fmix64(h); t += 1
+          h = 0xcbf29ce484222325L
+        } else h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      hs(t) = ShingleHashing.fmix64(h)
+      val out = new Array[Long](nTok - k + 1)
+      var s = 0
+      while (s < out.length) {
+        var g = 0xcbf29ce484222325L
+        var j = 0
+        while (j < k) { g = (g ^ hs(s + j)) * 0x100000001b3L; j += 1 }
+        out(s) = ShingleHashing.fmix64(g)
+        s += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
     * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
     * sequence, so byte-space count == char-space count). The length-
@@ -1710,6 +1756,8 @@ object NativeExpressions {
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), k))
   def token_hashes(text: Column): Column =
     ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(text)))
+  def shingle_hashes_all(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHashesAll(ExpressionUtils.expression(text), k))
   def bigram_hashes(text: Column): Column =
     ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
   def classifier_score(tokens: Column): Column =

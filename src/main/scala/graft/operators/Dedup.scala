@@ -642,10 +642,10 @@ object Dedup {
     */
   def substringSpans(df: DataFrame, idCol: String, textCol: String,
                      k: Int): DataFrame = {
-    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val spans = mergedSpanIslands(toks, idCol, k)
+    val spans = mergedSpanIslands(df, idCol, textCol, k)
       .groupBy(idCol).agg(sum(col("__e") - col("__s") + 1).as("__span"))
-    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+    df.select(col(idCol), graft.functions.TextFunctions
+        .spaceTokenCount(col(textCol)).cast("long").as("n_words"))
       .join(spans, Seq(idCol), "left_outer")
       .select(col(idCol), col("n_words"),
         coalesce(col("__span"), lit(0L)).as("dup_span_words"),
@@ -656,11 +656,16 @@ object Dedup {
   /** Disjoint merged intervals (idCol, __s, __e) of word positions
     * covered by some cross-doc duplicated k-gram — the shared core of
     * [[substringSpans]] (which sums them) and [[substringDedupRewrite]]
-    * (which cuts them). `toks` = (idCol, __t array<string>). */
-  private def mergedSpanIslands(toks: DataFrame, idCol: String, k: Int): DataFrame = {
+    * (which cuts them). Grams are positional 64-bit hashes
+    * ([[graft.functions.NativeExpressions.ShingleHashesAll]], one byte
+    * walk off the raw text): the gram is only a cross-doc equality
+    * key, its POSITION is the payload, so neither token arrays nor
+    * gram strings are built or shuffled. */
+  private def mergedSpanIslands(df: DataFrame, idCol: String, textCol: String,
+                                k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = toks.select(col(idCol),
-      posexplode(graft.functions.NativeExpressions.word_shingles_all(col("__t"), k))
+    val grams = df.select(col(idCol),
+      posexplode(graft.functions.NativeExpressions.shingle_hashes_all(col(textCol), k))
         .as(Seq("__pos", "__g")))
     val dup = grams.groupBy("__g")
       .agg(min(col(idCol)).as("__mn"), max(col(idCol)).as("__mx"))
@@ -699,13 +704,13 @@ object Dedup {
     * doc; docs with no cross-doc duplicated run report (0, 0). */
   def substringRuns(df: DataFrame, idCol: String, textCol: String,
                     k: Int, minRun: Int): DataFrame = {
-    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val runs = mergedSpanIslands(toks, idCol, k)
+    val runs = mergedSpanIslands(df, idCol, textCol, k)
       .select(col(idCol), (col("__e") - col("__s") + 1).as("__len"))
     val agg = runs.groupBy(idCol).agg(
       max("__len").as("__longest"),
       sum(when(col("__len") >= minRun, 1L).otherwise(0L)).as("__n"))
-    toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
+    df.select(col(idCol), graft.functions.TextFunctions
+        .spaceTokenCount(col(textCol)).cast("long").as("n_words"))
       .join(agg, Seq(idCol), "left_outer")
       .select(col(idCol), col("n_words"),
         coalesce(col("__longest"), lit(0L)).as("longest_run"),
@@ -727,7 +732,7 @@ object Dedup {
   def substringDedupRewrite(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
     val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val coveredPos = mergedSpanIslands(toks, idCol, k)
+    val coveredPos = mergedSpanIslands(df, idCol, textCol, k)
       .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__p"))
     val words = toks.select(col(idCol),
       posexplode(col("__t")).as(Seq("__p", "__w")))
@@ -768,16 +773,21 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 5, w: Int = 4, maxDf: Int = 50,
                   minShared: Int = 2, topN: Int = 100): DataFrame = {
+    // Same one-pass capped-collect shape as [[shingleIntersections]]:
+    // fingerprints are distinct per doc (the kernel dedups), so the
+    // per-fingerprint member list IS the doc-frequency blocker — a
+    // bucket past maxDf overflows and emits nothing, 2..maxDf buckets
+    // emit their C(n,2) pairs directly. One shuffle of the fingerprint
+    // stream instead of two (count + re-join) plus the self-join.
     val fp = df.select(col(idCol).as("doc"),
         explode(graft.functions.NativeExpressions
           .winnow_fingerprints(col(textCol), k, w)).as("fp"))
-    val shared = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select("fp")
-    val blocked = fp.join(shared, "fp")
-    blocked.select(col("fp"), col("doc").as("doc_a"))
-      .join(blocked.select(col("fp"), col("doc").as("doc_b")), "fp")
-      .filter(col("doc_a") < col("doc_b"))
+    fp.repartition(col("fp"))
+      .groupBy("fp")
+      .agg(graft.functions.ShinglePairs.shingle_pairs(
+        col("doc"), lit(0L), maxDf).as("__p"))
+      .select(explode(col("__p")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
       .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
