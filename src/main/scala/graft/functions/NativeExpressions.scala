@@ -508,6 +508,97 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-doc repeated-n-gram coverage (the Gopher repetition family):
+    * array [n_words, cov_n1, cov_n2, ...] where cov_n = number of word
+    * positions covered by an n-gram occurring ≥ 2 times WITHIN the
+    * doc (union of overlapping [pos, pos+n-1] windows — identical to
+    * the merged-interval length sum the SQL form computes). The
+    * statistic is a pure function of one document, so it belongs in a
+    * row-local kernel: the dataflow form paid a corpus-token-volume
+    * (doc, gram) shuffle, a join and two per-doc windows PER n — this
+    * is one byte walk plus an open-addressed count map per n, and the
+    * whole operator becomes scan+project with NO exchange at any
+    * scale. Tokenization: split(lower, " ") limit -1 ([[WordShinglesAll]]
+    * semantics, empty tokens preserved). Grams are compared by 64-bit
+    * hash (within-doc collision odds ~windows²/2⁶⁴). */
+  case class RepeatedNgramCoverage(child: Expression, ns: Seq[Int])
+      extends UnaryExpression with CodegenFallback {
+    require(ns.nonEmpty && ns.forall(_ >= 1))
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      val hs = new Array[Long](nTok)
+      var t = 0
+      var h = 0xcbf29ce484222325L
+      i = 0
+      while (i < n) {
+        if (b(i) == ' ') {
+          hs(t) = ShingleHashing.fmix64(h); t += 1
+          h = 0xcbf29ce484222325L
+        } else h = (h ^ (b(i) & 0xffL)) * 0x100000001b3L
+        i += 1
+      }
+      hs(t) = ShingleHashing.fmix64(h)
+      val out = new Array[Long](1 + ns.size)
+      out(0) = nTok.toLong
+      var ni = 0
+      while (ni < ns.size) {
+        val k = ns(ni)
+        if (nTok >= k) {
+          val nWin = nTok - k + 1
+          val g = new Array[Long](nWin)
+          var s = 0
+          while (s < nWin) {
+            var gh = 0xcbf29ce484222325L
+            var j = 0
+            while (j < k) { gh = (gh ^ hs(s + j)) * 0x100000001b3L; j += 1 }
+            g(s) = { val f = ShingleHashing.fmix64(gh); if (f == 0L) 1L else f }
+            s += 1
+          }
+          // occurrence counts per gram hash (0 = empty slot)
+          val cap = Integer.highestOneBit(math.max(8, nWin * 2) * 2 - 1)
+          val mask = cap - 1
+          val keys = new Array[Long](cap)
+          val cnts = new Array[Int](cap)
+          s = 0
+          while (s < nWin) {
+            val gh = g(s)
+            var slot = (gh.toInt ^ (gh >>> 32).toInt) & mask
+            while (keys(slot) != 0L && keys(slot) != gh) slot = (slot + 1) & mask
+            keys(slot) = gh; cnts(slot) += 1
+            s += 1
+          }
+          // covered-position count = union of [s, s+k-1] over windows
+          // whose gram repeats; windows scan left-to-right so the
+          // union is a running [start, lastEnd] merge
+          var cov = 0L
+          var lastEnd = -1
+          s = 0
+          while (s < nWin) {
+            val gh = g(s)
+            var slot = (gh.toInt ^ (gh >>> 32).toInt) & mask
+            while (keys(slot) != gh) slot = (slot + 1) & mask
+            if (cnts(slot) >= 2) {
+              val from = math.max(s, lastEnd + 1)
+              val to = s + k - 1
+              if (to >= from) cov += (to - from + 1)
+              lastEnd = to
+            }
+            s += 1
+          }
+          out(1 + ni) = cov
+        }
+        ni += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
     * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
     * sequence, so byte-space count == char-space count). The length-
@@ -1758,6 +1849,8 @@ object NativeExpressions {
     ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(text)))
   def shingle_hashes_all(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleHashesAll(ExpressionUtils.expression(text), k))
+  def repeated_ngram_coverage(text: Column, ns: Seq[Int]): Column =
+    ExpressionUtils.column(RepeatedNgramCoverage(ExpressionUtils.expression(text), ns))
   def bigram_hashes(text: Column): Column =
     ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
   def classifier_score(tokens: Column): Column =

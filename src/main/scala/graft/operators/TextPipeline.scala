@@ -564,43 +564,26 @@ object TextPipeline {
     * overlapping occurrences union via the same per-doc
     * gaps-and-islands windows the substring-dedup family uses.
     *
-    * Plan, per n: positional n-grams row-local (native
-    * WordShinglesAll), within-doc duplicates a word-count-shaped
-    * (doc, gram) aggregate, coverage one per-doc interval union —
-    * windows partitioned by doc, nothing corpus-wide but the scan.
+    * Plan: the statistic is a pure function of ONE document, so it is
+    * a single row-local kernel ([[graft.functions.NativeExpressions
+    * .RepeatedNgramCoverage]]: per-doc gram counting + interval union
+    * in one byte walk per n) — the whole operator is scan + project
+    * with NO exchange at any scale. The previous dataflow form paid a
+    * corpus-token-volume (doc, gram) shuffle, a join and two per-doc
+    * windows PER n, to compute numbers each doc could have produced
+    * locally.
     *
     * Output: (idCol, n_words, dup{n}_frac per requested n). */
   def repeatedNgramFractions(df: DataFrame, idCol: String, textCol: String,
                              ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
-    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val base = toks.select(col(idCol), size(col("__t")).cast("long").as("n_words"))
-    val covs = ns.map { n =>
-      val grams = toks.select(col(idCol),
-        posexplode(graft.functions.NativeExpressions.word_shingles_all(col("__t"), n))
-          .as(Seq("__pos", "__g")))
-      val dup = grams.groupBy(col(idCol), col("__g"))
-        .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
-        .select(col(idCol), col("__g"))
-      val covered = grams.join(dup, Seq(idCol, "__g"))
-        .select(col(idCol), col("__pos").cast("long").as("__s"),
-          (col("__pos") + n - 1).cast("long").as("__e"))
-      val wPrev = Window.partitionBy(idCol).orderBy(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wRun = Window.partitionBy(idCol).orderBy(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      covered
-        .withColumn("__new",
-          when(col("__s") > coalesce(max(col("__e")).over(wPrev), lit(-1L)), 1L)
-            .otherwise(0L))
-        .withColumn("__isl", sum(col("__new")).over(wRun))
-        .groupBy(col(idCol), col("__isl"))
-        .agg(min("__s").as("__s"), max("__e").as("__e"))
-        .groupBy(idCol).agg(sum(col("__e") - col("__s") + 1).as(s"__cov$n"))
-    }
-    val joined = covs.foldLeft(base)((acc, c) => acc.join(c, Seq(idCol), "left_outer"))
-    joined.select(col(idCol) +: col("n_words") +: ns.map(n =>
-      round(coalesce(col(s"__cov$n"), lit(0L)).cast("double") / col("n_words"), 6)
-        .as(s"dup${n}_frac")): _*)
+    val covs = df.select(col(idCol),
+      graft.functions.NativeExpressions
+        .repeated_ngram_coverage(col(textCol), ns).as("__c"))
+    covs.select(col(idCol) +: element_at(col("__c"), 1).as("n_words") +:
+      ns.zipWithIndex.map { case (n, i) =>
+        round(element_at(col("__c"), i + 2).cast("double") /
+          element_at(col("__c"), 1), 6).as(s"dup${n}_frac")
+      }: _*)
   }
 
   /** Per-source curation aggregates — the domain-level gate pipelines

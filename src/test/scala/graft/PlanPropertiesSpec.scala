@@ -71,6 +71,13 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(!fps.queryExecution.executedPlan.toString.contains("Exchange"),
       "winnow fingerprinting must be row-local")
 
+    // repeated-n-gram coverage: a pure per-doc statistic — the WHOLE
+    // operator must be scan + project, no exchange at any scale
+    val rep = graft.operators.TextPipeline.repeatedNgramFractions(
+      docs, "doc_id", "text")
+    assert(!rep.queryExecution.executedPlan.toString.contains("Exchange"),
+      "repeated-ngram fractions must be row-local (scan + project)")
+
     // topKPerGroup: NO SortExec anywhere — that is its whole point
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val topk = graft.operators.ScalableWindow.topKPerGroup(orders,
