@@ -599,6 +599,67 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-doc lexical-diversity stats [n_tokens, n_types, n_hapax] —
+    * the row-local form of "explode words, groupBy (doc, word), count,
+    * re-reduce by doc": a pure per-document statistic has no business
+    * shuffling the corpus token stream. Same open-addressed
+    * byte-compare map as [[WordCounts]] (exact types, not hash-trusted)
+    * minus the output strings; one lowercase pass + one walk.
+    * Tokenization: split(lower, " ") limit -1, empty tokens counted
+    * like the SQL unnest(string_split(...)) does. */
+  case class TtrStats(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val b = v.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      var nTok = 1
+      var i = 0
+      while (i < n) { if (b(i) == ' ') nTok += 1; i += 1 }
+      val cap = Integer.highestOneBit(math.max(8, nTok * 2) * 2 - 1)
+      val mask = cap - 1
+      val starts = new Array[Int](cap)
+      val lens = new Array[Int](cap)
+      val counts = new Array[Long](cap)
+      java.util.Arrays.fill(lens, -1)
+      var distinct = 0
+      var start = 0
+      i = 0
+      while (i <= n) {
+        if (i == n || b(i) == ' ') {
+          val len = i - start
+          var h = -2128831035 // FNV-1a 32 for slot selection
+          var j = start
+          while (j < i) { h = (h ^ b(j)) * 16777619; j += 1 }
+          var slot = h & mask
+          var placed = false
+          while (!placed) {
+            if (lens(slot) < 0) {
+              starts(slot) = start; lens(slot) = len; counts(slot) = 1L
+              distinct += 1; placed = true
+            } else if (lens(slot) == len && {
+              var j2 = 0
+              while (j2 < len && b(starts(slot) + j2) == b(start + j2)) j2 += 1
+              j2 == len
+            }) { counts(slot) += 1; placed = true }
+            else slot = (slot + 1) & mask
+          }
+          start = i + 1
+        }
+        i += 1
+      }
+      var hapax = 0L
+      i = 0
+      while (i < cap) {
+        if (lens(i) >= 0 && counts(i) == 1L) hapax += 1
+        i += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array(nTok.toLong, distinct.toLong, hapax))
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
     * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
     * sequence, so byte-space count == char-space count). The length-
@@ -1851,6 +1912,8 @@ object NativeExpressions {
     ExpressionUtils.column(ShingleHashesAll(ExpressionUtils.expression(text), k))
   def repeated_ngram_coverage(text: Column, ns: Seq[Int]): Column =
     ExpressionUtils.column(RepeatedNgramCoverage(ExpressionUtils.expression(text), ns))
+  def ttr_stats(text: Column): Column =
+    ExpressionUtils.column(TtrStats(ExpressionUtils.expression(text)))
   def bigram_hashes(text: Column): Column =
     ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
   def classifier_score(tokens: Column): Column =

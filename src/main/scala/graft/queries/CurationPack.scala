@@ -59,9 +59,9 @@ object CurationPack {
     },
 
     // Type-token ratio + hapax share: lexical-diversity diagnostics
-    // (template/boilerplate corpora score low). One wordcount-shaped
-    // shuffle keyed (doc_id, word), then a doc-keyed re-reduce —
-    // partial aggregation all the way, no windows.
+    // (template/boilerplate corpora score low). Pure per-doc
+    // statistic → one row-local kernel (TtrStats: exact byte-compare
+    // word map per doc), scan + project, no exchange at any scale.
     QueryDef(
       "text_ttr",
       """WITH w AS (
@@ -77,13 +77,13 @@ object CurationPack {
         |  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS hapax_ratio
         |FROM wc GROUP BY 1
         |""".stripMargin) { (s, dir) =>
-      val wc = docs(s, dir)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      wc.groupBy("doc_id").agg(
-        sum("n").as("n_tokens"),
-        count(lit(1)).as("n_types"),
-        sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.functions.NativeExpressions
+          .ttr_stats(col("text")).as("__t"))
+        .select(col("doc_id"),
+          element_at(col("__t"), 1).as("n_tokens"),
+          element_at(col("__t"), 2).as("n_types"),
+          element_at(col("__t"), 3).as("n_hapax"))
         .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
           round(col("n_types").cast("double") / col("n_tokens"), 4).as("ttr"),
           round(col("n_hapax").cast("double") / col("n_types"), 4).as("hapax_ratio"))

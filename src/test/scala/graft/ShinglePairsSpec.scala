@@ -121,6 +121,21 @@ class ShinglePairsSpec extends SparkTestBase {
     assert(ab(0) != ab(1), "ordered pairs must hash differently")
   }
 
+  test("TtrStats: exact type/token/hapax counts incl. empty-token and case edges") {
+    val rows = Seq(
+      0L -> "the cat and the dog", // 5 tokens, 4 types, 3 hapax
+      1L -> "a  b", // double space: tokens [a, "", b] → 3 tokens 3 types 3 hapax
+      2L -> "Word word WORD", // case folds: 3 tokens 1 type 0 hapax
+      3L -> "") // one empty token
+    val got = rows.toDF("doc_id", "text")
+      .select(col("doc_id"), NativeExpressions.ttr_stats(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(0L) == Seq(5L, 4L, 3L), s"got ${got(0L)}")
+    assert(got(1L) == Seq(3L, 3L, 3L), s"got ${got(1L)}")
+    assert(got(2L) == Seq(3L, 1L, 0L), s"got ${got(2L)}")
+    assert(got(3L) == Seq(1L, 1L, 1L), s"got ${got(3L)}")
+  }
+
   test("shingle_pairs: merge propagates overflow across partials") {
     // force many partitions so partial buffers merge; a 5-member
     // bucket over cap 4 must vanish regardless of partial layout
