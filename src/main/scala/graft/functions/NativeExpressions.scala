@@ -660,6 +660,74 @@ object NativeExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Rebuild a document with the tokens inside the given word-index
+    * spans removed: struct<clean_text, n_removed>. Equivalent to
+    * "posexplode the lowercased tokens, anti-join the covered
+    * positions, collect_list + sort + concat_ws" — but those moves
+    * shuffle the corpus TOKEN stream to remove spans that are already
+    * per-doc local; this walks the text once against the (few,
+    * disjoint) spans. Tokenization: split(lower, " ") limit -1;
+    * surviving tokens re-join with single spaces (empty tokens
+    * preserved, so an untouched doc round-trips to lower(text)).
+    * `spans` is array<struct<s,e>> of 0-based inclusive word-index
+    * intervals (unsorted ok; they are sorted here). */
+  case class RemoveTokenSpans(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("clean_text", StringType, nullable = false),
+      StructField("n_removed", LongType, nullable = false)))
+    override def nullSafeEval(t: Any, sp: Any): Any = {
+      val b = t.asInstanceOf[UTF8String].toLowerCase.getBytes
+      val n = b.length
+      val arr = sp.asInstanceOf[ArrayData]
+      val m = arr.numElements()
+      val ss = new Array[Long](m)
+      val es = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        val r = arr.getStruct(i, 2)
+        ss(i) = r.getLong(0); es(i) = r.getLong(1)
+        i += 1
+      }
+      // insertion sort by start; spans are disjoint by construction
+      i = 1
+      while (i < m) {
+        val s0 = ss(i); val e0 = es(i)
+        var j = i - 1
+        while (j >= 0 && ss(j) > s0) { ss(j + 1) = ss(j); es(j + 1) = es(j); j -= 1 }
+        ss(j + 1) = s0; es(j + 1) = e0
+        i += 1
+      }
+      val out = new Array[Byte](n)
+      var w = 0 // bytes written
+      var tok = 0L // current token index
+      var span = 0 // current span pointer
+      var removed = 0L
+      var emitted = false
+      var segStart = 0
+      i = 0
+      while (i <= n) {
+        if (i == n || b(i) == ' ') {
+          while (span < m && es(span) < tok) span += 1
+          val covered = span < m && ss(span) <= tok && tok <= es(span)
+          if (covered) removed += 1
+          else {
+            if (emitted) { out(w) = ' '; w += 1 }
+            var j = segStart
+            while (j < i) { out(w) = b(j); w += 1; j += 1 }
+            emitted = true
+          }
+          segStart = i + 1
+          tok += 1
+        }
+        i += 1
+      }
+      InternalRow(UTF8String.fromBytes(out, 0, w), removed)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Single-space token count ≡ `size(split(text, " "))` = spaces + 1,
     * as one UTF-8 byte walk (0x20 never occurs inside a multi-byte
     * sequence, so byte-space count == char-space count). The length-
@@ -1914,6 +1982,9 @@ object NativeExpressions {
     ExpressionUtils.column(RepeatedNgramCoverage(ExpressionUtils.expression(text), ns))
   def ttr_stats(text: Column): Column =
     ExpressionUtils.column(TtrStats(ExpressionUtils.expression(text)))
+  def remove_token_spans(text: Column, spans: Column): Column =
+    ExpressionUtils.column(RemoveTokenSpans(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(spans)))
   def bigram_hashes(text: Column): Column =
     ExpressionUtils.column(BigramHashes(ExpressionUtils.expression(text)))
   def classifier_score(tokens: Column): Column =

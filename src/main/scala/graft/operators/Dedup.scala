@@ -721,33 +721,33 @@ object Dedup {
     * cross-doc duplicated k-word run out of the text (Lee et al. remove
     * the repeated substring from all but one occurrence or all — this
     * follows the simpler remove-everywhere policy, which is symmetric
-    * and engine-replicable). Covered positions explode from the merged
-    * islands (≤ doc length rows — equi-joins only, no range join) and
-    * anti-join the positional words; survivors re-assemble in position
-    * order.
+    * and engine-replicable). The islands are per-doc few and disjoint,
+    * so the rewrite is row-local: collect each doc's island list (one
+    * island-volume aggregation — NOT token-volume), join it back to
+    * the corpus once, and rebuild the text in a single byte walk
+    * ([[graft.functions.NativeExpressions.RemoveTokenSpans]]). The
+    * previous shape posexploded every word, anti-joined covered
+    * positions and re-sorted each doc's survivors — three
+    * corpus-token-volume shuffles to apply spans the doc already
+    * owned.
     *
     * Output: (idCol, clean_text, n_removed long) for every doc; a doc
     * entirely made of duplicated runs yields the empty string.
     */
   def substringDedupRewrite(df: DataFrame, idCol: String, textCol: String,
                             k: Int): DataFrame = {
-    val toks = df.select(col(idCol), split(lower(col(textCol)), " ").as("__t"))
-    val coveredPos = mergedSpanIslands(df, idCol, textCol, k)
-      .select(col(idCol), explode(sequence(col("__s"), col("__e"))).as("__p"))
-    val words = toks.select(col(idCol),
-      posexplode(col("__t")).as(Seq("__p", "__w")))
-      .withColumn("__p", col("__p").cast("long"))
-    val kept = words.join(coveredPos, Seq(idCol, "__p"), "left_anti")
+    val islands = mergedSpanIslands(df, idCol, textCol, k)
       .groupBy(idCol)
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("__p"), col("__w")))),
-        x => x.getField("__w"))).as("clean_text"))
-    toks.select(col(idCol), size(col("__t")).cast("long").as("__n"))
-      .join(kept, Seq(idCol), "left_outer")
-      .join(coveredPos.groupBy(idCol).agg(count(lit(1)).as("__rm")), Seq(idCol), "left_outer")
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__spans"))
+    df.select(col(idCol), col(textCol))
+      .join(islands, Seq(idCol), "left_outer")
+      .select(col(idCol), graft.functions.NativeExpressions.remove_token_spans(
+        col(textCol),
+        coalesce(col("__spans"),
+          array().cast("array<struct<__s:bigint,__e:bigint>>"))).as("__r"))
       .select(col(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("__rm"), lit(0L)).as("n_removed"))
+        col("__r.clean_text").as("clean_text"),
+        col("__r.n_removed").as("n_removed"))
   }
 
   /** Winnowing fingerprint overlap (Schleimer, Wilkerson & Aiken,
