@@ -271,7 +271,7 @@ object Dedup {
     * corpus and coalesce to doc_id for singleton docs. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25,
-                          localEdgeLimit: Long = 5000000L): DataFrame = {
+                          localEdgeLimit: Long = 50000000L): DataFrame = {
     // canonical edge = (max, min), deduped, self-loops dropped
     def canon(e: DataFrame): DataFrame =
       e.filter(col("u") =!= col("v"))
@@ -304,12 +304,19 @@ object Dedup {
     // Size-adaptive (same pattern as ScalableWindow, crossover measured
     // in BENCH_LOCAL.md): the canonical edge list is already
     // materialized, so its count is free, and when it is driver-sized a
-    // union-find beats the iterative plan outright — each MapReduce
-    // round costs 3 scheduled jobs, pure overhead when the whole graph
-    // is a few MB. 5M edges ≈ 80 MB on the driver; above that the
-    // edge-list-only large-star/small-star loop takes over, which holds
-    // to any scale. Both paths are property-spec'd equal.
-    if (edges.count() <= localEdgeLimit) return localComponents(edges)
+    // union-find beats the iterative plan outright — measured at sf10,
+    // 23.5M edges: 138 s of alternating-star rounds vs seconds of
+    // driver union-find. The collect is per-partition PACKED primitive
+    // arrays (16 B/edge exact — no Row/Tuple boxing), so the default
+    // 50M-edge limit costs ≤ 800 MB driver heap + the parent map;
+    // `graft.cc.localEdgeLimit` dials it down for small drivers, and
+    // the edge-list-only large-star/small-star loop above the limit
+    // holds to any scale (near-dup graphs at 100 TB can carry billions
+    // of edges — the loop IS the production arm there). Both paths are
+    // property-spec'd equal.
+    val limit = pairs.sparkSession.conf.getOption("graft.cc.localEdgeLimit")
+      .map(_.toLong).getOrElse(localEdgeLimit)
+    if (edges.count() <= limit) return localComponents(edges)
     var edgesFp = fingerprint(edges)
     var converged = false
     var it = 0
@@ -348,7 +355,18 @@ object Dedup {
   private def localComponents(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val es = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+    // Executors pack each partition into ONE primitive long array
+    // (u,v interleaved) before the collect: the driver receives
+    // 16 B/edge exactly, instead of a boxed Row/Tuple per edge
+    // (~100 B/edge — the difference between 380 MB and 2.4 GB at the
+    // sf10-measured 23.5M edges). Genuine per-partition imperative
+    // logic, hence the RDD hop.
+    val chunks = edges.select(col("u"), col("v")).rdd
+      .mapPartitions { it =>
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+        Iterator.single(buf.result())
+      }.collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -357,17 +375,32 @@ object Dedup {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    es.foreach { case (u, v) =>
-      val (ru, rv) = (find(u), find(v))
-      // union by min: smaller id becomes the root, so every root is
-      // its component's minimum and the star contract falls out
-      if (ru < rv) parent.put(rv, ru)
-      else if (rv < ru) parent.put(ru, rv)
+    chunks.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val ru = find(arr(i)); val rv = find(arr(i + 1))
+        // union by min: smaller id becomes the root, so every root is
+        // its component's minimum and the star contract falls out
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+        i += 2
+      }
     }
-    val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    val out = nodes.iterator.map(n => (n, find(n))).filter(p => p._1 != p._2).toSeq
+    val seen = new java.util.HashSet[Long]()
+    val out = Seq.newBuilder[(Long, Long)]
+    chunks.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val n = arr(i)
+        if (seen.add(n)) {
+          val r = find(n)
+          if (r != n) out += ((n, r))
+        }
+        i += 1
+      }
+    }
     // LocalRelation: driver-local, broadcast-joins downstream for free
-    out.toDF("node", "component")
+    out.result().toDF("node", "component")
   }
 
   /** Per-doc dup group with FULL transitive closure: connected
