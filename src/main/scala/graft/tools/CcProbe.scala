@@ -1,6 +1,14 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+
+/** Dev measurement harness for the connected-components arm choice:
+  * builds the threshold-0 rare-shingle pair graph of `documents`
+  * (args(0) = sf dir), pins the canonical edge list once, then times
+  * the driver union-find arm vs the alternating-star loop on the SAME
+  * cached input (the only controlled way to compare them — a cold
+  * pairs recompute inside either arm swamps the signal; see
+  * BENCH_LOCAL "Round 7, connected components"). */
 object CcProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -8,7 +16,8 @@ object CcProbe {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = graft.Tables.load(spark, "/tmp/sf10", "documents")
+    val d = graft.Tables.load(spark,
+      if (args.nonEmpty) args(0) else "/root/testdata/sf0.1", "documents")
     val pairs = graft.operators.Dedup.ngramJaccardPairs(d, "doc_id", "text",
       shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
     // pin the edge list once so both arms read the same cached input
