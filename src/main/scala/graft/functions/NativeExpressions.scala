@@ -118,9 +118,16 @@ object NativeExpressions {
   }
   /** First 15 hex chars (60 bits) of md5 — always non-negative, so
     * signed/unsigned `%` agree across engines. */
-  private def md5Hex60(s: String): Long = {
+  private def md5Hex60(s: String): Long =
+    md5Hex60Slice(s.getBytes(StandardCharsets.UTF_8), -1)
+
+  /** md5Hex60 straight off a byte-buffer prefix (len < 0 → whole
+    * array) — the shingle kernels hash reused buffers without a
+    * String round trip; values identical to the String form. */
+  private def md5Hex60Slice(b: Array[Byte], len: Int): Long = {
     val md = md5Local.get(); md.reset()
-    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    if (len < 0) md.update(b) else md.update(b, 0, len)
+    val d = md.digest()
     var x = 0L; var i = 0
     while (i < 7) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
     (x << 4) | ((d(7) >> 4) & 0xfL)
@@ -1143,42 +1150,67 @@ object NativeExpressions {
         Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
           rnd.nextInt(Int.MaxValue).toLong))
       }
+    // The (a·h + b) mod p inner loop runs numHashes × shingles ×
+    // corpus times (77 billion ops at sf10) — flatten the param pairs
+    // to primitive arrays (a Tuple2 deref per op is a pointer chase in
+    // the hottest loop of the dedup family) and replace the 64-bit `%`
+    // with the Mersenne fold: p = 2³¹−1, so x mod p folds as
+    // (x & p) + (x >>> 31), twice for x < 2⁶². Bit-identical values —
+    // the md5-family signatures stay oracle-replicable.
+    @transient private lazy val aArr: Array[Long] = params.map(_._1)
+    @transient private lazy val bArr: Array[Long] = params.map(_._2)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val toks = new Array[String](n)
+      // token byte slices once; shingles assemble into a reusable
+      // byte buffer (exact UTF-8 of the joined string — md5/xx values
+      // unchanged) instead of a String build per window
+      val tokBytes = new Array[Array[Byte]](n)
       var i = 0
       while (i < n) {
-        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        tokBytes(i) =
+          if (arr.isNullAt(i)) Array.emptyByteArray
+          else arr.getUTF8String(i).getBytes
         i += 1
       }
       val sig = Array.fill(numHashes)(Long.MaxValue)
-      val sb = new java.lang.StringBuilder()
-      def update(shingle: String): Unit = {
-        val h =
-          if (useMd5) md5Hex60(shingle) % P
-          else {
-            val h0 = xxhash64(UTF8String.fromString(shingle))
-            ((h0 % P) + P) % P
-          }
+      var buf = new Array[Byte](64)
+      def shingleHash(s: Int, kk: Int): Long = {
+        var len = kk - 1
+        var j = 0
+        while (j < kk) { len += tokBytes(s + j).length; j += 1 }
+        if (len > buf.length)
+          buf = new Array[Byte](java.lang.Integer.highestOneBit(len * 2 - 1))
+        var w = 0
+        j = 0
+        while (j < kk) {
+          if (j > 0) { buf(w) = ' '; w += 1 }
+          val t = tokBytes(s + j)
+          System.arraycopy(t, 0, buf, w, t.length); w += t.length
+          j += 1
+        }
+        if (useMd5) md5Hex60Slice(buf, w) % P
+        else {
+          val h0 = xxhash64(UTF8String.fromBytes(buf, 0, w))
+          ((h0 % P) + P) % P
+        }
+      }
+      def update(h: Long): Unit = {
         var x = 0
         while (x < numHashes) {
-          val v2 = (params(x)._1 * h + params(x)._2) % P
-          if (v2 < sig(x)) sig(x) = v2
+          val prod = aArr(x) * h + bArr(x) // < 2⁶² + 2³¹, no overflow
+          var y = (prod & P) + (prod >>> 31)
+          y = (y & P) + (y >>> 31)
+          if (y >= P) y -= P
+          if (y < sig(x)) sig(x) = y
           x += 1
         }
       }
       if (n >= k) {
         var s = 0
-        while (s <= n - k) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
-          update(sb.toString)
-          s += 1
-        }
-      } else update(toks.mkString(" "))
+        while (s <= n - k) { update(shingleHash(s, k)); s += 1 }
+      } else update(shingleHash(0, n))
       new GenericArrayData(sig)
     }
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -1213,36 +1245,48 @@ object NativeExpressions {
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
-      val toks = new Array[String](n)
+      // token byte slices once + reusable shingle byte buffer (exact
+      // UTF-8 of the joined string — hash values unchanged); no
+      // String build per window (see MinHashFromTokens)
+      val tokBytes = new Array[Array[Byte]](n)
       var i = 0
       while (i < n) {
-        toks(i) = if (arr.isNullAt(i)) "" else arr.getUTF8String(i).toString
+        tokBytes(i) =
+          if (arr.isNullAt(i)) Array.emptyByteArray
+          else arr.getUTF8String(i).getBytes
         i += 1
       }
       val m = numHashes
       val sig = Array.fill(m)(-1L)
-      val sb = new java.lang.StringBuilder()
-      def update(shingle: String): Unit = {
+      var buf = new Array[Byte](64)
+      def update(s: Int, kk: Int): Unit = {
+        var len = kk - 1
+        var j = 0
+        while (j < kk) { len += tokBytes(s + j).length; j += 1 }
+        if (len > buf.length)
+          buf = new Array[Byte](java.lang.Integer.highestOneBit(len * 2 - 1))
+        var w = 0
+        j = 0
+        while (j < kk) {
+          if (j > 0) { buf(w) = ' '; w += 1 }
+          val t = tokBytes(s + j)
+          System.arraycopy(t, 0, buf, w, t.length); w += t.length
+          j += 1
+        }
         // both families fold to 60 bits so value = h / m < 2^53 and
         // the j * 2^53 densification offsets can never collide with it
         val h =
-          if (useMd5) md5Hex60(shingle)
+          if (useMd5) md5Hex60Slice(buf, w)
           else (org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            UTF8String.fromString(shingle), StringType, seed) & Long.MaxValue) >>> 3
+            UTF8String.fromBytes(buf, 0, w), StringType, seed) & Long.MaxValue) >>> 3
         val bin = (h % m).toInt
         val value = h / m
         if (sig(bin) < 0 || value < sig(bin)) sig(bin) = value
       }
       if (n >= k) {
         var s = 0
-        while (s <= n - k) {
-          sb.setLength(0)
-          var j = 0
-          while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(s + j)); j += 1 }
-          update(sb.toString)
-          s += 1
-        }
-      } else update(toks.mkString(" "))
+        while (s <= n - k) { update(s, k); s += 1 }
+      } else update(0, n)
       // rotation densification: empty bin i borrows from the nearest
       // non-empty bin at (i + j) % m, value offset by j * 2^53
       val dense = new Array[Long](m)
