@@ -187,6 +187,10 @@ object NativeExpressions {
       Array.fill(numHashes)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
         rnd.nextInt(Int.MaxValue).toLong))
     }
+    // primitive params + Mersenne-fold modulo — same inner-loop
+    // treatment as MinHashFromTokens, bit-identical values
+    @transient private lazy val aArr: Array[Long] = params.map(_._1)
+    @transient private lazy val bArr: Array[Long] = params.map(_._2)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -197,8 +201,11 @@ object NativeExpressions {
           val h = ((xxhash64(arr.getUTF8String(t)) % P) + P) % P
           var i = 0
           while (i < numHashes) {
-            val v2 = (params(i)._1 * h + params(i)._2) % P
-            if (v2 < sig(i)) sig(i) = v2
+            val prod = aArr(i) * h + bArr(i)
+            var y = (prod & P) + (prod >>> 31)
+            y = (y & P) + (y >>> 31)
+            if (y >= P) y -= P
+            if (y < sig(i)) sig(i) = y
             i += 1
           }
         }
