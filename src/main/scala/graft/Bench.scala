@@ -24,8 +24,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    // Multi-executor bench: SPARK_GRAFT_MASTER=local-cluster[2,16,8192]
+    // (needs SPARK_HOME; see Verify for the executor classpath seam).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
@@ -41,6 +44,11 @@ object Bench {
       // 1.5M groups: 21 s fallback vs 11 s hashed)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4000000")
+    if (master.startsWith("local-cluster")) {
+      val cp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
+        s"${sys.props("user.dir")}/target/scala-2.13/classes")
+      builder.config("spark.executor.extraClassPath", cp)
+    }
     // Extra session conf for experiments: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
@@ -64,24 +72,28 @@ object Bench {
       val gc0 = if (traceGc) gcMillis else 0L
       val h0 = if (traceGc) heapUsedMb else 0L
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (traceGc)
+          System.err.println(f"[gc] $name wall=$dt%.2f gcSec=${(gcMillis - gc0) / 1e3}%.2f " +
+            f"heapBeforeMb=$h0 heapAfterMb=$heapUsedMb")
+        dt
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
+      } finally {
+        // Queries are self-contained: drop any lazily-pinned checkpoint
+        // blocks the query left behind so they can't crowd the next
+        // query's unified memory (r7 measurement: 20 GB of residue from
+        // a heavy predecessor made dedup_minhash 1.25× slower in-session
+        // vs isolated; GC itself was <1% of wall either way). In finally
+        // so a FAILED heavy query can't leave residue that skews every
+        // subsequent timing.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (traceGc)
-        System.err.println(f"[gc] $name wall=$dt%.2f gcSec=${(gcMillis - gc0) / 1e3}%.2f " +
-          f"heapBeforeMb=$h0 heapAfterMb=$heapUsedMb")
-      // Queries are self-contained: drop any lazily-pinned checkpoint
-      // blocks the query left behind so they can't crowd the next
-      // query's unified memory (r7 measurement: 20 GB of residue from
-      // a heavy predecessor made dedup_minhash 1.25× slower in-session
-      // vs isolated; GC itself was <1% of wall either way).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      dt
     }
 
     // Optional args: bench only these queries (fast iteration).
@@ -106,7 +118,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout with a length cap that truncated the
+    // per-query map in BENCH_r07/r08 (~80 of 169 queries survived,
+    // "parsed": null). Persist the complete artifact to a file too.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -9,8 +9,12 @@ object Verify {
     // Optional extra args: run only these query names (fast iteration).
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-executor verification: SPARK_GRAFT_MASTER=local-cluster[2,8,4096]
+    // (needs SPARK_HOME so workers can fork executor JVMs; graft classes
+    // reach executors via spark.executor.extraClassPath below).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -21,7 +25,12 @@ object Verify {
         sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4000000")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      val cp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
+        s"${sys.props("user.dir")}/target/scala-2.13/classes")
+      builder.config("spark.executor.extraClassPath", cp)
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Loss-proof gate: a query that fails to plan/run still writes an
@@ -40,11 +49,6 @@ object Verify {
         val out = graft.util.Canon.normalizeNegZero(fn(spark, sfDir))
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         schemas(name) = out.schema
-        // drop lazily-pinned checkpoint blocks between queries — they
-        // otherwise accumulate across the 169-query dump and crowd
-        // execution memory (see Bench for the measurement)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
       }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
@@ -57,6 +61,14 @@ object Verify {
         } catch { case e2: Throwable =>
           System.err.println(s"[verify] $name error-sentinel write failed: ${e2.getMessage}")
         }
+      }
+      finally {
+        // drop lazily-pinned checkpoint blocks between queries — they
+        // otherwise accumulate across the 169-query dump and crowd
+        // execution memory (see Bench for the measurement); in finally
+        // so a failed query can't leave residue behind
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

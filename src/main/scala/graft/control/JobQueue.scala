@@ -1,7 +1,7 @@
 package graft.control
 
 import java.util.concurrent.{ConcurrentHashMap, LinkedBlockingQueue, TimeUnit}
-import java.util.concurrent.atomic.AtomicLong
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
 
 /** Control-plane job messages (the reference's queue payloads:
   * /root/reference/pkg/storage/queue/models/models.go and
@@ -30,14 +30,20 @@ trait JobQueue {
   def size: Int
 }
 
-/** Lock-free in-memory queue — same semantics, no persistence. */
+/** Lock-free in-memory queue, no persistence. Drain semantics match the
+  * Derby arm: `isEmpty`/`size` count every job from enqueue until ack via
+  * an independent counter, so a job a worker has claimed (out of `pending`
+  * but not yet executed) is never invisible — the DB arm gets the same
+  * guarantee from its atomic `status='claimed'` UPDATE. */
 final class InMemoryJobQueue extends JobQueue {
   private val idGen = new AtomicLong(0)
   private val pending = new LinkedBlockingQueue[(Long, JobMessage)]()
   private val inFlight = new ConcurrentHashMap[Long, JobMessage]()
+  private val unfinished = new AtomicInteger(0)
 
   def enqueue(msg: JobMessage): Long = {
     val id = idGen.incrementAndGet()
+    unfinished.incrementAndGet() // count before publish: never under-counts
     pending.put((id, msg))
     id
   }
@@ -49,13 +55,14 @@ final class InMemoryJobQueue extends JobQueue {
     else { inFlight.put(item._1, item._2); Some(item) }
   }
 
-  def ack(id: Long): Unit = inFlight.remove(id)
+  def ack(id: Long): Unit =
+    if (inFlight.remove(id) != null) unfinished.decrementAndGet()
 
   def nack(id: Long): Unit = {
     val msg = inFlight.remove(id)
     if (msg != null) pending.put((id, msg))
   }
 
-  def isEmpty: Boolean = pending.isEmpty && inFlight.isEmpty
-  def size: Int = pending.size() + inFlight.size()
+  def isEmpty: Boolean = unfinished.get() == 0
+  def size: Int = unfinished.get()
 }

@@ -235,6 +235,31 @@ object NativeExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** |A ∩ B| over two ascending-sorted array<long> — the verify kernel
+    * of prefix-filtered set-similarity joins (PPJoin): one merge pass,
+    * zero allocation (size(array_intersect(..)) would build a hash set
+    * and materialize the intersection array per pair). */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var n = 0L
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { n += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      n
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Distinct k-word shingles from an array<string> of tokens — the
     * native form of the transform+slice+concat_ws+array_distinct HOF
     * chain (which interprets per element). Short inputs fall back to
@@ -2025,6 +2050,9 @@ object NativeExpressions {
     ExpressionUtils.column(WordShinglesAll(ExpressionUtils.expression(tokens), k))
   def shingle_hashes(text: Column, k: Int): Column =
     ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), k))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedLongIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def token_hashes(text: Column): Column =
     ExpressionUtils.column(TokenHashes(ExpressionUtils.expression(text)))
   def shingle_hashes_all(text: Column, k: Int): Column =

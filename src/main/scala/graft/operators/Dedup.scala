@@ -367,7 +367,13 @@ object Dedup {
         it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
         Iterator.single(buf.result())
       }.collect()
-    val parent = new java.util.HashMap[Long, Long]()
+    // Primitive open-addressing map: 16 B per non-root node at 60%
+    // load (vs ~90 B boxed), so the driver total at the 50M-edge limit
+    // is 800 MB of packed edges + ≤ 2 GB map worst-case (every edge a
+    // disjoint pair → 100M non-roots; real dup graphs are edge-dense
+    // and sit far below). `graft.cc.localEdgeLimit` dials the limit
+    // down for small drivers.
+    val parent = new graft.util.LongLongMap()
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
@@ -464,14 +470,122 @@ object Dedup {
       .groupBy("doc_a", "doc_b", "size_a", "size_b").agg(count(lit(1)).as("n_common"))
   }
 
+  /** Below this threshold the prefix filter can't prune (the required
+    * prefix is nearly the whole shingle set: prefix = |S| − ⌈t·|S|⌉ + 1),
+    * so the single-shuffle capped-collect plan wins. Above it,
+    * [[prefixFilteredIntersections]] generates candidates from
+    * frequency-ordered prefixes — near-linear at 100 TB where the
+    * all-rare-pairs explosion is quadratic in bucket occupancy. */
+  private val PrefixFilterMinThreshold = 0.1
+
+  /** AllPairs/PPJoin prefix-filtered candidate generation + exact
+    * verification — same output contract as [[shingleIntersections]]
+    * ((doc_a, doc_b, size_a, size_b, n_common) over the rare-shingle
+    * universe) but restricted to pairs that can still reach `threshold`,
+    * so callers apply the same exact threshold filter to either core.
+    *
+    * Correctness (Bayardo et al. "Scaling Up All Pairs", Xiao et al.
+    * PPJoin): order every doc's rare shingles by one global total order
+    * (ascending document frequency, ties by hash — rarest first). A
+    * qualifying pair's overlap o satisfies o ≥ ⌈t·|X|⌉ for the bound
+    * side(s) (Jaccard: o/(|A|+|B|−o) ≥ t with o ≤ |B| gives o ≥ t·|A|
+    * and symmetrically o ≥ t·|B|; containment: o ≥ t·min(|A|,|B|) =
+    * t·|probe| for the smaller side), so the first
+    * |rare(X)| − ⌈t·|X|⌉ + 1 elements of X's ordered rare set must
+    * contain a common element — the prefix-intersection lemma. Sizes in
+    * the α bound are FULL set sizes (the thresholds divide by them),
+    * rare sets are what overlap is counted over; o ≤ |rare| keeps the
+    * bound valid.
+    *
+    * Candidate join: Jaccard = prefix × prefix (both sides bounded);
+    * containment = prefix × full rare set, probing from the
+    * (set_size, doc)-smaller side only (the larger side's α can be
+    * arbitrarily weak). Verification is exact: candidates join the two
+    * per-doc value-sorted rare arrays and a native merge kernel counts
+    * the true intersection — no frequency cap approximation beyond the
+    * rare-universe semantics both cores share.
+    *
+    * Scale shape: frequency ordering puts only each doc's RAREST
+    * shingles in its prefix, so candidate buckets collapse (boilerplate
+    * shingles never enter a prefix at realistic thresholds); the
+    * per-doc array state is one row per doc, linear in corpus shingle
+    * volume. */
+  private def prefixFilteredIntersections(df: DataFrame, idCol: String,
+      textCol: String, shingleK: Int, maxShingleFreq: Int,
+      threshold: Double, containment: Boolean): DataFrame = {
+    // shingle stream feeds the frequency agg AND the join-back: pin it
+    // (lazy local checkpoint — same contract as minhashPairs' signature
+    // pin; cluster jobs needing executor-loss recovery pass reliable
+    // pins at the operator entry points that expose them)
+    val sh = graft.util.Checkpoints.pinLazy(
+      df.select(col(idCol).as("doc"),
+          graft.functions.NativeExpressions.shingle_hashes(col(textCol), shingleK).as("__sh"))
+        .select(col("doc"), size(col("__sh")).cast("long").as("set_size"),
+          explode(col("__sh")).as("s")))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxShingleFreq)
+    // per-doc state, one row per doc: the df-ordered rare list (prefix
+    // source) and the value-sorted rare list (merge-verify source)
+    val docSets = graft.util.Checkpoints.pinLazy(
+      sh.join(dfreq, "s")
+        .groupBy("doc", "set_size")
+        .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__o"))
+        .select(col("doc"), col("set_size"),
+          transform(col("__o"), x => x.getField("s")).as("__pref"),
+          sort_array(transform(col("__o"), x => x.getField("s"))).as("__set")))
+    val withPlen = docSets.withColumn("__plen",
+      size(col("__pref")).cast("long")
+        - ceil(lit(threshold) * col("set_size")).cast("long") + 1L)
+    val prefixes = withPlen.filter(col("__plen") > 0)
+      .select(col("doc"), col("set_size"),
+        explode(slice(col("__pref"), lit(1), col("__plen").cast("int"))).as("s"))
+    val cand =
+      if (!containment) {
+        val a = prefixes.select(col("s"), col("doc").as("doc_a"))
+        val b = prefixes.select(col("s"), col("doc").as("doc_b"))
+        a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      } else {
+        // probe (the (size, id)-smaller side) prefixes × full rare sets
+        val p = prefixes.select(col("s"), col("doc").as("__pd"), col("set_size").as("__ps"))
+        val i = docSets.select(explode(col("__set")).as("s"),
+          col("doc").as("__id"), col("set_size").as("__is"))
+        p.join(i, "s")
+          .filter(col("__ps") < col("__is") ||
+            (col("__ps") === col("__is") && col("__pd") < col("__id")))
+          .select(least(col("__pd"), col("__id")).as("doc_a"),
+            greatest(col("__pd"), col("__id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+      }
+    cand
+      .join(docSets.select(col("doc").as("doc_a"), col("set_size").as("size_a"),
+        col("__set").as("__seta")), "doc_a")
+      .join(docSets.select(col("doc").as("doc_b"), col("set_size").as("size_b"),
+        col("__set").as("__setb")), "doc_b")
+      .withColumn("n_common", graft.functions.NativeExpressions
+        .sorted_intersect_count(col("__seta"), col("__setb")))
+      .filter(col("n_common") > 0)
+      .select("doc_a", "doc_b", "size_a", "size_b", "n_common")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleK: Int = 5, threshold: Double = 0.5,
-                        maxShingleFreq: Int = 100): DataFrame =
-    shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
-      .withColumn("jaccard", round(col("n_common").cast("double") /
-        (col("size_a") + col("size_b") - col("n_common")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "n_common", "jaccard")
+                        maxShingleFreq: Int = 100): DataFrame = {
+    val core =
+      if (threshold >= PrefixFilterMinThreshold)
+        prefixFilteredIntersections(df, idCol, textCol, shingleK,
+          maxShingleFreq, threshold, containment = false)
+      else shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
+    core
+      // threshold on the UNROUNDED value (what the oracle does, and what
+      // the prefix lemma guarantees candidate completeness for); the
+      // rounded column is only the reported value
+      .withColumn("__j", col("n_common").cast("double") /
+        (col("size_a") + col("size_b") - col("n_common")))
+      .filter(col("__j") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        round(col("__j"), 6).as("jaccard"))
+  }
 
   /** Directed containment C(X ⊆ Y) = |X∩Y| / |X| — the asymmetric
     * overlap Jaccard is blind to: a short doc quoted whole inside a
@@ -481,14 +595,20 @@ object Dedup {
     * blocking and plan shape as [[ngramJaccardPairs]]. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        shingleK: Int = 5, threshold: Double = 0.5,
-                       maxShingleFreq: Int = 100): DataFrame =
-    shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
+                       maxShingleFreq: Int = 100): DataFrame = {
+    val core =
+      if (threshold >= PrefixFilterMinThreshold)
+        prefixFilteredIntersections(df, idCol, textCol, shingleK,
+          maxShingleFreq, threshold, containment = true)
+      else shingleIntersections(df, idCol, textCol, shingleK, maxShingleFreq)
+    core
       .filter(greatest(
         col("n_common").cast("double") / col("size_a"),
         col("n_common").cast("double") / col("size_b")) >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         round(col("n_common").cast("double") / col("size_a"), 6).as("containment_a"),
         round(col("n_common").cast("double") / col("size_b"), 6).as("containment_b"))
+  }
 
   /** Post-dedup representative selection: one kept doc per dup
     * cluster (the C4/Dolma-style "keep the best, drop the rest"

@@ -22,6 +22,20 @@ object TrainingOps {
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "embeddings")
 
+  /** The rare-shingle pair graph closed to components — consumed by
+    * BOTH dedup_components and dedup_keep_best. Materialized once per
+    * sweep through [[graft.util.StageCache]] so the second consumer
+    * reads the stage instead of recomputing the pair explosion + CC
+    * fixpoint (the production shape: a shared intermediate table). */
+  private def ngramComponents(s: org.apache.spark.sql.SparkSession, dir: String,
+                              d: org.apache.spark.sql.DataFrame) =
+    graft.util.StageCache.materialize(s, s"ngram-cc-k5-t0-cap100:$dir") {
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(d, "doc_id", "text",
+          shingleK = 5, threshold = 0.0, maxShingleFreq = 100),
+        "doc_a", "doc_b")
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // ---- dedup -----------------------------------------------------
@@ -205,6 +219,45 @@ object TrainingOps {
         shingleK = 5, threshold = 0.001, maxShingleFreq = 100)
     },
 
+    // The same rare-shingle Jaccard semantics at a production dedup
+    // threshold — which routes through the AllPairs/PPJoin
+    // prefix-filtered candidate path (frequency-ordered prefixes +
+    // exact merge-verify) instead of the all-rare-pairs explosion.
+    // The oracle is dedup_ngram_jaccard's SQL with the threshold
+    // raised: prefix filtering must be lossless at/above threshold,
+    // so the independent all-pairs oracle checks exactly that.
+    QueryDef(
+      "dedup_jaccard_prefix",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |), sh AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5
+        |    THEN list_distinct(list_transform(range(1, len(t) - 3),
+        |         i -> array_to_string(t[i:i+4], ' ')))
+        |    ELSE [array_to_string(t, ' ')] END) AS s
+        |  FROM toks
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1
+        |), rare AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 100
+        |), blocked AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)
+        |), inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM blocked a JOIN blocked b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b, n_common,
+        |  round(n_common * 1.0 / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE n_common * 1.0 / (sa.set_size + sb.set_size - n_common) >= 0.5
+        |""".stripMargin) { (s, dir) =>
+      Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text",
+        shingleK = 5, threshold = 0.5, maxShingleFreq = 100)
+    },
+
     QueryDef(
       "dedup_embedding",
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -286,10 +339,7 @@ object TrainingOps {
         |FROM documents d LEFT JOIN comp c USING (doc_id)
         |""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-        shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
-      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
-        .withColumnRenamed("node", "doc_id")
+      val comp = ngramComponents(s, dir, d).withColumnRenamed("node", "doc_id")
       d.select(col("doc_id")).join(comp, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     },
@@ -337,11 +387,8 @@ object TrainingOps {
         |WHERE rn = 1
         |""".stripMargin) { (s, dir) =>
       val d = docs(s, dir)
-      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
-        shingleK = 5, threshold = 0.0, maxShingleFreq = 100)
-      val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       Dedup.keepBest(d.select(col("doc_id"), col("n_chars")),
-        "doc_id", "n_chars", comp)
+        "doc_id", "n_chars", ngramComponents(s, dir, d))
     },
 
     // ---- similarity search ----------------------------------------

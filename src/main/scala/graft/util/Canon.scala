@@ -46,7 +46,10 @@ object Canon {
     case ArrayType(et, _) if needsNorm(et) =>
       transform(c, x => normCol(x, et))
     case st: StructType if needsNorm(st) =>
-      struct(st.fields.map(f => normCol(c.getField(f.name), f.dataType).as(f.name)): _*)
+      // guard: rebuilding via struct(getField…) would turn a NULL struct
+      // into a non-NULL struct of NULLs; `when` without otherwise keeps it NULL
+      when(c.isNotNull,
+        struct(st.fields.map(f => normCol(c.getField(f.name), f.dataType).as(f.name)): _*))
     case MapType(_, vt, _) if needsNorm(vt) =>
       transform_values(c, (_, v) => normCol(v, vt))
     case _ => c

@@ -1,0 +1,44 @@
+package graft.util
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.Files
+
+/** Once-per-sweep materialization of a pipeline stage shared by
+  * several queries (e.g. the rare-shingle pair graph + connected
+  * components consumed by both `dedup_components` and
+  * `dedup_keep_best`): the first caller computes the stage and writes
+  * it as parquet under a JVM-scoped temp dir; every later caller —
+  * same query re-run or a sibling query in the same sweep — reads the
+  * parquet back. This is the batch-pipeline pattern of materializing a
+  * shared intermediate table once rather than recomputing it per
+  * downstream job; it also pins any nondeterminism in the stage (all
+  * consumers see identical bytes).
+  *
+  * Keys must encode EVERYTHING the stage depends on (operator
+  * parameters and the input dir) — the cache trusts the key. Disable
+  * with `graft.stageCache.enabled=false` (each caller then computes
+  * the stage inline, the pre-cache behavior).
+  */
+object StageCache {
+  private lazy val root: java.nio.file.Path = {
+    val p = Files.createTempDirectory("graft-stage-cache-")
+    p.toFile.deleteOnExit()
+    p
+  }
+  // key → parquet path, computed at most once per JVM
+  private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def materialize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    if (!spark.conf.getOption("graft.stageCache.enabled").forall(_.toBoolean))
+      return build
+    val path = done.computeIfAbsent(sanitize(key), k => {
+      val out = root.resolve(k).toString
+      build.write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
+  private def sanitize(key: String): String =
+    key.map(c => if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '~')
+}

@@ -144,4 +144,21 @@ class UtilSpec extends SparkTestBase {
     assert(new graft.api.Sessions("secret-b").verify(tok, now) == None, "wrong key")
     assert(s.verify("garbage", now) == None)
   }
+
+  test("LongLongMap matches java.util.HashMap through growth (random + sequential keys)") {
+    val m = new graft.util.LongLongMap(16)
+    val ref = new java.util.HashMap[Long, Long]()
+    val rnd = new scala.util.Random(7)
+    // sequential ids (the union-find workload) + random, with overwrites
+    val keys = (0L until 50000L) ++ Seq.fill(50000)(rnd.nextLong().abs)
+    keys.foreach { k =>
+      val v = rnd.nextLong()
+      m.put(k, v); ref.put(k, v)
+    }
+    assert(m.size == ref.size)
+    ref.forEach((k, v) => assert(m.getOrDefault(k, Long.MaxValue) == v))
+    // absent keys fall through to the default
+    assert(m.getOrDefault(-12345L, 99L) == 99L)
+    assert(m.get(-12345L) == -12345L, "get defaults to identity (union-find root)")
+  }
 }
