@@ -73,6 +73,96 @@ object AsOfJoin {
     taggedRight.unionByName(taggedLeft)
   }
 
+  /** Same size switch as ScalableWindow: below the limit the plain
+    * per-key window wins (flat range-repartition + carry cost); above
+    * it the ranged-carry plan removes the single-task-per-key bound —
+    * and with it the skew hazard of a dominant key. */
+  private def smallInput(df: DataFrame): Boolean = {
+    val limit = df.sparkSession.conf
+      .getOption("graft.window.singleTaskLimitBytes")
+      .map(_.toLong).getOrElse(256L * 1024 * 1024)
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(limit)
+  }
+
+  /** Range-partitioned as-of carry — the skew-proof big arm. The
+    * tagged union is range-repartitioned on (keys, __ts, __tag) in
+    * WINDOW ORDER, so a hot key splits across as many time-slice
+    * partitions as its volume needs (the same scheme as
+    * [[ScalableWindow.groupRowNumber]], and the automatic form of
+    * "detect the dominant key and salt": range boundaries are sampled
+    * from the data, so the split follows volume wherever it piles up).
+    * Per slice, the usual running `last(payload)` window; what a slice
+    * cannot see — a match in an earlier slice — arrives through a
+    * per-(slice, key) carry table: the last right payload of each
+    * slice, prefix-scanned in slice order (tiny: |slices|·|keys touched|
+    * rows) and broadcast back. `alsoForward` additionally computes the
+    * symmetric forward carry from the SAME ranged table (for
+    * [[nearest]]). The checkpoint pins the sampled range boundaries,
+    * exactly as in ScalableWindow (local by default,
+    * `graft.checkpoint.reliable=true` for clusters).
+    *
+    * Equal-timestamp right rows across a slice boundary still match
+    * inclusively: __tag is part of the range key, so a right row sorts
+    * into an earlier-or-equal slice and reaches the left row through
+    * the carry; equal gaps in [[nearest]] still resolve backward
+    * because the backward carry sees the gap-0 match. */
+  private def rangedCarry(u: DataFrame, keys: Seq[String], asc: Boolean,
+      payload: Column, outB: String, forwardOut: Option[String],
+      checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin): DataFrame = {
+    val ss = u.sparkSession
+    val n = ss.conf.getOption("graft.asof.rangePartitions").map(_.toInt)
+      .getOrElse(ss.sessionState.conf.numShufflePartitions)
+    val order =
+      if (asc) Seq(col("__ts").asc, col("__tag").asc)
+      else Seq(col("__ts").desc, col("__tag").asc)
+    val pidKeys = "__pid" +: keys
+    val ranged = checkpoint(
+      u.repartitionByRange(n, keys.map(col) ++ order: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // every (slice, key) — including slices holding only left rows,
+    // which still need a carry-in
+    val slices = ranged.groupBy(pidKeys.map(col): _*)
+      .agg(count(lit(1)).as("__sn")).drop("__sn")
+    val rights = ranged.filter(col("__tag") === 0)
+    // per-slice boundary payloads: the LAST right row in window order
+    // (asc: max ts; desc: min ts) for the primary carry, the FIRST for
+    // the forward carry
+    val lastRight = rights.groupBy(pidKeys.map(col): _*)
+      .agg((if (asc) max_by(payload, col("__ts"))
+            else min_by(payload, col("__ts"))).as("__scb"))
+    val wIn = Window.partitionBy(keys.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var carry = slices.join(lastRight, pidKeys, "left_outer")
+      .withColumn("__cib", last(col("__scb"), ignoreNulls = true).over(wIn))
+      .drop("__scb")
+    forwardOut.foreach { _ =>
+      val firstRight = rights.groupBy(pidKeys.map(col): _*)
+        .agg(min_by(payload, col("__ts")).as("__scf"))
+      val wInF = Window.partitionBy(keys.map(col): _*).orderBy(col("__pid"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      carry = carry.join(firstRight, pidKeys, "left_outer")
+        .withColumn("__cif", first(col("__scf"), ignoreNulls = true).over(wInF))
+        .drop("__scf")
+    }
+    val wLocal = Window.partitionBy(pidKeys.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var out = ranged.join(broadcast(carry), pidKeys)
+      .withColumn(outB,
+        coalesce(last(payload, ignoreNulls = true).over(wLocal), col("__cib")))
+      .drop("__cib")
+    forwardOut.foreach { f =>
+      val wLocalF = Window.partitionBy(pidKeys.map(col): _*)
+        .orderBy(order: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      out = out
+        .withColumn(f,
+          coalesce(first(payload, ignoreNulls = true).over(wLocalF), col("__cif")))
+        .drop("__cif")
+    }
+    out.drop("__pid")
+  }
+
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String, rightCols: Seq[String],
            direction: String, toleranceMs: Long): DataFrame = {
@@ -96,8 +186,13 @@ object AsOfJoin {
     // whole rows and NULL payload values survive — DuckDB ASOF semantics.
     val payload = when(col("__tag") === 0,
       struct((rightCols :+ matchedTs).map(col): _*))
-    val carried = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
-      .withColumn("__payload", last(payload, ignoreNulls = true).over(w))
+    val union = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
+    val carried =
+      if (smallInput(union))
+        union.withColumn("__payload", last(payload, ignoreNulls = true).over(w))
+      else
+        rangedCarry(union, keys, asc = direction == "backward", payload,
+          "__payload", forwardOut = None)
 
     // timestamp columns (TZ or NTZ): tolerance in ms via exact integer
     // micros — cast("double") throws DATATYPE_MISMATCH on TIMESTAMP_NTZ
@@ -157,9 +252,14 @@ object AsOfJoin {
     val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val payload = when(col("__tag") === 0,
       struct((rightCols :+ matchedTs).map(col): _*))
-    val carried = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
-      .withColumn("__b", last(payload, ignoreNulls = true).over(wb))
-      .withColumn("__f", first(payload, ignoreNulls = true).over(wf))
+    val union = taggedUnion(left, right, keys, leftTs, rightTs, rightCols)
+    val carried =
+      if (smallInput(union))
+        union
+          .withColumn("__b", last(payload, ignoreNulls = true).over(wb))
+          .withColumn("__f", first(payload, ignoreNulls = true).over(wf))
+      else
+        rangedCarry(union, keys, asc = true, payload, "__b", forwardOut = Some("__f"))
 
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val bTs = col("__b").getField(matchedTs)

@@ -146,4 +146,46 @@ class AsOfJoinSpec extends SparkTestBase {
     val nullPid = rows.find(_.isNullAt(2)).get
     assert(nullPid.getString(3) == "c_a")
   }
+
+  test("ranged-carry arm equals the single-window arm on a 90%-one-key skewed corpus") {
+    // The skew-proof big arm (range-repartition in window order +
+    // per-slice carry) must reproduce the plain per-key window exactly:
+    // backward, forward, tolerance, and nearest, on a corpus where one
+    // key holds 90% of both sides — the shape that makes the plain
+    // window a single straggler task at scale. Equal timestamps and
+    // payload NULLs included to exercise slice-boundary inclusivity.
+    val rnd = new scala.util.Random(11)
+    def key(i: Int): Long = if (i % 10 != 0) 7L else (i % 97).toLong + 100L
+    val left = (0 until 4000).map { i =>
+      (key(i), 1000L + rnd.nextInt(100000).toLong, s"p$i")
+    }.toDF("k", "t", "pid")
+    // right timestamps unique per key: duplicate (k, t) right rows have
+    // an ambiguous match both arms may break differently
+    val right = (0 until 4000).map { i =>
+      (key(i), 1000L + i * 25L,
+        if (i % 13 == 0) null else s"c$i")
+    }.toDF("k", "t", "cid")
+      .select(col("k"), col("t"), col("cid"), col("t").as("ct"))
+
+    def run(): Seq[String] = {
+      val parts = Seq(
+        AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("cid", "ct"),
+          "backward", Long.MaxValue),
+        AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("cid", "ct"),
+          "forward", Long.MaxValue),
+        AsOfJoin.asof(left, right, Seq("k"), "t", "t", Seq("cid", "ct"),
+          "backward", toleranceMs = 20000),
+        AsOfJoin.nearest(left, right, Seq("k"), "t", "t", Seq("cid", "ct"),
+          rightTsOut = "ct"))
+      parts.flatMap(_.collect().map(_.mkString("|")).sorted)
+    }
+
+    val plain = run() // small input → single-window arm
+    spark.conf.set("graft.window.singleTaskLimitBytes", "0")
+    try {
+      val ranged = run() // forced ranged-carry arm
+      assert(ranged == plain,
+        s"arms disagree: ${ranged.zip(plain).filter(p => p._1 != p._2).take(5)}")
+    } finally spark.conf.unset("graft.window.singleTaskLimitBytes")
+  }
 }
