@@ -203,6 +203,38 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"token budget mix lost its partition-local window:\n$mixPlan")
   }
 
+  test("prefix-filtered jaccard plans through prefixes + merge-verify, not the pair explosion") {
+    // at thresholds >= 0.1 candidate generation must come from the
+    // frequency-ordered prefixes with the exact merge-count verify — no
+    // capped-collect pair aggregate anywhere in the plan
+    val prefix = SparkEntry.queries("dedup_jaccard_prefix")(spark, dir)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(prefix.contains("sortedlongintersectcount"),
+      s"merge-verify kernel missing from prefix plan:\n${prefix.take(4000)}")
+    assert(!prefix.contains("shingle_pairs"),
+      "prefix plan must not fall back to the pair-explosion aggregate")
+    // the low-threshold query keeps the single-shuffle capped-collect arm
+    val legacy = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(legacy.contains("shingle_pairs"),
+      "low-threshold jaccard should keep the capped-collect arm")
+  }
+
+  test("ranged as-of arm: per-slice windows keyed by partition id, carries broadcast") {
+    // force the big arm at spec scale; the window must be partitioned
+    // by (__pid, keys) — a window on keys alone is the single-task-per-
+    // key skew failure — and the carry table must join by broadcast
+    spark.conf.set("graft.window.singleTaskLimitBytes", "0")
+    val plan =
+      try SparkEntry.queries("q_asof_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.unset("graft.window.singleTaskLimitBytes")
+    assert(plan.contains("windowspecdefinition(__pid"),
+      s"ranged as-of lost its slice-local window:\n${plan.take(4000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"carry table should broadcast:\n${plan.take(4000)}")
+  }
+
   test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
     // Dup-dense corpora pile identical fingerprints into the same band
     // buckets; the candidate join must run over DISTINCT fingerprints
