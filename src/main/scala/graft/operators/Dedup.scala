@@ -314,9 +314,54 @@ object Dedup {
     // holds to any scale (near-dup graphs at 100 TB can carry billions
     // of edges — the loop IS the production arm there). Both paths are
     // property-spec'd equal.
-    val limit = pairs.sparkSession.conf.getOption("graft.cc.localEdgeLimit")
-      .map(_.toLong).getOrElse(localEdgeLimit)
-    if (edges.count() <= limit) return localComponents(edges)
+    // The driver arm's packed collect is charged against
+    // spark.driver.maxResultSize (16 B/edge): clamp the edge limit to
+    // 80% of it so a generous localEdgeLimit can never turn into a
+    // mid-job "serialized results bigger than maxResultSize" abort —
+    // past the clamp the contraction/star arms carry the graph.
+    val maxResult = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      pairs.sparkSession.conf.get("spark.driver.maxResultSize", "1g"))
+    val resultCap = if (maxResult <= 0) Long.MaxValue else maxResult / 20
+    val limit = math.min(resultCap,
+      pairs.sparkSession.conf.getOption("graft.cc.localEdgeLimit")
+        .map(_.toLong).getOrElse(localEdgeLimit))
+    var cnt = edges.count()
+    if (cnt <= limit) return localComponents(edges)
+
+    // Sharded union-find contraction — the bridge between the driver
+    // arm and the star loop. Near-dup graphs are cluster-DENSE (a
+    // k-member dup group carries up to k(k-1)/2 pair edges), so an
+    // over-limit EDGE count usually hides a far smaller NODE count.
+    // Each round hash-shards edges by u, runs a primitive union-find
+    // per shard on the executors, and replaces the shard's edges with
+    // its spanning star forest (node → shard-local min root): cycles
+    // die in place, shard count scales with edge volume (~4M edges /
+    // ~128 MB map worst-case per task), and the union of forests is
+    // connectivity-equivalent over the SAME node set (every node of a
+    // shard appears in its forest — self-loops were dropped, so no
+    // local component is a singleton). Rounds repeat while the list
+    // shrinks (re-sharding by node colocates a node's per-shard roots
+    // and merges them); once under `limit` the driver arm finishes.
+    // If contraction stalls above the limit (forest-shaped input:
+    // edges ≈ nodes − components is the floor), fall through to the
+    // star loop ON the contracted list — never worse than the input.
+    val contractRounds = pairs.sparkSession.conf
+      .getOption("graft.cc.contractRounds").map(_.toInt).getOrElse(3)
+    var round = 0
+    var shrinking = true
+    while (cnt > limit && round < contractRounds && shrinking) {
+      val parts = math.max(
+        pairs.sparkSession.sparkContext.defaultParallelism,
+        math.min(10000, cnt / 4000000L).toInt)
+      val contracted = contractStars(edges, parts)
+        .transform(graft.util.Checkpoints.pin)
+      val c2 = contracted.count()
+      shrinking = c2 < cnt - cnt / 10
+      edges = contracted
+      cnt = c2
+      round += 1
+    }
+    if (cnt <= limit) return localComponents(edges)
     var edgesFp = fingerprint(edges)
     var converged = false
     var it = 0
@@ -392,21 +437,51 @@ object Dedup {
         i += 2
       }
     }
-    val seen = new java.util.HashSet[Long]()
+    // The parent map's key set IS the non-root node set: a node gains
+    // an entry exactly when it loses a union (or is path-compressed,
+    // which requires a prior entry), and roots never lose. find() from
+    // inside foreachKey only rewrites existing keys (no insert/grow).
     val out = Seq.newBuilder[(Long, Long)]
-    chunks.foreach { arr =>
-      var i = 0
-      while (i < arr.length) {
-        val n = arr(i)
-        if (seen.add(n)) {
-          val r = find(n)
-          if (r != n) out += ((n, r))
-        }
-        i += 1
-      }
+    parent.foreachKey { node =>
+      val r = find(node)
+      if (r != node) out += ((node, r))
     }
     // LocalRelation: driver-local, broadcast-joins downstream for free
     out.result().toDF("node", "component")
+  }
+
+  /** One sharded-contraction round of [[connectedComponents]]: edges
+    * hash-partitioned by `u`, a primitive union-find per partition,
+    * output = the per-partition spanning star forests
+    * (non-root node → partition-local min root). Connectivity- and
+    * node-set-preserving; strictly removes intra-partition cycles. */
+  private def contractStars(edges: DataFrame, parts: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("u"), col("v")).repartition(parts, col("u"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val parent = new graft.util.LongLongMap()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+          var c = x
+          while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (u, v) =>
+          val ru = find(u); val rv = find(v)
+          if (ru < rv) parent.put(rv, ru)
+          else if (rv < ru) parent.put(ru, rv)
+        }
+        val out = Vector.newBuilder[(Long, Long)]
+        parent.foreachKey { node =>
+          val r = find(node)
+          if (r != node) out += ((node, r))
+        }
+        out.result().iterator
+      }
+      .toDF("u", "v")
   }
 
   /** Per-doc dup group with FULL transitive closure: connected

@@ -61,6 +61,19 @@ final class LongLongMap(initialCapacity: Int = 1 << 16) {
     if (n * 5 > cap * 3) grow() // load factor 0.6
   }
 
+  /** Iterate over the key set. Safe to `put` EXISTING keys from `f`
+    * (value updates don't move slots); inserting NEW keys during
+    * iteration is not (a grow would rehash mid-scan). Union-find path
+    * compression only rewrites present keys, so calling `find` from
+    * `f` is fine. */
+  def foreachKey(f: Long => Unit): Unit = {
+    var j = 0
+    while (j < keys.length) {
+      if (keys(j) != EMPTY) f(keys(j))
+      j += 1
+    }
+  }
+
   private def grow(): Unit = {
     val ok = keys; val ov = vals
     cap <<= 1; mask = cap - 1

@@ -68,6 +68,37 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: sharded contraction arm agrees with both siblings") {
+    // dup-cluster-dense graph (edges >> nodes — the shape the
+    // contraction arm exists for): 8 six-node cliques, a chain linking
+    // every other clique, 48 nodes / 125 edges
+    val cliques = (0 until 8).flatMap { c =>
+      val ids = (0 until 6).map(i => (c * 6 + i).toLong)
+      for (a <- ids; b <- ids if a < b) yield (b, a)
+    }
+    val chain = (0 until 3).map(i => ((i * 12 + 12).toLong, (i * 12).toLong))
+    val df = (cliques ++ chain).toDF("doc_a", "doc_b")
+    def run(): Map[Long, Long] =
+      Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val base = run() // 125 edges < default limit: plain driver arm
+    try {
+      // contraction → driver handoff: limit below the 125 edges but
+      // above the ≤44 star-forest edges one round contracts to
+      spark.conf.set("graft.cc.localEdgeLimit", "60")
+      assert(run() == base, "contract->driver arm diverged")
+      // contraction → star-loop fallthrough: nothing fits the driver
+      spark.conf.set("graft.cc.localEdgeLimit", "0")
+      assert(run() == base, "contract->star arm diverged")
+      // contraction disabled: pure star loop (the pre-existing arm)
+      spark.conf.set("graft.cc.contractRounds", "0")
+      assert(run() == base, "pure star arm diverged")
+    } finally {
+      spark.conf.unset("graft.cc.localEdgeLimit")
+      spark.conf.unset("graft.cc.contractRounds")
+    }
+  }
+
   test("minhashDedupGroups closes transitive near-dup chains") {
     // A~B (edit at 15), B~C (edits at 15 and 45): A and C share only
     // ~half their shingles, so the single-pass verdict would split them
