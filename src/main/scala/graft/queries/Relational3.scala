@@ -205,10 +205,20 @@ object Relational3 {
       // the theta form (l_shipdate >= ws AND < ws + 7d) planned as an
       // interpreted BroadcastNestedLoopJoin evaluating the interval
       // arithmetic per (row, week) pair: 6.3 s at sf0.1 for 29M
-      // pairs; the bucket equi-join broadcasts 48 spine rows through
-      // a codegen'd hash join (0.7 s). Semantics identical: each row
-      // maps to exactly one week, out-of-range rows map to no spine
-      // week.
+      // pairs; the bucket equi-join is a codegen'd hash join.
+      // Semantics identical: each row maps to exactly one week,
+      // out-of-range rows map to no spine week.
+      //
+      // The facts are aggregated to per-week counts BEFORE meeting the
+      // spine: a left join whose preserved side is the 48-row spine
+      // cannot broadcast it (only the non-preserved side of an outer
+      // join is broadcastable), so the naive `spine LEFT JOIN buck`
+      // shuffles the ENTIRE fact table onto 48 week keys — maximal
+      // skew, superlinear at scale (1.6 s at sf0.1 → 20 s at sf1).
+      // Pre-aggregating makes the fact pass a map-side-combined hash
+      // aggregate (48 rows out per partition) and the join a broadcast
+      // of week-count rows; count(b.l_orderkey)=0 for empty weeks is
+      // restored by coalesce.
       s.sql(
         """WITH RECURSIVE spine(ws) AS (
           |  SELECT CAST('1995-01-02' AS TIMESTAMP)
@@ -219,12 +229,12 @@ object Relational3 {
           |  SELECT timestampadd(DAY,
           |      7 * CAST(floor(datediff(l_shipdate, DATE'1995-01-02') / 7) AS INT),
           |      TIMESTAMP'1995-01-02') AS ws,
-          |    l_orderkey
+          |    count(*) AS cnt
           |  FROM lineitem
+          |  GROUP BY 1
           |)
-          |SELECT s.ws, count(b.l_orderkey) AS n
+          |SELECT s.ws, coalesce(b.cnt, 0) AS n
           |FROM spine s LEFT JOIN buck b ON b.ws = s.ws
-          |GROUP BY s.ws
           |""".stripMargin)
     },
 

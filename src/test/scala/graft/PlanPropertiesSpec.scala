@@ -235,6 +235,27 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"carry table should broadcast:\n${plan.take(4000)}")
   }
 
+  test("recursive-cte spine join aggregates facts BEFORE the join — no fact shuffle onto week keys") {
+    // `spine LEFT JOIN facts` cannot broadcast the preserved 48-row
+    // spine, so joining the raw fact table would shuffle every fact
+    // row onto 48 week keys (maximal skew, superlinear at scale). The
+    // plan must aggregate lineitem to per-week counts below the join:
+    // the only HashAggregate over the fact branch sits under the join,
+    // and the join itself is a broadcast of the tiny count table.
+    val df = SparkEntry.queries("q_recursive_cte")(spark, dir)
+    df.collect() // AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"week-count table should broadcast into the spine join:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact rows must not shuffle onto the 48 spine keys:\n${plan.take(4000)}")
+    // count() must be map-side combined: a partial_count aggregate
+    // exists in the fact branch
+    assert(plan.contains("partial_count") || plan.contains("partial count")
+        || plan.contains("Partial"),
+      s"fact aggregation lost its map-side combine:\n${plan.take(4000)}")
+  }
+
   test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
     // Dup-dense corpora pile identical fingerprints into the same band
     // buckets; the candidate join must run over DISTINCT fingerprints
