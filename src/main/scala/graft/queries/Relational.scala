@@ -214,11 +214,22 @@ object Relational {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey, c_name
         |""".stripMargin) { (s, dir) =>
+      // Eager aggregation: the orders fact is reduced to per-custkey
+      // partials BEFORE the join (map-side combine shrinks the shuffle
+      // from |orders| rows to distinct custkeys per partition), and the
+      // post-join aggregate disappears — each order matches exactly one
+      // customer row, so join-then-group and group-then-join are
+      // identical here. At fact >> dim scale this cuts the shuffled
+      // bytes by the per-customer fanout; the left join's unmatched
+      // customers come back as count 0 / spend 0 via coalesce.
+      val perCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(col("o_orderkey")).as("__n"), sum("o_totalprice").as("__s"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy("c_custkey", "c_name")
-        .agg(count(col("o_orderkey")).as("n_orders"),
-          r2(coalesce(sum("o_totalprice"), lit(0))).as("total_spend"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"), col("c_name"),
+          coalesce(col("__n"), lit(0L)).as("n_orders"),
+          r2(coalesce(col("__s"), lit(0))).as("total_spend"))
     },
 
     QueryDef(

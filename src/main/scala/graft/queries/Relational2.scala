@@ -160,14 +160,29 @@ object Relational2 {
         |) shipping
         |GROUP BY supp_nation, cust_nation, l_year
         |""".stripMargin) { (s, dir) =>
-      val n1 = t(s, dir, "nation").select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
-      val n2 = t(s, dir, "nation").select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+      // The two-nation predicate is the selective step, so the
+      // broadcast dims are filtered and joined FIRST (Catalyst cannot
+      // split the OR-of-ANDs across two relations on its own): the
+      // supplier and customer branches shrink to 2-of-N nations before
+      // any fact shuffle, so every downstream join stream — the
+      // lineitem join output feeding the orders shuffle, and the
+      // customer side of the custkey shuffle — carries only
+      // qualifying-nation rows. The cross-pair condition (excluding
+      // N1–N1 / N2–N2) still applies after both sides meet.
+      val nats = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
+        .filter(col("supp_nation").isin(nats: _*))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
+        .filter(col("cust_nation").isin(nats: _*))
       t(s, dir, "supplier")
+        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
         .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("nk1"))
-        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .join(t(s, dir, "customer")
+          .join(broadcast(n2), col("c_nationkey") === col("nk2")),
+          col("c_custkey") === col("o_custkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -202,13 +217,26 @@ object Relational2 {
         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
         |GROUP BY c_name, o_orderkey, o_totalprice
         |""".stripMargin) { (s, dir) =>
+      // The HAVING filter is by far the most selective step, so it is
+      // applied FIRST: Catalyst does not reorder joins (no CBO), and
+      // semi-joining after customer⋈orders⋈lineitem would shuffle all
+      // three tables at full volume only to discard ~everything. With
+      // the semi filters pushed to the facts, the lineitem branch
+      // reuses the l_orderkey exchange the HAVING aggregate already
+      // built (ReusedExchange), orders shuffles once and collapses to
+      // the few qualifying rows, and AQE then broadcasts that side
+      // into the customer join — the 100-TB customer table never
+      // shuffles at all.
       val big = t(s, dir, "lineitem").groupBy("l_orderkey")
         .agg(sum("l_quantity").as("__q")).filter(col("__q") > 150)
         .select(col("l_orderkey").as("__big_key"))
-      t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+      val li = t(s, dir, "lineitem")
+        .join(big, col("l_orderkey") === col("__big_key"), "left_semi")
+      val ord = t(s, dir, "orders")
         .join(big, col("o_orderkey") === col("__big_key"), "left_semi")
+      ord
+        .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy("c_name", "o_orderkey", "o_totalprice")
         .agg(round(sum("l_quantity"), 2).as("total_qty"))
     },

@@ -256,6 +256,35 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"fact aggregation lost its map-side combine:\n${plan.take(4000)}")
   }
 
+  test("eager aggregation / early filters: join order favors the shrunk side") {
+    // q_join_left: the orders fact aggregates to per-custkey partials
+    // BELOW the join (map-side combine before the shuffle); there is
+    // no post-join aggregate, so in the top-down plan print the join
+    // appears before the aggregate.
+    val jl = SparkEntry.queries("q_join_left")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val (jlJoin, jlAgg) = (jl.indexOf("Join"), jl.indexOf("Aggregate"))
+    assert(jlJoin >= 0 && jlAgg > jlJoin,
+      s"q_join_left must aggregate orders below the join:\n${jl.take(3000)}")
+
+    // q_big_orders: the selective HAVING semi-filters sit BELOW the
+    // customer/lineitem inner joins — a semi join above the full
+    // 3-way join would shuffle everything pre-filter.
+    val bo = SparkEntry.queries("q_big_orders")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    val (boInner, boSemi) = (bo.indexOf("Join Inner"), bo.indexOf("Join LeftSemi"))
+    assert(boInner >= 0 && boSemi > boInner,
+      s"q_big_orders must semi-filter the facts below the inner joins:\n${bo.take(3000)}")
+
+    // q_nation_volume: the two-nation predicate reaches the nation
+    // scans (pushed filter), shrinking both dim branches before any
+    // fact join.
+    val nv = SparkEntry.queries("q_nation_volume")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(nv.contains("In(n_name"),
+      s"q_nation_volume lost the pushed nation filter:\n${nv.take(3000)}")
+  }
+
   test("simhash banding joins DISTINCT fingerprints, exact on a dup-dense corpus") {
     // Dup-dense corpora pile identical fingerprints into the same band
     // buckets; the candidate join must run over DISTINCT fingerprints
