@@ -18,12 +18,20 @@ import java.nio.file.Files
   * parameters and the input dir) — the cache trusts the key. Disable
   * with `graft.stageCache.enabled=false` (each caller then computes
   * the stage inline, the pre-cache behavior).
+  *
+  * Location: the parquet write is a DISTRIBUTED write — every
+  * executor writes its tasks' files to the stage path — so on a
+  * multi-node cluster the path must live on a filesystem all
+  * executors and the driver share (s3a/gs/hdfs). Set
+  * `graft.stageCache.dir` to that location; the driver-local temp
+  * dir default is only correct where driver and executors share one
+  * machine (local[n], local-cluster, single-node standalone).
   */
 object StageCache {
-  private lazy val root: java.nio.file.Path = {
+  private lazy val localRoot: String = {
     val p = Files.createTempDirectory("graft-stage-cache-")
     p.toFile.deleteOnExit()
-    p
+    p.toString
   }
   // key → parquet path, computed at most once per JVM
   private val done = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -31,8 +39,9 @@ object StageCache {
   def materialize(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     if (!spark.conf.getOption("graft.stageCache.enabled").forall(_.toBoolean))
       return build
+    val root = spark.conf.getOption("graft.stageCache.dir").getOrElse(localRoot)
     val path = done.computeIfAbsent(sanitize(key), k => {
-      val out = root.resolve(k).toString
+      val out = s"$root/$k"
       build.write.mode("overwrite").parquet(out)
       out
     })
