@@ -453,6 +453,32 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got(4L) == ((0L, 150000L)))
   }
 
+  test("pageRankFixedPoint: driver arm equals the distributed Pregel loop bit-for-bit") {
+    // Random-ish graph with every boundary the arms must agree on:
+    // duplicate + self-loop edges, a foreign endpoint (99 appears in
+    // edges but not in nodes: degree-carrying rank sink), and isolated
+    // nodes (200, 201).
+    val rnd = new scala.util.Random(11)
+    val raw = Seq.tabulate(400)(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      Seq((3L, 99L), (99L, 7L), (5L, 5L), (2L, 3L), (3L, 2L))
+    val edges = raw.toDF("a", "b")
+    val nodes = ((0L until 40L) ++ Seq(200L, 201L)).toDF("id")
+
+    def run(limit: String): Map[Long, (Long, Long)] = {
+      spark.conf.set("graft.pagerank.localEdgeLimit", limit)
+      try operators.Graph.pageRankFixedPoint(edges, "a", "b", nodes, "id", iters = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      finally spark.conf.unset("graft.pagerank.localEdgeLimit")
+    }
+    val local = run("1000000")
+    val dist = run("0")
+    assert(local.size == 42)
+    assert(local == dist)
+    assert(local(200L) == ((0L, 150000L)))
+    assert(!local.contains(99L)) // foreign endpoint holds no rank row
+  }
+
   test("repeatedNgramFractions: hand-computed coverage, overlaps union, short docs zero") {
     // doc1 "a b a b a b": dup 2-grams "a b"(x3), "b a"(x2) cover all 6
     //   words -> dup2 = 1.0; dup 3-grams "a b a"(x2), "b a b"(x2)
