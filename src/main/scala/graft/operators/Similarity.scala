@@ -92,9 +92,10 @@ object Similarity {
     * integers: (sum/1e6)/n evaluated as (CAST(sum AS DOUBLE)/n)/1e6.
     *
     * Per round: one fused assignment pass ([[ivfAssign]] — the
-    * |corpus|×|cells| intermediate never materializes) plus one
-    * (cell, position)-keyed aggregation with map-side partial sums —
-    * O(|corpus|·dim) rows into a |cells|·dim-row result. Rounds are
+    * |corpus|×|cells| intermediate never materializes) plus ONE
+    * cell-keyed [[graft.functions.VecSumAgg]] aggregation (primitive
+    * long[dim] per-group sums, map-side partials, no posexplode
+    * inflation) — |corpus| rows in, |cells| rows out. Rounds are
     * driver-sequenced but each is a single shuffle; at 100 TB the
     * corpus is scanned `iters` times and nothing corpus-sized is ever
     * collected. Cells that lose every member simply drop out (same
@@ -111,65 +112,79 @@ object Similarity {
       .select(col("centroid_id").cast("long").as("centroid_id"),
         col("centroid_vec").cast("array<double>").as("centroid_vec"))
     val vecs = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val dim = vecDim(vecs, "__v")
     var result: DataFrame = null
     (1 to iters).foreach { _ =>
       val assigned = ivfAssign(vecs, idCol, "__v", centroids)
-      val sums = assigned
-        .select(col("cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
-        .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
-        .groupBy("cell", "__pos")
-        .agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
-        .withColumn("__m", col("__s").cast("double") / col("__n") / 1e6)
-      result = sums
-        .groupBy("cell").agg(
-          array_sort(collect_list(struct(col("__pos"), col("__m")))).as("__pm"),
-          min(col("__n")).as("n_members"))
+      // Lloyd update as ONE fused aggregate: per-cell long[dim]
+      // micro-unit sums (VecSumAgg) — no posexplode, nothing inflates
+      // the corpus dim× before the partial agg.
+      result = assigned
+        .groupBy("cell")
+        .agg(graft.functions.VecSum.vec_sum_q(col("__v"), dim).as("__a"))
         .select(col("cell").cast("long").as("centroid_id"),
-          col("n_members"),
-          transform(col("__pm"), p => p.getField("__m")).as("centroid_vec"))
+          col("__a.n").as("n_members"),
+          transform(col("__a.sums"),
+            s => s.cast("double") / col("__a.n") / 1e6).as("centroid_vec"))
       centroids = result.select(col("centroid_id"), col("centroid_vec"))
     }
     result
   }
+
+  /** Dimension of the first non-null vector — one LIMIT-1 job, never a
+    * scan (0 on an empty/all-null corpus). */
+  private def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("__d")).filter(col("__d") >= 0)
+      .head(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Mean-pool chunk embeddings into group (document) embeddings —
     * the standard chunk→doc aggregation after embedding long texts in
     * windows. Same fixed-point trick as [[kmeansTrainExact]]: elements
     * quantize to integer micro-units before the cross-row sum, so the
     * pooled vector is engine-exact regardless of partitioning. One
-    * (group, position)-keyed aggregation with map-side partials —
-    * O(rows·dim) in, |groups|·dim out; nothing collected.
+    * group-keyed [[graft.functions.VecSumAgg]] aggregation (primitive
+    * long[dim] sums, map-side partials — the corpus is never inflated
+    * dim× through a posexplode); the per-dimension flattening explodes
+    * only the |groups|-sized AGGREGATE. Nothing collected.
     *
     * Output: (group_id long, n_vecs long, pos long 1-based,
     * pooled_val double) — flattened per dimension.
     */
-  def meanPool(corpus: DataFrame, vecCol: String, groupId: Column): DataFrame =
-    corpus.select(groupId.cast("long").as("group_id"),
-        posexplode(col(vecCol).cast("array<double>")).as(Seq("__pos", "__x")))
-      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
-      .groupBy("group_id", "__pos")
-      .agg(sum("__q").as("__s"), count(lit(1)).as("n_vecs"))
+  def meanPool(corpus: DataFrame, vecCol: String, groupId: Column): DataFrame = {
+    val e = corpus.select(groupId.cast("long").as("group_id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val dim = vecDim(e, "__v")
+    if (dim == 0)
+      return e.select(col("group_id"), lit(0L).as("n_vecs"),
+        lit(0L).as("pos"), lit(0.0).as("pooled_val")).limit(0)
+    e.groupBy("group_id")
+      .agg(graft.functions.VecSum.vec_sum_q(col("__v"), dim).as("__a"))
+      .select(col("group_id"), col("__a.n").as("n_vecs"),
+        posexplode(col("__a.sums")).as(Seq("__pos", "__s")))
       .select(col("group_id"), col("n_vecs"),
         (col("__pos") + 1).cast("long").as("pos"),
         (col("__s").cast("double") / col("n_vecs") / 1e6).as("pooled_val"))
+  }
 
   /** Embedding-health outlier scan: the k vectors farthest (lowest
     * cosine) from the corpus centroid — mislabeled/garbage embeddings
     * surface here first. The centroid is exact: per-dimension integer
     * micro-unit sums (order-independent, so partial aggregation
-    * cannot perturb it) — the collect is DIM-bounded (one row per
-    * dimension), never data-sized. Scoring is one broadcast-literal
+    * cannot perturb it) — the collect is ONE row carrying long[dim],
+    * never data-sized. Scoring is one broadcast-literal
     * map pass over the corpus; the bottom-k is TakeOrderedAndProject
     * (per-partition heaps, never a global sort). Ties break by id.
     */
   def centroidOutliers(corpus: DataFrame, idCol: String, vecCol: String,
                        k: Int): DataFrame = {
     val e = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val sums = e.select(posexplode(col("__v")).as(Seq("__p", "__x")))
-      .withColumn("__q", round(col("__x") * 1e6, 0).cast("long"))
-      .groupBy("__p").agg(sum("__q").as("__s"), count(lit(1)).as("__n"))
-      .orderBy("__p").collect()
-    val centroid = sums.map(r => r.getLong(1).toDouble / r.getLong(2) / 1e6)
+    val dim = vecDim(e, "__v")
+    if (dim == 0)
+      return e.select(col(idCol), lit(0.0).as("cos_centroid")).limit(0)
+    val agg = e.agg(graft.functions.VecSum.vec_sum_q(col("__v"), dim).as("__a"))
+      .select(col("__a.n"), col("__a.sums")).head()
+    val n = agg.getLong(0)
+    val centroid = agg.getSeq[Long](1).map(_.toDouble / n / 1e6)
     val cLit = array(centroid.map(lit).toSeq: _*)
     e.select(col(idCol), round(cosine(col("__v"), cLit), 6).as("cos_centroid"))
       .orderBy(col("cos_centroid").asc, col(idCol).asc).limit(k)

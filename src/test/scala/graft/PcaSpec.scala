@@ -90,6 +90,30 @@ class PcaSpec extends SparkTestBase {
     assert(rootMsg(ex).contains("gram_matrix"), s"got: ${rootMsg(ex)}")
   }
 
+  test("vec_sum_q: exact sums, null-vector skip, null-element row still counts, ragged throws") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 1.0000005 quantizes HALF_UP to 1000001 — the rounding edge the
+    // kernel must share with Spark's round(x*1e6, 0).
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0000005, -0.5)),
+      (2L, Seq[java.lang.Double](0.25, null)), // null element: counted row, no sum term
+      (3L, null)                               // null vector: skipped entirely
+    ).toDF("vec_id", "v")
+    val got = df.agg(functions.VecSum.vec_sum_q(col("v").cast("array<double>"), 2).as("a"))
+      .select(col("a.n"), col("a.sums")).head()
+    assert(got.getLong(0) == 2L)
+    assert(got.getSeq[Long](1) == Seq(1000001L + 250000L, -500000L))
+
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(3.0))).toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      ragged.groupBy(lit(1)).agg(functions.VecSum.vec_sum_q(col("v"), 2)).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Option(t.getMessage).getOrElse("") +:
+        Option(t.getCause).map(rootMsg).toSeq).mkString(" | ")
+    assert(rootMsg(ex).contains("vec_sum_q"), s"got: ${rootMsg(ex)}")
+  }
+
   test("rrfFuse: exact scores and ordering on a hand fixture") {
     val lex = Seq((10L, 9.0, 1L), (20L, 8.0, 2L), (30L, 7.0, 3L))
       .toDF("doc_id", "score", "rnk")
