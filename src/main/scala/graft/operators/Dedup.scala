@@ -92,16 +92,17 @@ object Dedup {
     * In md5 (oracle-replicable) mode the bucket key is the band slice
     * itself, exactly as the DuckDB oracle joins. */
   private def bandBuckets(sigs: DataFrame, idCol: String, bands: Int,
-                          rows: Int, useMd5: Boolean): DataFrame = {
+                          rows: Int, useMd5: Boolean,
+                          carry: Seq[String] = Nil): DataFrame = {
     val bucketOf: Column => Column =
       if (useMd5) identity
       else sl => xxhash64(sl, lit(0))
     sigs.select(
-      col(idCol).as("doc"),
+      col(idCol).as("doc") +: carry.map(col) :+
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
-        .as(Seq("band", "bucket")))
-      .select(col("doc"), col("band"), col("bucket"))
+        .as(Seq("band", "bucket")): _*)
+      .select(col("doc") +: carry.map(col) :+ col("band") :+ col("bucket"): _*)
   }
 
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -126,30 +127,88 @@ object Dedup {
     val sigs = checkpoint(
       minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
 
-    val banded = bandBuckets(sigs, idCol, bands, rows, useMd5)
+    // Distinct-signature pre-collapse (the [[hammingPairs64]] lesson,
+    // applied to MinHash): identical docs carry identical signatures,
+    // hence identical band buckets, so a dup-dense corpus piles them
+    // into the same buckets and the banded self-join pays occupancy²
+    // per mega-bucket — or, worse, trips `maxBucketSize` and silently
+    // drops the bucket (recall loss exactly where dups concentrate).
+    // All banding and candidate work therefore runs over ONE
+    // REPRESENTATIVE doc per distinct signature (volume ≈ content
+    // diversity, NOT corpus size). Bucket sizes are counted in DOCS
+    // (group-size weighted), so the cap drops exactly the buckets the
+    // uncollapsed plan would; doc pairs come back via two expansion
+    // joins plus a within-group arm. Output is bit-identical to the
+    // uncollapsed plan (spec'd in TrainingOpsSpec), the quadratic
+    // bucket work is not. The group key is the FULL signature — an
+    // orderable array, a plain shuffle key — so no digest collision
+    // can merge distinct signatures.
+    val groups = checkpoint(
+      sigs.groupBy("signature")
+        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n")))
 
-    // cap pathological buckets (identical boilerplate at scale): the
-    // oversized-bucket list is tiny by construction, so a broadcast
-    // anti-join beats a full window sort over every banded row
+    val reps = groups.select(col("__rep").as(idCol), col("signature"), col("__n"))
+    val banded = bandBuckets(reps, idCol, bands, rows, useMd5, carry = Seq("__n"))
+
+    // cap pathological buckets (boilerplate shared ACROSS distinct
+    // near-identical docs): the oversized-bucket list is tiny by
+    // construction, so a broadcast anti-join beats a full window sort
     val oversized = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
+      .agg(sum(col("__n")).as("__bs")).filter(col("__bs") > maxBucketSize)
       .select("band", "bucket")
     val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
 
-    val a = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-    val b = withSize.select(col("band"), col("bucket"), col("doc").as("doc_b"))
+    val a = withSize.select(col("band"), col("bucket"), col("doc").as("rep_a"))
+    val b = withSize.select(col("band"), col("bucket"), col("doc").as("rep_b"))
     val cand = a.join(b, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("rep_a") < col("rep_b"))
+      .select("rep_a", "rep_b")
+      .dropDuplicates("rep_a", "rep_b")
 
-    val sigA = sigs.select(col(idCol).as("doc_a"), col("signature").as("sig_a"))
-    val sigB = sigs.select(col(idCol).as("doc_b"), col("signature").as("sig_b"))
-    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+    val sigA = groups.select(col("__rep").as("rep_a"), col("signature").as("sig_a"))
+    val sigB = groups.select(col("__rep").as("rep_b"), col("signature").as("sig_b"))
+    val repPairs = cand.join(sigA, "rep_a").join(sigB, "rep_b")
       .withColumn("est_jaccard",
         graft.functions.NativeExpressions.signature_agreement(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      .select(col("rep_a"), col("rep_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+
+    // rep → member expansion. Only multi-doc groups need the mapping
+    // join (tiny right side in a dup-sparse corpus — AQE broadcasts
+    // it); singleton reps map to themselves with no join at all.
+    val dupMembers = sigs.select(col(idCol).as("__doc"), col("signature"))
+      .join(groups.filter(col("__n") > 1).select("signature", "__rep"), Seq("signature"))
+      .select(col("__rep"), col("__doc"), col("signature"))
+    val allMembers = dupMembers.select("__rep", "__doc").unionByName(
+      groups.filter(col("__n") === 1).select(col("__rep"), col("__rep").as("__doc")))
+
+    // cross-signature doc pairs: every member of rep_a's group × every
+    // member of rep_b's (a doc has exactly one signature, so each doc
+    // pair arises from exactly one rep pair — no dedup needed)
+    val cross = repPairs
+      .join(allMembers.select(col("__rep").as("rep_a"), col("__doc").as("__da")), Seq("rep_a"))
+      .join(allMembers.select(col("__rep").as("rep_b"), col("__doc").as("__db")), Seq("rep_b"))
+      .select(least(col("__da"), col("__db")).as("doc_a"),
+        greatest(col("__da"), col("__db")).as("doc_b"), col("est_jaccard"))
+
+    // within-signature doc pairs: emitted iff the group survives in
+    // ≥ 1 bucket — exactly when the uncollapsed plan would have joined
+    // the members together. est-Jaccard is computed from the shared
+    // signature (1.0 for any real signature; 0.0/null for the empty/
+    // null degenerate cases, matching the uncollapsed plan's filter)
+    val survived = withSize.select(col("doc").as("__rep")).distinct()
+    val withinM = dupMembers.join(survived, Seq("__rep"), "left_semi")
+    val within = withinM.select(col("__rep"), col("__doc").as("__da"),
+        col("signature"))
+      .join(withinM.select(col("__rep"), col("__doc").as("__db")), Seq("__rep"))
+      .filter(col("__da") < col("__db"))
+      .withColumn("est_jaccard",
+        graft.functions.NativeExpressions.signature_agreement(col("signature"), col("signature")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("__da").as("doc_a"), col("__db").as("doc_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"))
+
+    cross.unionByName(within)
   }
 
   /** Per-doc dedup verdict: dup_group = min(self, matched neighbors).

@@ -1,0 +1,89 @@
+package graft.tools
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev measurement harness for the MinHash distinct-signature
+  * pre-collapse: replicates the `documents` corpus R× with fresh ids
+  * (identical texts → identical signatures — the boilerplate-dup shape
+  * that dominates crawled corpora), then times the collapsed
+  * [[graft.operators.Dedup.minhashPairs]] against the uncollapsed
+  * pre-round-10 plan on the SAME pinned input and checks the pair sets
+  * agree pointwise (count + order-insensitive xxhash fingerprint; the
+  * per-value equality is spec'd in TrainingOpsSpec).
+  *
+  * args: sfDir [replication=10] [oph=true]
+  */
+object DupDenseProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rep = args.lift(1).map(_.toInt).getOrElse(10)
+    val oph = args.lift(2).forall(_.toBoolean)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.operators.Dedup
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val n = docs.count()
+    val corpus = docs.crossJoin(
+        spark.range(rep).select(col("id").as("__copy")))
+      .select((col("doc_id") * rep + col("__copy")).as("doc_id"), col("text"))
+      .transform(graft.util.Checkpoints.pin)
+    println(s"[probe] corpus: ${n * rep} docs ($n x $rep replicas), oph=$oph")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime; val r = f
+      println(f"[probe] $label: ${(System.nanoTime - t0) / 1e9}%.1f s"); r
+    }
+    def fp(p: DataFrame): (Long, Long) = {
+      val r = p.agg(count(lit(1)),
+        bit_xor(xxhash64(col("doc_a"), col("doc_b"), col("est_jaccard")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    // The uncollapsed pre-round-10 plan, for the head-to-head.
+    def uncollapsed(df: DataFrame, threshold: Double): DataFrame = {
+      val (numHashes, bands, rows) = (128, 32, 4)
+      val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 5, numHashes,
+        42L, useMd5 = false, oph = oph).transform(graft.util.Checkpoints.pin)
+      val bucketOf: Column => Column = sl => xxhash64(sl, lit(0))
+      val banded = sigs.select(col("doc_id").as("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "bucket")))
+      val oversized = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") > 10000)
+        .select("band", "bucket")
+      val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      val cand = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+        .join(withSize.select(col("band"), col("bucket"), col("doc").as("doc_b")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      cand.join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard", graft.functions.NativeExpressions
+          .signature_agreement(col("sig_a"), col("sig_b")))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }
+
+    val th = 0.7
+    // warm both once at tiny scale for JIT parity
+    Dedup.minhashPairs(docs.limit(500), "doc_id", "text", threshold = th, oph = oph)
+      .write.format("noop").mode("overwrite").save()
+    uncollapsed(docs.limit(500), th).write.format("noop").mode("overwrite").save()
+
+    val newFp = time("collapsed minhashPairs") {
+      val p = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = th, oph = oph)
+      fp(p)
+    }
+    val oldFp = time("uncollapsed plan") { fp(uncollapsed(corpus, th)) }
+    println(s"[probe] pairs: collapsed=${newFp._1} uncollapsed=${oldFp._1} " +
+      s"fingerprints ${if (newFp == oldFp) "MATCH" else s"DIFFER $newFp vs $oldFp"}")
+    spark.stop()
+  }
+}

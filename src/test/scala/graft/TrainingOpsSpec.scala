@@ -128,6 +128,73 @@ class TrainingOpsSpec extends SparkTestBase {
       s"estimate ${est.get} too far from exact $exact")
   }
 
+  test("minhash signature pre-collapse is bit-identical to the uncollapsed plan") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    // The uncollapsed reference plan: band every DOC, count buckets in
+    // rows, drop oversized, self-join, verify per doc pair — the shape
+    // minhashPairs had before the distinct-signature pre-collapse.
+    def uncollapsed(df: DataFrame, shingleK: Int, numHashes: Int, bands: Int,
+                    threshold: Double, maxBucketSize: Int,
+                    useMd5: Boolean, oph: Boolean): DataFrame = {
+      val rows = numHashes / bands
+      val sigs = Dedup.minhashSignatures(df, "doc_id", "text",
+        shingleK, numHashes, 42L, useMd5, oph)
+      val bucketOf: Column => Column =
+        if (useMd5) identity else sl => xxhash64(sl, lit(0))
+      val banded = sigs.select(col("doc_id").as("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
+          .as(Seq("band", "bucket")))
+      val oversized = banded.groupBy("band", "bucket")
+        .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
+        .select("band", "bucket")
+      val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+      val cand = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
+        .join(withSize.select(col("band"), col("bucket"), col("doc").as("doc_b")),
+          Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+      cand.join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard", graft.functions.NativeExpressions
+          .signature_agreement(col("sig_a"), col("sig_b")))
+        .filter(col("est_jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+    }
+    // Dup-dense corpus: 4 boilerplate groups replicated 5-9x (IDENTICAL
+    // signatures), one planted near-dup, two unrelated docs.
+    val texts = (0 until 4).map { g =>
+      (0 until 60).map(i => s"grp${g}tok$i").mkString(" ")
+    }
+    val near = (0 until 60).map(i => if (i == 30) "CHANGED" else "grp0tok" + i).mkString(" ")
+    var id = 0L
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    texts.zipWithIndex.foreach { case (t, g) =>
+      (0 until (5 + g)).foreach { _ => rows += ((id, t)); id += 1 } }
+    rows += ((id, near)); id += 1
+    rows += ((id, (0 until 60).map(i => s"uniq${id}w$i").mkString(" "))); id += 1
+    rows += ((id, (0 until 60).map(i => s"uniq${id}w$i").mkString(" ")))
+    val df = docsDf(rows.toSeq: _*)
+
+    def canon(p: DataFrame) = p.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // maxBucketSize = 6 trips the weighted cap on the size-7/8/9 groups
+    // (their 32 identical-signature buckets all oversize); 10000 never
+    // trips it. Both kernels, two thresholds.
+    for (useMd5 <- Seq(false, true); cap <- Seq(6, 10000); th <- Seq(0.5, 0.0)) {
+      val got = canon(Dedup.minhashPairs(df, "doc_id", "text",
+        shingleK = 5, numHashes = 128, bands = 32, threshold = th,
+        maxBucketSize = cap, useMd5 = useMd5, oph = !useMd5))
+      val want = canon(uncollapsed(df, 5, 128, 32, th, cap, useMd5, oph = !useMd5))
+      assert(got == want,
+        s"md5=$useMd5 cap=$cap th=$th: got ${got.size} pairs, want ${want.size}; " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+      if (cap == 10000 && th == 0.5)
+        assert(want.exists(p => p._3 == 1.0) && want.size > 20,
+          "corpus should be dup-dense with within-group 1.0 pairs")
+    }
+  }
+
   test("simhash: identical docs collide, near-dups within hamming 3, unrelated far") {
     val base = (0 until 80).map(i => s"tok$i").mkString(" ")
     val near = (0 until 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
