@@ -826,20 +826,31 @@ object Dedup {
                                 oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inSigs = minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+    val inSigs = graft.util.Checkpoints.pinLazy(
+      minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
+    // Probe-side distinct-signature pre-collapse (same lesson as
+    // [[minhashPairs]]): a boilerplate-heavy batch probes each distinct
+    // signature ONCE against the index instead of once per copy — the
+    // verdict is a pure function of the signature, so it fans back out
+    // to every member by one signature join. Bit-identical output.
+    val inGroups = inSigs.groupBy("signature").agg(min(col(idCol)).as("__rep"))
+    val repSigs = inGroups.select(col("__rep").as(idCol), col("signature"))
     val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))
-    val probe = bandBuckets(inSigs, idCol, bands, rows, useMd5)
+    val probe = bandBuckets(repSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__in"))
     val cand = probe.join(idx, Seq("band", "bucket"))
       .select("__in", "__ex").dropDuplicates("__in", "__ex")
     val matched = cand
-      .join(inSigs.select(col(idCol).as("__in"), col("signature").as("__sa")), "__in")
+      .join(repSigs.select(col(idCol).as("__in"), col("signature").as("__sa")), "__in")
       .join(index.sigs.select(col("doc").as("__ex"), col("signature").as("__sb")), "__ex")
       .filter(graft.functions.NativeExpressions.signature_agreement(
         col("__sa"), col("__sb")) >= threshold)
       .groupBy("__in").agg(min("__ex").as("dup_of"))
-    incoming.select(col(idCol))
-      .join(matched.withColumnRenamed("__in", idCol), Seq(idCol), "left_outer")
+    val verdictBySig = inGroups
+      .join(matched.withColumnRenamed("__in", "__rep"), Seq("__rep"), "left_outer")
+      .select(col("signature"), col("dup_of"))
+    inSigs.select(col(idCol), col("signature"))
+      .join(verdictBySig, Seq("signature"), "left_outer")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
@@ -880,16 +891,25 @@ object Dedup {
                              oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val trainSigs = minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
+    val trainSigs = graft.util.Checkpoints.pinLazy(
+      minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
     val evalSigs = minhashSignatures(evalSet, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
-    val probe = bandBuckets(trainSigs, idCol, bands, rows, useMd5)
+    // Train-side distinct-signature pre-collapse (same lesson as
+    // [[minhashPairs]]): boilerplate replicated across the corpus
+    // would otherwise multiply every eval-bucket collision by its copy
+    // count; the worst-hit verdict is a pure function of the
+    // signature, so score each distinct signature once and fan back
+    // out by one signature join. Bit-identical output.
+    val trGroups = trainSigs.groupBy("signature").agg(min(col(idCol)).as("__rep"))
+    val repSigs = trGroups.select(col("__rep").as(idCol), col("signature"))
+    val probe = bandBuckets(repSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__tr"))
     val idx = bandBuckets(evalSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__ev"))
     val cand = probe.join(idx, Seq("band", "bucket"))
       .select("__tr", "__ev").dropDuplicates("__tr", "__ev")
     val scored = cand
-      .join(trainSigs.select(col(idCol).as("__tr"), col("signature").as("__sa")), "__tr")
+      .join(repSigs.select(col(idCol).as("__tr"), col("signature").as("__sa")), "__tr")
       .join(evalSigs.select(col(idCol).as("__ev"), col("signature").as("__sb")), "__ev")
       .withColumn("est_jaccard",
         graft.functions.NativeExpressions.signature_agreement(col("__sa"), col("__sb")))
@@ -897,11 +917,18 @@ object Dedup {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__tr"))
       .orderBy(col("est_jaccard").desc, col("__ev"))
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
-      .select(col("__tr").as(idCol), col("__ev").as("eval_id"),
+    val repHits = scored.withColumn("__r", row_number().over(w)).filter(col("__r") === 1)
+      .select(col("__tr").as("__rep"), col("__ev").as("eval_id"),
         // n/numHashes with numHashes a power of two: binary-exact, no
         // rounding needed for the cross-engine hash compare
         col("est_jaccard"))
+    // expansion restricted to CONTAMINATED groups only — hits-sized,
+    // so AQE broadcasts it and the corpus is scanned, never shuffled
+    val hitGroups = trGroups.join(repHits, Seq("__rep"))
+      .select(col("signature"), col("eval_id"), col("est_jaccard"))
+    trainSigs.select(col(idCol), col("signature"))
+      .join(hitGroups, Seq("signature"))
+      .select(col(idCol), col("eval_id"), col("est_jaccard"))
   }
 
   // ---- exact substring spans --------------------------------------

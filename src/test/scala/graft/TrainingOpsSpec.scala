@@ -195,6 +195,56 @@ class TrainingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("incremental + fuzzy-decontamination probe-side collapse match uncollapsed plans") {
+    import org.apache.spark.sql.DataFrame
+    // corpus: two boilerplate groups + uniques; batch: replicas of one
+    // boilerplate text (collapse fires), a near-dup, and a fresh doc
+    val boiler = (0 until 60).map(i => s"b0tok$i").mkString(" ")
+    val boiler2 = (0 until 60).map(i => s"b1tok$i").mkString(" ")
+    val near = (0 until 60).map(i => if (i == 30) "CHANGED" else s"b0tok$i").mkString(" ")
+    val corpus = docsDf((0L -> boiler) +: (1L -> boiler2) +: (2L -> boiler) +:
+      (3 until 8).map(i => i.toLong -> (0 until 60).map(j => s"c${i}w$j").mkString(" ")): _*)
+    val batch = docsDf(100L -> boiler, 101L -> boiler, 102L -> boiler,
+      103L -> near, 104L -> (0 until 60).map(j => s"new$j").mkString(" "))
+
+    // uncollapsed incremental reference: verdict per incoming doc via
+    // the pre-collapse per-doc band probe
+    def uncollapsedIncr(index: Dedup.MinhashIndex, incoming: DataFrame,
+                        threshold: Double): Map[Long, (Boolean, Option[Long])] = {
+      val inSigs = Dedup.minhashSignatures(incoming, "doc_id", "text", 5, 128, 42L, false, true)
+      val sigMap = inSigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val idxSigs = index.sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      incoming.select("doc_id").collect().map(_.getLong(0)).map { id =>
+        val sa = sigMap(id)
+        val hits = idxSigs.filter { case (_, sb) =>
+          // candidate iff some 4-hash band matches exactly, then verify
+          (0 until 32).exists(b => sa.slice(b * 4, b * 4 + 4) == sb.slice(b * 4, b * 4 + 4)) &&
+            sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128 >= threshold
+        }.keys
+        id -> (hits.nonEmpty, if (hits.nonEmpty) Some(hits.min) else None)
+      }.toMap
+    }
+
+    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
+    val got = Dedup.minhashIncrementalAgainst(index, batch, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val want = uncollapsedIncr(index, batch, 0.5)
+    assert(got == want, s"got $got want $want")
+    assert(got(100L) == (true, Some(0L)) && got(101L) == got(100L) && got(104L)._1 == false)
+
+    // fuzzy decontamination: replicated contaminated train docs must
+    // all surface with the SAME worst hit as their unreplicated twin
+    val evalSet = docsDf(900L -> boiler, 901L -> boiler2)
+    val hits = Dedup.fuzzyContaminationHits(corpus, evalSet, "doc_id", "text",
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(hits.contains(0L) && hits(0L) == hits(2L),
+      s"replicated contaminated docs must share the worst hit: $hits")
+    assert(hits(0L)._1 == 900L && hits(1L)._1 == 901L)
+    assert(!(3 until 8).exists(i => hits.contains(i.toLong)), s"clean docs flagged: $hits")
+  }
+
   test("simhash: identical docs collide, near-dups within hamming 3, unrelated far") {
     val base = (0 until 80).map(i => s"tok$i").mkString(" ")
     val near = (0 until 80).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
