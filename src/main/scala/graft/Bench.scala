@@ -6,17 +6,24 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, printing one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
-  * Timing methodology: STEADY STATE. One full unmeasured pass first —
-  * JVM JIT, whole-stage-codegen compilation caches, and FS page cache
-  * all warm (a cold first execution measures 2–4× the recurring cost
-  * of the same plan; profiled in BENCH_LOCAL.md) — then each query is
-  * measured, fully materialized through the noop sink: executors do
+  * Timing methodology: STEADY STATE, warm-up PER QUERY — each query
+  * runs once unmeasured immediately before its measured run, so JVM
+  * JIT, whole-stage-codegen classes, and FS page cache are warm for
+  * THAT query (a cold first execution measures 2–4× the recurring
+  * cost of the same plan; profiled in BENCH_LOCAL.md). A single
+  * global warm pass is NOT equivalent: the codegen class cache
+  * defaults to 100 entries, so a 170-query suite evicts the early
+  * queries' classes before the measured pass returns to them. Every
+  * query is fully materialized through the noop sink: executors do
   * all the work, nothing funnels into the driver, mirroring how a
   * recurring production job runs. The DuckDB comparator
   * (tools/bench_duck.py) carries no analogous compile cost: its
   * interpreter runs at full speed on the first execution, so warm-vs-
   * warm is the apples-to-apples comparison. Set SPARK_GRAFT_COLD=1 to
-  * skip the warm-up pass and measure first-execution latency instead.
+  * skip warm-ups and measure first-execution latency instead. The
+  * JSON line also carries process-CPU seconds per query (cpu_queries)
+  * so cross-session comparisons can separate plan cost from
+  * shared-box wall-clock noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,6 +51,12 @@ object Bench {
       // 1.5M groups: 21 s fallback vs 11 s hashed)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4000000")
+      // Static conf, default 100 entries: a 170-query suite evicts the
+      // first queries' compiled codegen classes long before the global
+      // warm-up pass returns to them, so the "measured" pass was
+      // recompiling everything (r10 driver artifact: 166.5 s vs
+      // 101.6 s steady). Sized for the whole suite's codegen units.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
     if (master.startsWith("local-cluster")) {
       val cp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
         s"${sys.props("user.dir")}/target/scala-2.13/classes")
@@ -68,21 +81,26 @@ object Bench {
       java.lang.management.ManagementFactory.getMemoryMXBean
         .getHeapMemoryUsage.getUsed / (1024 * 1024)
 
-    def materialize(name: String): Double = {
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    def materialize(name: String): (Double, Double) = {
       val gc0 = if (traceGc) gcMillis else 0L
       val h0 = if (traceGc) heapUsedMb else 0L
+      val cpu0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
+        val cpuDt = (osBean.getProcessCpuTime - cpu0) / 1e9
         if (traceGc)
           System.err.println(f"[gc] $name wall=$dt%.2f gcSec=${(gcMillis - gc0) / 1e3}%.2f " +
             f"heapBeforeMb=$h0 heapAfterMb=$heapUsedMb")
-        dt
+        (dt, cpuDt)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0
+        (-1.0, -1.0)
       } finally {
         // Queries are self-contained: drop any lazily-pinned checkpoint
         // blocks the query left behind so they can't crowd the next
@@ -101,24 +119,28 @@ object Bench {
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
 
-    // warm-up: run the full set once unmeasured (steady state — see
-    // the methodology note above)
-    if (!sys.env.contains("SPARK_GRAFT_COLD")) {
-      names.foreach(materialize)
-      // Release the warm-up pass's leftover state before measuring:
-      // localCheckpoint blocks and broadcasts are freed by the
-      // ContextCleaner only after their RDDs are GC'd, and at sf3 the
-      // stale blocks measurably pressured the heavy shuffles
-      // (dedup_embedding_lsh 52 s isolated vs 78 s after a full pass).
-      System.gc()
-      Thread.sleep(2000)
+    // Warm-up is PER QUERY, immediately before its measured run: a
+    // global unmeasured pass (the pre-r11 protocol) looks equivalent
+    // but is not — the whole-stage-codegen class cache holds 100
+    // entries by default, so with 170 queries the measured pass found
+    // every early query's compiled classes already evicted and paid
+    // full Janino+C2 compile again (r10 driver artifact 166.5 s vs
+    // 101.6 s steady was exactly this). warm(q); measure(q) keeps the
+    // compile adjacency tight and is the same steady-state protocol
+    // applied consistently. SPARK_GRAFT_COLD=1 measures first
+    // execution instead.
+    val cold = sys.env.contains("SPARK_GRAFT_COLD")
+    val results = names.map { n =>
+      if (!cold) materialize(n)
+      n -> materialize(n)
     }
-
-    val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val cpuQs = results.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
+    val cpuTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpu_sec":$cpuTotal%.3f,"cpu_queries":$cpuQs}"""
     println(line)
     // The driver captures stdout with a length cap that truncated the
     // per-query map in BENCH_r07/r08 (~80 of 169 queries survived,

@@ -667,29 +667,68 @@ object Dedup {
         .select(col("doc"), col("set_size"),
           transform(col("__o"), x => x.getField("s")).as("__pref"),
           sort_array(transform(col("__o"), x => x.getField("s"))).as("__set")))
-    val withPlen = docSets.withColumn("__plen",
-      size(col("__pref")).cast("long")
-        - ceil(lit(threshold) * col("set_size")).cast("long") + 1L)
+    // PPJoin refinements on top of the prefix lemma (Xiao et al.):
+    //  - LENGTH filter: o ≤ min(rare_a, rare_b) and the Jaccard bound
+    //    o ≥ t·(|A|+|B|)/(1+t) together require
+    //    min(rare_a, rare_b) ≥ t/(1+t)·(|A|+|B|) — strictly stronger
+    //    than the classic t·max(|A|,|B|) ≤ min(|A|,|B|) size filter
+    //    (rare ≤ full), applied inside the candidate join so pruned
+    //    pairs never reach the pair-dedup shuffle.
+    //  - POSITIONAL filter: both rare lists are sorted by ONE global
+    //    (df, hash) order, so among join-visible shared elements the
+    //    one at min position is the globally FIRST common element c1
+    //    (an earlier common element would sit at smaller positions,
+    //    hence inside both prefixes — visible; containment's index
+    //    side is join-visible in full). Every other common element
+    //    lies in both suffixes after c1, giving
+    //    o ≤ 1 + min(rare_a − i1 − 1, rare_b − j1 − 1) (0-based i1,j1)
+    //    — candidates whose bound can't reach o_min die before the
+    //    two array-payload verification joins, which is where the
+    //    remaining cost of this plan lives at scale.
+    val withPlen = docSets
+      .withColumn("__rare", size(col("__pref")).cast("long"))
+      .withColumn("__plen",
+        col("__rare") - ceil(lit(threshold) * col("set_size")).cast("long") + 1L)
     val prefixes = withPlen.filter(col("__plen") > 0)
-      .select(col("doc"), col("set_size"),
-        explode(slice(col("__pref"), lit(1), col("__plen").cast("int"))).as("s"))
+      .select(col("doc"), col("set_size"), col("__rare"),
+        posexplode(slice(col("__pref"), lit(1), col("__plen").cast("int"))))
+      .withColumnRenamed("pos", "__i").withColumnRenamed("col", "s")
     val cand =
       if (!containment) {
-        val a = prefixes.select(col("s"), col("doc").as("doc_a"))
-        val b = prefixes.select(col("s"), col("doc").as("doc_b"))
+        val a = prefixes.select(col("s"), col("doc").as("doc_a"),
+          col("set_size").as("__fa"), col("__rare").as("__ra"), col("__i").as("__ia"))
+        val b = prefixes.select(col("s"), col("doc").as("doc_b"),
+          col("set_size").as("__fb"), col("__rare").as("__rb"), col("__i").as("__ib"))
         a.join(b, "s").filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
+          .filter(least(col("__ra"), col("__rb")) >=
+            lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb")))
+          .groupBy("doc_a", "doc_b", "__fa", "__fb", "__ra", "__rb")
+          .agg(min(col("__ia")).as("__ia"), min(col("__ib")).as("__ib"))
+          .filter(lit(1L) +
+            least(col("__ra") - col("__ia") - 1L, col("__rb") - col("__ib") - 1L) >=
+            lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb")))
+          .select("doc_a", "doc_b")
       } else {
-        // probe (the (size, id)-smaller side) prefixes × full rare sets
-        val p = prefixes.select(col("s"), col("doc").as("__pd"), col("set_size").as("__ps"))
-        val i = docSets.select(explode(col("__set")).as("s"),
-          col("doc").as("__id"), col("set_size").as("__is"))
+        // probe (the (size, id)-smaller side) prefixes × full rare
+        // sets; o_min = t·|probe| (full size), o ≤ min(rare_p, rare_i)
+        val p = prefixes.select(col("s"), col("doc").as("__pd"),
+          col("set_size").as("__ps"), col("__rare").as("__pr"), col("__i").as("__pi"))
+        val i = docSets
+          .withColumn("__rare", size(col("__pref")).cast("long"))
+          .select(col("doc").as("__id"), col("set_size").as("__is"),
+            col("__rare").as("__ir"), posexplode(col("__pref")))
+          .withColumnRenamed("pos", "__qi").withColumnRenamed("col", "s")
         p.join(i, "s")
           .filter(col("__ps") < col("__is") ||
             (col("__ps") === col("__is") && col("__pd") < col("__id")))
+          .filter(least(col("__pr"), col("__ir")) >= lit(threshold) * col("__ps"))
+          .groupBy("__pd", "__id", "__ps", "__pr", "__ir")
+          .agg(min(col("__pi")).as("__pi"), min(col("__qi")).as("__qi"))
+          .filter(lit(1L) +
+            least(col("__pr") - col("__pi") - 1L, col("__ir") - col("__qi") - 1L) >=
+            lit(threshold) * col("__ps"))
           .select(least(col("__pd"), col("__id")).as("doc_a"),
             greatest(col("__pd"), col("__id")).as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
       }
     cand
       .join(docSets.select(col("doc").as("doc_a"), col("set_size").as("size_a"),

@@ -348,6 +348,62 @@ object CurationPack {
         dim = 64, nComponents = 8)
     },
 
+    // Value-level oracle companion for emb_pca_project: the eigenbasis
+    // itself is not SQL-replicable, but three of its defining
+    // invariants ARE, so DuckDB can hash-check them from the raw
+    // embeddings while Spark derives them THROUGH the projections:
+    //   parseval          — full-basis (64-component) projection
+    //                       conserves each vector's squared norm, so
+    //                       per-vector sum(proj²) must equal the
+    //                       oracle's sum(x²) straight off the table
+    //                       (rounded to 3: Jacobi orthonormality error
+    //                       ~1e-12 and per-proj 1e-6 rounding leave
+    //                       ≤1e-4 slack against the 5e-4 boundary);
+    //   proj_cov_offdiag  — projections onto distinct eigenvectors are
+    //                       uncorrelated over the corpus
+    //                       (cov = wᵢᵀΣwⱼ = 0 ± quantization ≤ 1e-5,
+    //                       rounded to 4), for the top-8 pairs;
+    //   eigen_desc        — per-component projection variance is
+    //                       non-increasing in pc (eigenvalues sorted).
+    // A wrong eigensolver, a non-orthonormal basis, or a mis-sorted
+    // component order each flip at least one of these values.
+    QueryDef(
+      "emb_pca_invariants",
+      """SELECT 'parseval' AS metric, vec_id AS i, CAST(0 AS BIGINT) AS j,
+        |  round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+        |                       'sum'), 3) AS value
+        |FROM embeddings
+        |UNION ALL
+        |SELECT 'proj_cov_offdiag' AS metric, a.i, b.j, 0.0 AS value
+        |FROM range(1, 9) a(i), range(1, 9) b(j) WHERE a.i < b.j
+        |UNION ALL
+        |SELECT 'eigen_desc' AS metric, CAST(0 AS BIGINT) AS i,
+        |  CAST(0 AS BIGINT) AS j, 1.0 AS value
+        |""".stripMargin) { (s, dir) =>
+      val proj = Similarity.pcaProject(embs(s, dir), "vec_id", "embedding",
+        dim = 64, nComponents = 64)
+        .transform(graft.util.Checkpoints.pinLazy)
+      val pars = proj.groupBy("vec_id")
+        .agg((round(sum(col("proj") * col("proj")), 3) + lit(0.0)).as("value"))
+        .select(lit("parseval").as("metric"), col("vec_id").as("i"),
+          lit(0L).as("j"), col("value"))
+      val p8 = proj.filter(col("pc") <= 8)
+      val offd = p8.select(col("vec_id"), col("pc").as("i"), col("proj").as("pi"))
+        .join(p8.select(col("vec_id"), col("pc").as("j"), col("proj").as("pj")), "vec_id")
+        .filter(col("i") < col("j"))
+        .groupBy("i", "j")
+        .agg((round(covar_pop(col("pi"), col("pj")), 4) + lit(0.0)).as("value"))
+        .select(lit("proj_cov_offdiag").as("metric"), col("i"), col("j"), col("value"))
+      val vw = org.apache.spark.sql.expressions.Window.orderBy(col("pc"))
+      val desc = proj.groupBy("pc").agg(var_pop(col("proj")).as("v"))
+        .withColumn("nxt", lead(col("v"), 1).over(vw))
+        .agg(min(when(col("nxt").isNull || col("v") >= col("nxt") - 1e-5, 1.0)
+          .otherwise(0.0)).as("value"))
+        .select(lit("eigen_desc").as("metric"), lit(0L).as("i"),
+          lit(0L).as("j"), col("value"))
+      pars.unionByName(offd).unionByName(desc)
+    },
+
     // Zipf-slope fit over the vocabulary head: log-log OLS of
     // frequency against rank (natural corpora fit slope ≈ −1;
     // template/boilerplate corpora flatten). Top-1000 ranks come

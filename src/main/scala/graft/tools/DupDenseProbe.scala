@@ -44,32 +44,13 @@ object DupDenseProbe {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
-    // The uncollapsed pre-round-10 plan, for the head-to-head.
-    def uncollapsed(df: DataFrame, threshold: Double): DataFrame = {
-      val (numHashes, bands, rows) = (128, 32, 4)
-      val sigs = Dedup.minhashSignatures(df, "doc_id", "text", 5, numHashes,
-        42L, useMd5 = false, oph = oph).transform(graft.util.Checkpoints.pin)
-      val bucketOf: Column => Column = sl => xxhash64(sl, lit(0))
-      val banded = sigs.select(col("doc_id").as("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "bucket")))
-      val oversized = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("__bs")).filter(col("__bs") > 10000)
-        .select("band", "bucket")
-      val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      val cand = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-        .join(withSize.select(col("band"), col("bucket"), col("doc").as("doc_b")),
-          Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-      cand.join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
-        .withColumn("est_jaccard", graft.functions.NativeExpressions
-          .signature_agreement(col("sig_a"), col("sig_b")))
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
-    }
+    // The uncollapsed pre-round-10 plan, for the head-to-head —
+    // single-sourced in ReferencePlans (TrainingOpsSpec proves it
+    // bit-identical to the production plan; this probe times it).
+    def uncollapsed(df: DataFrame, threshold: Double): DataFrame =
+      ReferencePlans.uncollapsedMinhashPairs(df, "doc_id", "text",
+        threshold = threshold, oph = oph,
+        checkpoint = graft.util.Checkpoints.pin)
 
     val th = 0.7
     // warm both once at tiny scale for JIT parity

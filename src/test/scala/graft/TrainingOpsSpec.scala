@@ -129,38 +129,17 @@ class TrainingOpsSpec extends SparkTestBase {
   }
 
   test("minhash signature pre-collapse is bit-identical to the uncollapsed plan") {
-    import org.apache.spark.sql.{Column, DataFrame}
-    // The uncollapsed reference plan: band every DOC, count buckets in
-    // rows, drop oversized, self-join, verify per doc pair — the shape
-    // minhashPairs had before the distinct-signature pre-collapse.
-    def uncollapsed(df: DataFrame, shingleK: Int, numHashes: Int, bands: Int,
-                    threshold: Double, maxBucketSize: Int,
-                    useMd5: Boolean, oph: Boolean): DataFrame = {
-      val rows = numHashes / bands
-      val sigs = Dedup.minhashSignatures(df, "doc_id", "text",
-        shingleK, numHashes, 42L, useMd5, oph)
-      val bucketOf: Column => Column =
-        if (useMd5) identity else sl => xxhash64(sl, lit(0))
-      val banded = sigs.select(col("doc_id").as("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => bucketOf(slice(col("signature"), b * rows + 1, lit(rows)))))
-          .as(Seq("band", "bucket")))
-      val oversized = banded.groupBy("band", "bucket")
-        .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
-        .select("band", "bucket")
-      val withSize = banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
-      val cand = withSize.select(col("band"), col("bucket"), col("doc").as("doc_a"))
-        .join(withSize.select(col("band"), col("bucket"), col("doc").as("doc_b")),
-          Seq("band", "bucket"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
-      cand.join(sigs.select(col("doc_id").as("doc_a"), col("signature").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("signature").as("sig_b")), "doc_b")
-        .withColumn("est_jaccard", graft.functions.NativeExpressions
-          .signature_agreement(col("sig_a"), col("sig_b")))
-        .filter(col("est_jaccard") >= threshold)
-        .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
-    }
+    import org.apache.spark.sql.DataFrame
+    // The uncollapsed reference plan (band every DOC, count buckets
+    // in doc rows, drop oversized, self-join, verify per doc pair —
+    // the shape minhashPairs had before the distinct-signature
+    // pre-collapse) is single-sourced in ReferencePlans so this spec
+    // and DupDenseProbe can never drift apart.
+    def uncollapsed(df: org.apache.spark.sql.DataFrame, shingleK: Int,
+                    numHashes: Int, bands: Int, threshold: Double,
+                    maxBucketSize: Int, useMd5: Boolean, oph: Boolean) =
+      graft.tools.ReferencePlans.uncollapsedMinhashPairs(df, "doc_id", "text",
+        shingleK, numHashes, bands, threshold, 42L, maxBucketSize, useMd5, oph)
     // Dup-dense corpus: 4 boilerplate groups replicated 5-9x (IDENTICAL
     // signatures), one planted near-dup, two unrelated docs.
     val texts = (0 until 4).map { g =>
@@ -180,14 +159,17 @@ class TrainingOpsSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     // maxBucketSize = 6 trips the weighted cap on the size-7/8/9 groups
     // (their 32 identical-signature buckets all oversize); 10000 never
-    // trips it. Both kernels, two thresholds.
-    for (useMd5 <- Seq(false, true); cap <- Seq(6, 10000); th <- Seq(0.5, 0.0)) {
+    // trips it. (useMd5, oph) is a FULL cross product — the collapse
+    // is kernel-agnostic, and coupling oph = !useMd5 (the pre-r11
+    // matrix) left the two off-diagonal kernel combos untested.
+    for (useMd5 <- Seq(false, true); oph <- Seq(false, true);
+         cap <- Seq(6, 10000); th <- Seq(0.5, 0.0)) {
       val got = canon(Dedup.minhashPairs(df, "doc_id", "text",
         shingleK = 5, numHashes = 128, bands = 32, threshold = th,
-        maxBucketSize = cap, useMd5 = useMd5, oph = !useMd5))
-      val want = canon(uncollapsed(df, 5, 128, 32, th, cap, useMd5, oph = !useMd5))
+        maxBucketSize = cap, useMd5 = useMd5, oph = oph))
+      val want = canon(uncollapsed(df, 5, 128, 32, th, cap, useMd5, oph = oph))
       assert(got == want,
-        s"md5=$useMd5 cap=$cap th=$th: got ${got.size} pairs, want ${want.size}; " +
+        s"md5=$useMd5 oph=$oph cap=$cap th=$th: got ${got.size} pairs, want ${want.size}; " +
           s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
       if (cap == 10000 && th == 0.5)
         assert(want.exists(p => p._3 == 1.0) && want.size > 20,
@@ -210,8 +192,9 @@ class TrainingOpsSpec extends SparkTestBase {
     // uncollapsed incremental reference: verdict per incoming doc via
     // the pre-collapse per-doc band probe
     def uncollapsedIncr(index: Dedup.MinhashIndex, incoming: DataFrame,
-                        threshold: Double): Map[Long, (Boolean, Option[Long])] = {
-      val inSigs = Dedup.minhashSignatures(incoming, "doc_id", "text", 5, 128, 42L, false, true)
+                        threshold: Double, useMd5: Boolean,
+                        oph: Boolean): Map[Long, (Boolean, Option[Long])] = {
+      val inSigs = Dedup.minhashSignatures(incoming, "doc_id", "text", 5, 128, 42L, useMd5, oph)
       val sigMap = inSigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       val idxSigs = index.sigs.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
       incoming.select("doc_id").collect().map(_.getLong(0)).map { id =>
@@ -225,24 +208,37 @@ class TrainingOpsSpec extends SparkTestBase {
       }.toMap
     }
 
-    val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text")
-    val got = Dedup.minhashIncrementalAgainst(index, batch, "doc_id", "text", threshold = 0.5)
-      .collect().map(r => r.getLong(0) ->
-        (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
-    val want = uncollapsedIncr(index, batch, 0.5)
-    assert(got == want, s"got $got want $want")
-    assert(got(100L) == (true, Some(0L)) && got(101L) == got(100L) && got(104L)._1 == false)
+    // FULL (useMd5, oph) cross product — the probe-side collapse is
+    // kernel-agnostic and each kernel pair builds a distinct index, so
+    // no combination may ride on another's coverage.
+    for (useMd5 <- Seq(false, true); oph <- Seq(false, true)) {
+      val index = Dedup.buildMinhashIndex(corpus, "doc_id", "text",
+        useMd5 = useMd5, oph = oph)
+      val got = Dedup.minhashIncrementalAgainst(index, batch, "doc_id", "text",
+        threshold = 0.5, useMd5 = useMd5, oph = oph)
+        .collect().map(r => r.getLong(0) ->
+          (r.getBoolean(1), if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val want = uncollapsedIncr(index, batch, 0.5, useMd5, oph)
+      assert(got == want, s"md5=$useMd5 oph=$oph: got $got want $want")
+      assert(got(100L) == (true, Some(0L)) && got(101L) == got(100L) && got(104L)._1 == false,
+        s"md5=$useMd5 oph=$oph: $got")
+    }
 
     // fuzzy decontamination: replicated contaminated train docs must
-    // all surface with the SAME worst hit as their unreplicated twin
+    // all surface with the SAME worst hit as their unreplicated twin —
+    // checked under both kernel diagonals (md5 and the cheap
+    // xxhash+OPH path take different signature codepaths)
     val evalSet = docsDf(900L -> boiler, 901L -> boiler2)
-    val hits = Dedup.fuzzyContaminationHits(corpus, evalSet, "doc_id", "text",
-      threshold = 0.5)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(hits.contains(0L) && hits(0L) == hits(2L),
-      s"replicated contaminated docs must share the worst hit: $hits")
-    assert(hits(0L)._1 == 900L && hits(1L)._1 == 901L)
-    assert(!(3 until 8).exists(i => hits.contains(i.toLong)), s"clean docs flagged: $hits")
+    for ((useMd5, oph) <- Seq((false, true), (true, false))) {
+      val hits = Dedup.fuzzyContaminationHits(corpus, evalSet, "doc_id", "text",
+        threshold = 0.5, useMd5 = useMd5, oph = oph)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(hits.contains(0L) && hits(0L) == hits(2L),
+        s"md5=$useMd5 oph=$oph: replicated contaminated docs must share the worst hit: $hits")
+      assert(hits(0L)._1 == 900L && hits(1L)._1 == 901L, s"md5=$useMd5 oph=$oph: $hits")
+      assert(!(3 until 8).exists(i => hits.contains(i.toLong)),
+        s"md5=$useMd5 oph=$oph: clean docs flagged: $hits")
+    }
   }
 
   test("simhash: identical docs collide, near-dups within hamming 3, unrelated far") {
