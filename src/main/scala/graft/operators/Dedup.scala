@@ -685,6 +685,15 @@ object Dedup {
     //    — candidates whose bound can't reach o_min die before the
     //    two array-payload verification joins, which is where the
     //    remaining cost of this plan lives at scale.
+    // graft.ppjoin.mode — diagnostic A/B knob (all three modes are
+    // output-identical; the filters only prune candidates that exact
+    // verification would reject anyway):
+    //   "full"   — length + positional filters (default)
+    //   "length" — length filter only, plain candidate dedup
+    //   "off"    — the pre-r11 prefix-only plan
+    val mode = df.sparkSession.conf.getOption("graft.ppjoin.mode").getOrElse("full")
+    val positional = mode == "full"
+    val lengthF = mode != "off"
     val withPlen = docSets
       .withColumn("__rare", size(col("__pref")).cast("long"))
       .withColumn("__plen",
@@ -699,15 +708,17 @@ object Dedup {
           col("set_size").as("__fa"), col("__rare").as("__ra"), col("__i").as("__ia"))
         val b = prefixes.select(col("s"), col("doc").as("doc_b"),
           col("set_size").as("__fb"), col("__rare").as("__rb"), col("__i").as("__ib"))
-        a.join(b, "s").filter(col("doc_a") < col("doc_b"))
-          .filter(least(col("__ra"), col("__rb")) >=
-            lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb")))
-          .groupBy("doc_a", "doc_b", "__fa", "__fb", "__ra", "__rb")
-          .agg(min(col("__ia")).as("__ia"), min(col("__ib")).as("__ib"))
-          .filter(lit(1L) +
-            least(col("__ra") - col("__ia") - 1L, col("__rb") - col("__ib") - 1L) >=
-            lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb")))
-          .select("doc_a", "doc_b")
+        val joined0 = a.join(b, "s").filter(col("doc_a") < col("doc_b"))
+        val joined = if (lengthF) joined0.filter(least(col("__ra"), col("__rb")) >=
+          lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb"))) else joined0
+        if (positional)
+          joined.groupBy("doc_a", "doc_b", "__fa", "__fb", "__ra", "__rb")
+            .agg(min(col("__ia")).as("__ia"), min(col("__ib")).as("__ib"))
+            .filter(lit(1L) +
+              least(col("__ra") - col("__ia") - 1L, col("__rb") - col("__ib") - 1L) >=
+              lit(threshold / (1.0 + threshold)) * (col("__fa") + col("__fb")))
+            .select("doc_a", "doc_b")
+        else joined.select("doc_a", "doc_b").dropDuplicates("doc_a", "doc_b")
       } else {
         // probe (the (size, id)-smaller side) prefixes × full rare
         // sets; o_min = t·|probe| (full size), o ≤ min(rare_p, rare_i)
@@ -718,17 +729,23 @@ object Dedup {
           .select(col("doc").as("__id"), col("set_size").as("__is"),
             col("__rare").as("__ir"), posexplode(col("__pref")))
           .withColumnRenamed("pos", "__qi").withColumnRenamed("col", "s")
-        p.join(i, "s")
+        val joined0 = p.join(i, "s")
           .filter(col("__ps") < col("__is") ||
             (col("__ps") === col("__is") && col("__pd") < col("__id")))
-          .filter(least(col("__pr"), col("__ir")) >= lit(threshold) * col("__ps"))
-          .groupBy("__pd", "__id", "__ps", "__pr", "__ir")
-          .agg(min(col("__pi")).as("__pi"), min(col("__qi")).as("__qi"))
-          .filter(lit(1L) +
-            least(col("__pr") - col("__pi") - 1L, col("__ir") - col("__qi") - 1L) >=
-            lit(threshold) * col("__ps"))
+        val joined = if (lengthF) joined0.filter(
+          least(col("__pr"), col("__ir")) >= lit(threshold) * col("__ps")) else joined0
+        if (positional)
+          joined.groupBy("__pd", "__id", "__ps", "__pr", "__ir")
+            .agg(min(col("__pi")).as("__pi"), min(col("__qi")).as("__qi"))
+            .filter(lit(1L) +
+              least(col("__pr") - col("__pi") - 1L, col("__ir") - col("__qi") - 1L) >=
+              lit(threshold) * col("__ps"))
+            .select(least(col("__pd"), col("__id")).as("doc_a"),
+              greatest(col("__pd"), col("__id")).as("doc_b"))
+        else joined
           .select(least(col("__pd"), col("__id")).as("doc_a"),
             greatest(col("__pd"), col("__id")).as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
       }
     cand
       .join(docSets.select(col("doc").as("doc_a"), col("set_size").as("size_a"),

@@ -28,6 +28,11 @@ object DupDenseProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast("long").as("doc_id"), col("text"))
     val n = docs.count()
+    // fresh replica ids are doc_id * rep + copy — guard the remap
+    // against overflow/collision for corpora with huge ids
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    require(maxId <= Long.MaxValue / rep - rep,
+      s"doc_id $maxId * rep $rep would overflow the replica id remap")
     val corpus = docs.crossJoin(
         spark.range(rep).select(col("id").as("__copy")))
       .select((col("doc_id") * rep + col("__copy")).as("doc_id"), col("text"))

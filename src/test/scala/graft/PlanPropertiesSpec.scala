@@ -213,6 +213,11 @@ class PlanPropertiesSpec extends SparkTestBase {
       s"merge-verify kernel missing from prefix plan:\n${prefix.take(4000)}")
     assert(!prefix.contains("shingle_pairs"),
       "prefix plan must not fall back to the pair-explosion aggregate")
+    // PPJoin refinements: candidate dedup must be the min-position
+    // aggregate feeding the positional filter (not a bare distinct),
+    // so pruned candidates die before the array-verify joins
+    assert(prefix.contains("min(__ia") && prefix.contains("min(__ib"),
+      s"positional-filter min aggregate missing:\n${prefix.take(4000)}")
     // the low-threshold query keeps the single-shuffle capped-collect arm
     val legacy = SparkEntry.queries("dedup_ngram_jaccard")(spark, dir)
       .queryExecution.executedPlan.toString.toLowerCase
