@@ -100,6 +100,7 @@ object Bench {
         (dt, cpuDt)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        e.printStackTrace()
         (-1.0, -1.0)
       } finally {
         // Queries are self-contained: drop any lazily-pinned checkpoint

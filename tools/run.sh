@@ -2,9 +2,16 @@
 # Direct launcher for graft mains, bypassing the sbt project lock:
 # tools/run.sh <mainClass> [args...]  (heap via SPARK_DRIVER_MEM, default 8g)
 CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# Full org.apache.spark.launcher.JavaModuleOptions list (what
+# spark-submit injects). jdk.internal.ref and java.nio are NOT
+# optional: KryoSerializer.newKryo registers HeapByteBuffer, so the
+# first shuffle whose serializer auto-resolves to Kryo (any RDD of
+# primitive arrays, e.g. the Bloom bitset treeAggregate) dies with
+# "Unable to create serializer ... HeapByteBuffer" without them.
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic; do
+         java.util java.util.concurrent java.util.concurrent.atomic \
+         jdk.internal.ref; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
