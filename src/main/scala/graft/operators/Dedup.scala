@@ -406,6 +406,11 @@ object Dedup {
     // star loop ON the contracted list — never worse than the input.
     val contractRounds = pairs.sparkSession.conf
       .getOption("graft.cc.contractRounds").map(_.toInt).getOrElse(3)
+    // graft.cc.verbose=true: per-round contraction telemetry on stderr
+    // (edge counts, shard count, shrink ratio) — how CcProbe records
+    // the multi-round behavior at probe scales.
+    val verbose = pairs.sparkSession.conf
+      .getOption("graft.cc.verbose").exists(_.toBoolean)
     var round = 0
     var shrinking = true
     while (cnt > limit && round < contractRounds && shrinking) {
@@ -416,6 +421,10 @@ object Dedup {
         .transform(graft.util.Checkpoints.pin)
       val c2 = contracted.count()
       shrinking = c2 < cnt - cnt / 10
+      if (verbose) System.err.println(
+        f"[cc] contraction round ${round + 1}: $cnt%,d -> $c2%,d edges " +
+          f"(shards=$parts, shrink=${1.0 - c2.toDouble / cnt}%.3f, " +
+          f"${if (!shrinking) "STALL -> star loop on contracted list" else "continue"})")
       edges = contracted
       cnt = c2
       round += 1

@@ -58,6 +58,7 @@ object CcProbe {
 
       // sharded contraction arm: edge count is over the default 50M
       // driver limit, node count is under it — one forest round lands
+      spark.conf.set("graft.cc.verbose", "true")
       val sharded = time("sharded contraction arm") {
         val r = graft.operators.Dedup.connectedComponents(edges, "u", "v")
           .localCheckpoint()
