@@ -27,6 +27,9 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    // Fail fast (with a named remedy) if this launch path lacks the
+    // JDK 17 --add-opens flags; see graft.util.LauncherCheck.
+    graft.util.LauncherCheck.assertModuleOpens()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
@@ -131,17 +134,35 @@ object Bench {
     // applied consistently. SPARK_GRAFT_COLD=1 measures first
     // execution instead.
     val cold = sys.env.contains("SPARK_GRAFT_COLD")
+    // 1-minute system load average at suite start — the cross-session
+    // sanity marker. r11's driver artifact recorded q_json_funcs at
+    // 10.09 s where an idle-box re-run measured 0.47 s with identical
+    // cpu_queries: wall under box load is noise, cpu_sec is the
+    // regression signal. Recording the load next to each wall number
+    // lets the artifact falsify its own phantom regressions.
+    val loadStart = osBean.getSystemLoadAverage
     val results = names.map { n =>
-      if (!cold) materialize(n)
-      n -> materialize(n)
+      if (!cold) {
+        materialize(n)
+        // Full GC between the warm and measured run: the warm pass's
+        // shuffle/broadcast/codegen residue otherwise occupies unified
+        // memory during the measured run (r7/sf3 note: 52 s isolated
+        // vs 78 s with residue). unpersist(blocking=false) alone only
+        // queues the release.
+        System.gc()
+      }
+      val r = n -> materialize(n)
+      (r, osBean.getSystemLoadAverage)
     }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case ((k, (v, _)), _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val cpuQs = results.map { case (k, (_, c)) => "\"" + k + "\":" + f"$c%.3f" }
+    val cpuQs = results.map { case ((k, (_, c)), _) => "\"" + k + "\":" + f"$c%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, (v, _)) if v >= 0 => v }.sum
-    val cpuTotal = results.collect { case (_, (_, c)) if c >= 0 => c }.sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpu_sec":$cpuTotal%.3f,"cpu_queries":$cpuQs}"""
+    val loadQs = results.map { case ((k, _), l) => "\"" + k + "\":" + f"$l%.2f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case ((_, (v, _)), _) if v >= 0 => v }.sum
+    val cpuTotal = results.collect { case ((_, (_, c)), _) if c >= 0 => c }.sum
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpu_sec":$cpuTotal%.3f,"cpu_queries":$cpuQs,"load_start":$loadStart%.2f,"load_queries":$loadQs}"""
     println(line)
     // The driver captures stdout with a length cap that truncated the
     // per-query map in BENCH_r07/r08 (~80 of 169 queries survived,

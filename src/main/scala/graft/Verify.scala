@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Fail fast if this launch path lacks the JDK 17 --add-opens flags;
+    // see graft.util.LauncherCheck.
+    graft.util.LauncherCheck.assertModuleOpens()
     val (sfDir, outDir) = (args(0), args(1))
     // Optional extra args: run only these query names (fast iteration).
     val only = args.drop(2).toSet

@@ -694,15 +694,6 @@ object Dedup {
     //    — candidates whose bound can't reach o_min die before the
     //    two array-payload verification joins, which is where the
     //    remaining cost of this plan lives at scale.
-    // graft.ppjoin.mode — diagnostic A/B knob (all three modes are
-    // output-identical; the filters only prune candidates that exact
-    // verification would reject anyway):
-    //   "full"   — length + positional filters (default)
-    //   "length" — length filter only, plain candidate dedup
-    //   "off"    — the pre-r11 prefix-only plan
-    val mode = df.sparkSession.conf.getOption("graft.ppjoin.mode").getOrElse("full")
-    val positional = mode == "full"
-    val lengthF = mode != "off"
     val withPlen = docSets
       .withColumn("__rare", size(col("__pref")).cast("long"))
       .withColumn("__plen",
@@ -711,6 +702,54 @@ object Dedup {
       .select(col("doc"), col("set_size"), col("__rare"),
         posexplode(slice(col("__pref"), lit(1), col("__plen").cast("int"))))
       .withColumnRenamed("pos", "__i").withColumnRenamed("col", "s")
+    // graft.ppjoin.mode — arm selection (all modes are output-identical;
+    // the filters only prune candidates exact verification would reject
+    // anyway):
+    //   "auto"   — (default) pick from the data, see below
+    //   "full"   — length + positional filters
+    //   "length" — length filter only, plain candidate dedup
+    //   "off"    — the pre-r11 prefix-only plan
+    // The r11 A/B showed the static "full" default is wrong for
+    // low-dup-density corpora: on the sf10 hard corpus (99 near-dup
+    // siblings/doc) the positional filter cuts containment CPU −39%
+    // (1774→1082 CPU-s), but at sf1 it INVERTS (49.7 full vs 27.9 off)
+    // — the min-aggregate's wide shuffle rows cost more than the
+    // pruning saves when few candidates exist per doc. "auto" measures
+    // the actual pre-filter candidate volume with a one-aggregate
+    // probe: Σ over prefix occurrences (doc, s) of df(s) = Σ_s
+    // prefixCnt(s)·df(s) — EXACTLY the number of (probe-prefix ×
+    // index) join matches the candidate join would emit before any
+    // filter (up to the 2× of the ps<is ordering restriction). The
+    // probe reuses the pinned shingle stream, so its marginal cost is
+    // one prefix-stream×dfreq equi-join — invisible next to the
+    // candidate join it predicts. High candidates/doc → the positional
+    // filter's pruning pays for its shuffle width ("full"); low → the
+    // cheap in-join length filter alone ("length"). The Jaccard core
+    // keeps static "full": it won the A/B at every measured scale
+    // (both prefixes are threshold-shortened, so the positional
+    // aggregate is far narrower than containment's full-rare-list
+    // index side).
+    val modeConf = df.sparkSession.conf.getOption("graft.ppjoin.mode")
+      .getOrElse("auto")
+    val mode =
+      if (modeConf != "auto") modeConf
+      else if (!containment) "full"
+      else {
+        val densityCut = df.sparkSession.conf
+          .getOption("graft.ppjoin.autoDensity").map(_.toDouble).getOrElse(64.0)
+        val nDocs = math.max(1L, docSets.count()) // forces the pin; reused below
+        val predRow = prefixes.join(dfreq, "s").agg(sum(col("__df"))).head()
+        val predicted = if (predRow.isNullAt(0)) 0L else predRow.getLong(0)
+        val density = predicted.toDouble / nDocs
+        val picked = if (density >= densityCut) "full" else "length"
+        if (df.sparkSession.conf.getOption("graft.ppjoin.verbose")
+            .exists(_.toBoolean))
+          System.err.println(f"[ppjoin] auto: predictedCandidates=$predicted " +
+            f"docs=$nDocs density=$density%.1f cut=$densityCut%.1f -> $picked")
+        picked
+      }
+    val positional = mode == "full"
+    val lengthF = mode != "off"
     val cand =
       if (!containment) {
         val a = prefixes.select(col("s"), col("doc").as("doc_a"),

@@ -333,10 +333,15 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold — EXACT
     * all-pairs O(n²). This is the correctness baseline and recall
-    * yardstick only; it does not scale past ~10^5 vectors (the packed
-    * corpus must fit in one broadcast row). The production path is
-    * embeddingNearDupPairsLsh above (bucket-blocked equi-join, same
-    * exact-cosine verification).
+    * yardstick; compute is quadratic by spec, so the production path
+    * for large corpora is embeddingNearDupPairsLsh above (bucket-
+    * blocked equi-join, same exact-cosine verification). Memory-wise
+    * it self-clamps: the fast single-broadcast plan engages only while
+    * the packed corpus fits under `graft.neardup.broadcastBytes`
+    * (default 256 MB, safely under the 1g driver maxResultSize the
+    * broadcast collect must traverse); past that it auto-routes to a
+    * chunk×chunk blocked cartesian that holds at most
+    * `graft.neardup.chunkBytes` per row.
     *
     * Plan: probes group into `par` packed chunk rows (deterministic
     * pmod(id) blocking); the corpus collapses to ONE packed row that
@@ -351,19 +356,65 @@ object Similarity {
     * rows whose cost is CPU, not size. */
   def embeddingNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                             threshold: Double): DataFrame = {
-    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val spark = corpus.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val normed = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val chunked = normed
-      .groupBy(pmod(col("__id"), lit(par)).as("__blk"))
-      .agg(collect_list(struct(col("__id"), col("__v"))).as("__probe"))
-      .repartition(par)
-    val packed = normed.agg(collect_list(struct(col("__id"), col("__v"))).as("__all"))
-    chunked.crossJoin(broadcast(packed))
-      .select(explode(graft.functions.NativeExpressions.near_dup_block(
-        col("__all"), col("__probe"), threshold)).as("__nd"))
-      .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
-        round(col("__nd.cos"), 6).as("cos_sim"))
+    // Broadcast clamp: the single packed-corpus row must round-trip
+    // through the driver (collect for broadcast), so it is bounded by
+    // spark.driver.maxResultSize (1g default) AND by executor task
+    // memory. Estimate its size from row count × mean vector length
+    // and auto-route: under the limit → one broadcast row (fastest,
+    // packed column serialized once per chunk); over it → chunk×chunk
+    // blocked cartesian below, which never materializes the corpus in
+    // one piece anywhere. Mirrors Dedup.localComponents's count-then-
+    // route clamp pattern.
+    val stats = normed.agg(count(lit(1)), avg(size(col("__v")))).head()
+    val n = stats.getLong(0)
+    val meanDim = if (stats.isNullAt(1)) 0.0 else stats.getDouble(1)
+    // packed struct<id:long, vec:array<double>> ≈ 8 + 16 + 8·dim bytes
+    val totalBytes = (n * (meanDim * 8 + 24)).toLong
+    val broadcastLimit = spark.conf.getOption("graft.neardup.broadcastBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    if (totalBytes <= broadcastLimit) {
+      val chunked = normed
+        .groupBy(pmod(col("__id"), lit(par)).as("__blk"))
+        .agg(collect_list(struct(col("__id"), col("__v"))).as("__probe"))
+        .repartition(par)
+      val packed = normed.agg(collect_list(struct(col("__id"), col("__v"))).as("__all"))
+      chunked.crossJoin(broadcast(packed))
+        .select(explode(graft.functions.NativeExpressions.near_dup_block(
+          col("__all"), col("__probe"), threshold)).as("__nd"))
+        .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
+          round(col("__nd.cos"), 6).as("cos_sim"))
+    } else {
+      // Over-limit arm: C packed chunks (C = ⌈total/chunkBytes⌉), all
+      // C² chunk pairs via a SHUFFLE_REPLICATE_NL cartesian — executor-
+      // to-executor exchange only, no driver collect, no row larger
+      // than chunkBytes. The kernel's `allId > probeId` condition
+      // orients every unordered id pair exactly once across the C²
+      // evaluations (the (x<y) pair survives only where the larger id
+      // sits on the `all` side), so no dedup pass is needed. Compute
+      // stays the exact O(n²) this arm is specified to be — the scale
+      // path remains embeddingNearDupPairsLsh; this arm just refuses
+      // to die on the driver when someone points it at a corpus past
+      // the broadcast clamp. Communication is C·|corpus| (each chunk
+      // meets every other), the classic blocked all-pairs tradeoff.
+      val chunkBytes = spark.conf.getOption("graft.neardup.chunkBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val nChunks = math.max(2L, (totalBytes + chunkBytes - 1) / chunkBytes)
+      val packedChunks = normed
+        .groupBy(pmod(col("__id"), lit(nChunks)).as("__blk"))
+        .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
+        .repartition(math.min(nChunks, par).toInt)
+      val a = packedChunks.select(col("__blk").as("__blkA"), col("__vs").as("__all"))
+      val b = packedChunks.select(col("__blk").as("__blkB"), col("__vs").as("__probe"))
+      a.hint("shuffle_replicate_nl").join(b.hint("shuffle_replicate_nl"))
+        .select(explode(graft.functions.NativeExpressions.near_dup_block(
+          col("__all"), col("__probe"), threshold)).as("__nd"))
+        .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
+          round(col("__nd.cos"), 6).as("cos_sim"))
+    }
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): coarse

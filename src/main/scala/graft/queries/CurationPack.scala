@@ -353,12 +353,16 @@ object CurationPack {
     // invariants ARE, so DuckDB can hash-check them from the raw
     // embeddings while Spark derives them THROUGH the projections:
     //   parseval          — full-basis (64-component) projection
-    //                       conserves each vector's squared norm, so
-    //                       per-vector sum(proj²) must equal the
-    //                       oracle's sum(x²) straight off the table
-    //                       (rounded to 3: Jacobi orthonormality error
-    //                       ~1e-12 and per-proj 1e-6 rounding leave
-    //                       ≤1e-4 slack against the 5e-4 boundary);
+    //                       conserves each vector's squared norm:
+    //                       per-vector |sum(proj²) − sum(x²)| must be
+    //                       ≤ 5e-4 (Jacobi orthonormality error ~1e-12
+    //                       plus per-proj 1e-6 rounding accumulate to
+    //                       ≤1e-4). Emitted as a per-vector 0/1 flag
+    //                       with an explicit tolerance rather than
+    //                       rounded-value equality — rounding both
+    //                       sides to 3 decimals was only safe while no
+    //                       true norm sat within ~1e-4 of a 0.0005
+    //                       boundary, a data-dependent accident;
     //   proj_cov_offdiag  — projections onto distinct eigenvectors are
     //                       uncorrelated over the corpus
     //                       (cov = wᵢᵀΣwⱼ = 0 ± quantization ≤ 1e-5,
@@ -370,8 +374,7 @@ object CurationPack {
     QueryDef(
       "emb_pca_invariants",
       """SELECT 'parseval' AS metric, vec_id AS i, CAST(0 AS BIGINT) AS j,
-        |  round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
-        |                       'sum'), 3) AS value
+        |  1.0 AS value
         |FROM embeddings
         |UNION ALL
         |SELECT 'proj_cov_offdiag' AS metric, a.i, b.j, 0.0 AS value
@@ -383,10 +386,16 @@ object CurationPack {
       val proj = Similarity.pcaProject(embs(s, dir), "vec_id", "embedding",
         dim = 64, nComponents = 64)
         .transform(graft.util.Checkpoints.pinLazy)
+      val rawNorm = embs(s, dir).select(col("vec_id"),
+        expr("aggregate(transform(CAST(embedding AS array<double>), x -> x * x)," +
+          " 0.0D, (a, b) -> a + b)").as("__raw"))
       val pars = proj.groupBy("vec_id")
-        .agg((round(sum(col("proj") * col("proj")), 3) + lit(0.0)).as("value"))
+        .agg(sum(col("proj") * col("proj")).as("__pn"))
+        .join(rawNorm, "vec_id")
         .select(lit("parseval").as("metric"), col("vec_id").as("i"),
-          lit(0L).as("j"), col("value"))
+          lit(0L).as("j"),
+          when(abs(col("__pn") - col("__raw")) <= 5e-4, 1.0).otherwise(0.0)
+            .as("value"))
       val p8 = proj.filter(col("pc") <= 8)
       val offd = p8.select(col("vec_id"), col("pc").as("i"), col("proj").as("pi"))
         .join(p8.select(col("vec_id"), col("pc").as("j"), col("proj").as("pj")), "vec_id")

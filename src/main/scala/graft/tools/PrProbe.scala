@@ -28,12 +28,23 @@ object PrProbe {
   def main(args: Array[String]): Unit = {
     val millions = args.headOption.map(_.toInt).getOrElse(50)
     val iters = args.lift(1).map(_.toInt).getOrElse(5)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
-      .config("spark.driver.maxResultSize", "8g")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    // The production arms (1, 2) run under the DEFAULT 1g
+    // maxResultSize so a regression that funnels a large collect into
+    // the driver fails loudly here instead of being masked; only the
+    // driver-oracle arm (3) gets a fresh session with the limit
+    // raised — the core conf is fixed at context start, so "raise it
+    // for the oracle only" means a second context.
+    def buildSession(maxResult: Option[String]): SparkSession = {
+      val b = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4000000")
+        .config("spark.ui.enabled", "false")
+      maxResult.foreach(b.config("spark.driver.maxResultSize", _))
+      val s = b.getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+    var spark = buildSession(None)
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime; val r = f
       println(f"[probe] $label: ${(System.nanoTime - t0) / 1e9}%.1f s"); r
@@ -47,25 +58,33 @@ object PrProbe {
     val k = 32 // clique size: k(k-1)/2 = 496 edges per clique
     val nCliques = millions * 1000000L / 496L
     val nNodes = nCliques * k
-    val offsets = (for (a <- 0 until k; b <- 0 until k if a < b)
-      yield (a, b)).toSeq
-    import spark.implicits._
-    val offsetsDf = offsets.toDF("i", "j")
-    val cliqueEdges = spark.range(nCliques).toDF("c")
-      .crossJoin(broadcast(offsetsDf))
-      .select((col("c") * k + col("j")).as("u"), (col("c") * k + col("i")).as("v"))
-    val chains = spark.range(1, nCliques).toDF("c")
-      .filter(pmod(col("c"), lit(100)) =!= 0)
-      .select((col("c") * k).as("u"), ((col("c") - 1) * k).as("v"))
-    val edges = cliqueEdges.unionByName(chains).localCheckpoint()
+    // Deterministic generator (range-based, no randomness) so the
+    // graph regenerated in the oracle arm's fresh session is
+    // bit-identical to the one the distributed arms ran on.
+    def gen(s: SparkSession): (org.apache.spark.sql.DataFrame,
+                               org.apache.spark.sql.DataFrame) = {
+      val offsets = (for (a <- 0 until k; b <- 0 until k if a < b)
+        yield (a, b)).toSeq
+      import s.implicits._
+      val offsetsDf = offsets.toDF("i", "j")
+      val cliqueEdges = s.range(nCliques).toDF("c")
+        .crossJoin(broadcast(offsetsDf))
+        .select((col("c") * k + col("j")).as("u"), (col("c") * k + col("i")).as("v"))
+      val chains = s.range(1, nCliques).toDF("c")
+        .filter(pmod(col("c"), lit(100)) =!= 0)
+        .select((col("c") * k).as("u"), ((col("c") - 1) * k).as("v"))
+      val edges = cliqueEdges.unionByName(chains).localCheckpoint()
+      // nodes: every clique node plus 1000 isolated ids past the end
+      // (base-rank rows that never touch the cluster), minus the last
+      // clique's high half — foreign endpoints that carry degree but
+      // hold no rank, exercising the sink path both arms must agree on
+      val nodes = s.range(nNodes - k / 2).toDF("id")
+        .unionByName(s.range(nNodes, nNodes + 1000).toDF("id"))
+        .localCheckpoint()
+      (edges, nodes)
+    }
+    var (edges, nodes) = gen(spark)
     val nE = edges.count()
-    // nodes: every clique node plus 1000 isolated ids past the end
-    // (base-rank rows that never touch the cluster), minus the last
-    // clique's high half — foreign endpoints that carry degree but
-    // hold no rank, exercising the sink path both arms must agree on
-    val nodes = spark.range(nNodes - k / 2).toDF("id")
-      .unionByName(spark.range(nNodes, nNodes + 1000).toDF("id"))
-      .localCheckpoint()
     println(s"[probe] edges=$nE nodes=${nodes.count()} cliques=$nCliques iters=$iters " +
       s"(driver limit 25M -> distributed arm engages)")
 
@@ -83,7 +102,13 @@ object PrProbe {
       val f = fp(r); r.unpersist(); f
     }
     spark.conf.unset("graft.pagerank.broadcastNodes")
-    // 3. driver-arm oracle with the limit raised past the edge count
+    // 3. driver-arm oracle with the limit raised past the edge count.
+    // maxResultSize is a core conf fixed at context start, so the
+    // oracle's raised limit lives in its own fresh session; the graph
+    // is regenerated there by the deterministic generator above.
+    spark.stop()
+    spark = buildSession(Some("8g"))
+    val (e2, n2) = gen(spark); edges = e2; nodes = n2
     spark.conf.set("graft.pagerank.localEdgeLimit", (nE + 1).toString)
     val dFp = time("driver packed-loop oracle (raised limit)") {
       val r = graft.operators.Graph.pageRankFixedPoint(

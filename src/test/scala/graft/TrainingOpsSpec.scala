@@ -411,6 +411,31 @@ class TrainingOpsSpec extends SparkTestBase {
       s"LSH plan must not contain a cross join:\n$plan")
   }
 
+  test("exact near-dup over-limit arm: blocked cartesian matches broadcast arm, no driver-sized row") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    def pairs(): Set[(Long, Long, Double)] =
+      Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.35)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaBroadcast = pairs() // packed corpus well under the 256 MB default
+    try {
+      // clamp to 1 byte: every corpus trips the over-limit route; tiny
+      // chunks so the test actually exercises MANY chunk×chunk pairs
+      spark.conf.set("graft.neardup.broadcastBytes", "1")
+      spark.conf.set("graft.neardup.chunkBytes", "4096")
+      val blocked = Similarity.embeddingNearDupPairs(e, "vec_id", "embedding", 0.35)
+      val plan = blocked.queryExecution.executedPlan.toString
+      assert(plan.contains("CartesianProduct"),
+        s"over-limit arm must be a shuffle-replicate cartesian:\n$plan")
+      assert(!plan.contains("BroadcastExchange"),
+        s"over-limit arm must not broadcast any packed side:\n$plan")
+      assert(pairs() == viaBroadcast, "blocked arm diverged from broadcast arm")
+    } finally {
+      spark.conf.unset("graft.neardup.broadcastBytes")
+      spark.conf.unset("graft.neardup.chunkBytes")
+    }
+  }
+
   test("stratified sampling balances classes deterministically") {
     val dir = "/root/testdata/sf0.01"
     val docs = Tables.load(spark, dir, "documents")
