@@ -167,7 +167,13 @@ object Bench {
     // The driver captures stdout with a length cap that truncated the
     // per-query map in BENCH_r07/r08 (~80 of 169 queries survived,
     // "parsed": null). Persist the complete artifact to a file too.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // BENCH_FULL.json is reserved for FULL-suite runs: an args-filtered
+    // one-off probe lands in BENCH_PROBE.json instead, so the committed
+    // full-suite snapshot can't be clobbered by a single-query run
+    // (this happened in r11 — a lone sf10 probe overwrote the 170-query
+    // record BENCH_LOCAL's numbers describe).
+    val defaultOut = if (args.isEmpty) "BENCH_FULL.json" else "BENCH_PROBE.json"
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
