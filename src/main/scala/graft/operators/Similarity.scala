@@ -902,8 +902,12 @@ object Similarity {
   def covarianceUpper(corpus: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val g = corpus
-      .select(col(vecCol).cast("array<double>").as("__v"))
+    // spreadIfNarrow: the partial-aggregation pass fuses into the scan
+    // stage, so a single-row-group file would run the whole gram kernel
+    // (dim·(dim+1)/2 multiply-adds per row) in ONE task; the guard adds
+    // one slim-column exchange only on provably degenerate layouts.
+    val g = graft.util.ScanParallelism.spreadIfNarrow(
+        corpus.select(col(vecCol).cast("array<double>").as("__v")))
       .agg(graft.functions.GramMatrix.gram_matrix(col("__v"), dim).as("__g"))
       .select(col("__g.n"), col("__g.sums"), col("__g.prods"))
       .head()
@@ -959,7 +963,10 @@ object Similarity {
         if (v(m) < 0) v.map(-_) else v
       }
     val wLit = array(top.map(v => array(v.map(lit).toSeq: _*)).toSeq: _*)
-    corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // spreadIfNarrow: the projection map (nComponents × dim
+    // multiply-adds per row) fuses into the scan; see covarianceUpper.
+    graft.util.ScanParallelism.spreadIfNarrow(
+        corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__v")))
       .select(col(idCol), posexplode(
         transform(wLit, w => aggregate(zip_with(col("__v"), w, (x, c) => x * c),
           lit(0.0), (acc, v) => acc + v))).as(Seq("__p", "__proj")))

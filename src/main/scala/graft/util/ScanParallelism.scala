@@ -1,0 +1,68 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Guard against row-group-bound scan parallelism.
+  *
+  * Parquet's split unit is the ROW GROUP: a 53 MB single-row-group
+  * file (bench-data/sf10 embeddings: 200k rows, 1 row group) yields 4
+  * file splits at maxPartitionBytes=16m, but 3 of them are EMPTY —
+  * the row group is processed by the one split containing its
+  * midpoint. Every pipeline fused into that scan stage (gram-matrix
+  * partial aggregation, PCA projection maps) then runs in ONE task no
+  * matter how many cores exist; `rdd.getNumPartitions` can't see it
+  * (it counts splits, not row groups). Measured: emb_pca_invariants
+  * at sf10 ran 98 s wall / 162 CPU-s — average parallelism 1.65 on a
+  * 32-core box.
+  *
+  * [[spreadIfNarrow]] detects the degenerate layout from the parquet
+  * footers (driver-side, metadata-only, short-circuited) and inserts
+  * one round-robin repartition ONLY then. On healthy layouts — many
+  * files or many row groups, i.e. any real multi-file table at scale
+  * — it is a no-op returning the input plan unchanged, so no shuffle
+  * is ever added to data that already parallelizes. Intended for
+  * compute-dense per-row kernels (hundreds of flops/byte) where one
+  * pass of the slim input through the exchange is noise next to the
+  * serialized compute it unlocks.
+  */
+object ScanParallelism {
+
+  /** Total parquet row groups across `files`, reading footers until
+    * the count reaches `enough` (then short-circuits — past that the
+    * layout is known healthy). None if any file is unreadable or not
+    * parquet (caller must then assume healthy and not repartition).
+    */
+  def rowGroupCount(df: DataFrame, enough: Int): Option[Int] = {
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    var total = 0
+    val it = df.inputFiles.iterator
+    try {
+      while (it.hasNext && total < enough) {
+        val f = it.next()
+        if (!f.endsWith(".parquet")) return None
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try total += r.getRowGroups.size() finally r.close()
+      }
+      Some(total)
+    } catch { case _: Exception => None }
+  }
+
+  /** Repartition `df` to `defaultParallelism` iff its parquet layout
+    * caps scan parallelism below half the cores. The check is pure
+    * metadata: ≤ `par` footers read on the driver (a table with ≥ par
+    * files short-circuits on the file count alone). Non-parquet or
+    * unreadable inputs (in-memory test frames, post-shuffle plans with
+    * no inputFiles) are left untouched.
+    */
+  def spreadIfNarrow(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= par) return df
+    rowGroupCount(df, par) match {
+      case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)
+      case _ => df
+    }
+  }
+}

@@ -161,4 +161,29 @@ class UtilSpec extends SparkTestBase {
     assert(m.getOrDefault(-12345L, 99L) == 99L)
     assert(m.get(-12345L) == -12345L, "get defaults to identity (union-find root)")
   }
+
+  test("ScanParallelism: spreads single-row-group files, no-ops on healthy or non-file plans") {
+    import graft.util.ScanParallelism
+    val par = spark.sparkContext.defaultParallelism
+    // testdata embeddings are written as ONE row group (verified via
+    // footer) — the degenerate layout the guard exists for
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(org.apache.spark.sql.functions.col("embedding"))
+    assert(ScanParallelism.rowGroupCount(emb, 1000).contains(1))
+    val spread = ScanParallelism.spreadIfNarrow(emb)
+    assert(spread.queryExecution.executedPlan.toString.contains("Exchange"),
+      "single-row-group layout must gain a repartition")
+    assert(spread.rdd.getNumPartitions == par)
+    assert(spread.count() == emb.count(), "spread must not change rows")
+    // an in-memory frame has no input files -> untouched plan
+    import spark.implicits._
+    val mem = Seq(1, 2, 3).toDF("x")
+    assert(ScanParallelism.spreadIfNarrow(mem) eq mem)
+    // a layout with >= par row groups is healthy -> untouched. Write
+    // one file per row via repartition to get many tiny row groups.
+    val dir = java.nio.file.Files.createTempDirectory("spread").toString
+    spark.range(par * 2L).repartition(par * 2).write.mode("overwrite").parquet(dir)
+    val many = spark.read.parquet(dir)
+    assert(ScanParallelism.spreadIfNarrow(many) eq many)
+  }
 }

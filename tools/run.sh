@@ -8,6 +8,9 @@ CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
 # first shuffle whose serializer auto-resolves to Kryo (any RDD of
 # primitive arrays, e.g. the Bloom bitset treeAggregate) dies with
 # "Unable to create serializer ... HeapByteBuffer" without them.
+# Bench/Verify also run graft.util.LauncherCheck.assertModuleOpens()
+# at startup — a launch path missing these opens now fails in second
+# one with a named remedy instead of at sf10 hour one.
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
