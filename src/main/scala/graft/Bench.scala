@@ -113,8 +113,14 @@ object Bench {
         // vs isolated; GC itself was <1% of wall either way). In finally
         // so a FAILED heavy query can't leave residue that skews every
         // subsequent timing.
+        // Blocking: async release let residue survive into the NEXT
+        // query's measured run — in the r12 sf1 local-cluster sweep
+        // executor-side blocks inflated mm_dedup_video to 29.2 s
+        // in-sweep vs 10.0 s isolated (dedup_containment 33.0 vs 9.4);
+        // a synchronous release starts each timing from clean unified
+        // memory.
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
       }
     }
 

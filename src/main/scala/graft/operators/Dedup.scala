@@ -76,7 +76,15 @@ object Dedup {
         .oneperm_minhash(col("__t"), shingleK, numHashes, seed, useMd5)
       else graft.functions.NativeExpressions
         .minhash_from_tokens(col("__t"), shingleK, numHashes, seed, useMd5)
-    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    // spreadIfNarrow: the hash kernel (numHashes × shingles multiply-
+    // mixes per doc) fuses into the scan stage, so a single-row-group
+    // corpus file would compute every signature in ONE task; the guard
+    // adds one slim (id, text) exchange only on provably degenerate
+    // layouts (see graft.util.ScanParallelism). Spread BEFORE
+    // tokenizing so the exchange carries raw text, not token arrays.
+    graft.util.ScanParallelism.spreadIfNarrow(
+        df.select(col(idCol), col(textCol)))
+      .select(col(idCol), tokens(col(textCol)).as("__t"))
       .select(col(idCol), sigExpr.as("signature"),
         size(graft.functions.NativeExpressions.word_shingles(col("__t"), shingleK))
           .cast("long").as("n_shingles"))
@@ -599,8 +607,13 @@ object Dedup {
     // are many and scattered (most have 1-2 members), a map-side
     // partial compresses ~nothing but pays an object-state
     // serialize/deserialize per (partition × group).
-    val sh = df.select(col(idCol).as("doc"),
-      graft.functions.NativeExpressions.shingle_hashes(col(textCol), shingleK).as("__sh"))
+    // spreadIfNarrow: the shingle-hash byte walk fuses into the scan
+    // stage — guard against single-row-group layouts running it in one
+    // task (exchange carries raw text; see graft.util.ScanParallelism).
+    val sh = graft.util.ScanParallelism.spreadIfNarrow(
+        df.select(col(idCol).as("doc"), col(textCol)))
+      .select(col("doc"),
+        graft.functions.NativeExpressions.shingle_hashes(col(textCol), shingleK).as("__sh"))
       .select(col("doc"), size(col("__sh")).cast("long").as("set_size"),
         explode(col("__sh")).as("s"))
     sh.repartition(col("s"))
@@ -660,8 +673,11 @@ object Dedup {
     // (lazy local checkpoint — same contract as minhashPairs' signature
     // pin; cluster jobs needing executor-loss recovery pass reliable
     // pins at the operator entry points that expose them)
+    // spreadIfNarrow before the byte walk — see shingleIntersections.
     val sh = graft.util.Checkpoints.pinLazy(
-      df.select(col(idCol).as("doc"),
+      graft.util.ScanParallelism.spreadIfNarrow(
+          df.select(col(idCol).as("doc"), col(textCol)))
+        .select(col("doc"),
           graft.functions.NativeExpressions.shingle_hashes(col(textCol), shingleK).as("__sh"))
         .select(col("doc"), size(col("__sh")).cast("long").as("set_size"),
           explode(col("__sh")).as("s")))
