@@ -33,6 +33,11 @@ object Verify {
         s"${sys.props("user.dir")}/target/scala-2.13/classes")
       builder.config("spark.executor.extraClassPath", cp)
     }
+    // Extra session conf for experiments, same contract as Bench
+    // ("k=v;k=v") — how the arm-forced oracle runs (e.g.
+    // graft.ppjoin.mode=length) reach the operators under Verify.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

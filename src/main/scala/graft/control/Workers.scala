@@ -41,7 +41,7 @@ final class Workers(queue: JobQueue, loader: Loader, copier: Copier,
     while (running.get()) {
       queue.dequeue(pollMs).foreach { case (id, msg) =>
         try {
-          process(msg)
+          process(id, msg)
           queue.ack(id)
           attempts.remove(id)
         } catch {
@@ -55,10 +55,13 @@ final class Workers(queue: JobQueue, loader: Loader, copier: Copier,
     }
   }
 
-  private def process(msg: JobMessage): Unit = msg match {
+  // The queue id is stable across nack/redelivery (both queue arms),
+  // so it is the idempotency key that turns a retried job's table
+  // publish from at-least-once into exactly-once (GraftCatalog.append).
+  private def process(id: Long, msg: JobMessage): Unit = msg match {
     case JobMessage.InsertFile(db, table, path) =>
-      loader.loadFile(db, table, Paths.get(path))
+      loader.loadFile(db, table, Paths.get(path), Some(s"q$id"))
     case JobMessage.CopyData(srcDb, query, destDb, destTable) =>
-      copier.copy(srcDb, query, destDb, destTable)
+      copier.copy(srcDb, query, destDb, destTable, Some(s"q$id"))
   }
 }

@@ -22,7 +22,13 @@ import org.apache.spark.sql.types._
 final class Copier(catalogFor: String => GraftCatalog,
                    destInfo: String => (String, String) = _ => ("spark", "")) {
 
-  def copy(sourceDb: String, query: String, destDb: String, destTable: String): Long = {
+  /** @param jobKey idempotency key for the Spark-side destination
+    * publish — worker-driven copies pass their queue job id so a
+    * retried copy republishes its result instead of duplicating it
+    * (see [[GraftCatalog.append]]; jdbc destinations keep the
+    * at-least-once baseline, same as the reference's backends). */
+  def copy(sourceDb: String, query: String, destDb: String, destTable: String,
+           jobKey: Option[String] = None): Long = {
     val cat = catalogFor(sourceDb)
     val df = destInfo(sourceDb) match {
       case ("jdbc", url) => new JdbcDestination(cat.spark, url).query(query)
@@ -40,7 +46,7 @@ final class Copier(catalogFor: String => GraftCatalog,
           .map(f => f.name -> TypeLattice.fromSparkType(f.dataType)).toMap
         cat.ensureTable(destDb, destTable)
         cat.addColumns(destDb, destTable, types)
-        cat.append(destDb, destTable, df)
+        cat.append(destDb, destTable, df, jobKey)
         cat.read(destDb, destTable).count()
     }
   }

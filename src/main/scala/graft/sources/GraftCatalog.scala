@@ -214,17 +214,80 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   /** Append a batch: project to catalog columns (missing → NULL), cast
     * to catalog types, write parquet part-files (Hive-layout when the
     * table declares partitioning). */
-  def append(db: String, table: String, df: DataFrame): Unit = {
+  /** Append via a per-call staging directory + rename publish.
+    *
+    * A plain `mode("append")` into the shared data dir is unsafe under
+    * the worker pool: concurrent Spark write jobs share the
+    * committer's `_temporary/0` under the output path, so one job's
+    * commit sweeps the other's finished task files into the table and
+    * its cleanup deletes the rival's in-flight staging. The
+    * IngestProbe run that motivated this surfaced both faces at once —
+    * racing loads dying with "_temporary/0 does not exist" AND ~15k
+    * duplicate rows published by the winners' commits before the
+    * losers retried.
+    *
+    * Each call therefore writes (mode=overwrite) into its own
+    * `.stage/<key>` directory — committer isolation — then renames the
+    * part files into `data/` as `<key>-<n>.parquet` (partition subdirs
+    * preserved). With the default random key, concurrent appends can
+    * never collide. Queue-driven callers pass their QUEUE JOB ID as
+    * `jobKey`: the publish step first deletes any `<key>-*` files an
+    * earlier attempt of the same job landed, so an at-least-once
+    * redelivery converges to exactly-once publication instead of
+    * duplicating rows. */
+  def append(db: String, table: String, df: DataFrame,
+             jobKey: Option[String] = None): Unit = {
     val target = structOf(db, table)
     val present = df.columns.toSet
     val projected = df.select(target.fields.toIndexedSeq.map { f =>
       if (present.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }: _*)
-    val w = projected.write.mode("append")
+    // arbitrary caller keys (queue ids, file paths) → fixed-width hex
+    val key = jobKey match {
+      case Some(k) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        md.digest(k.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
+      case None => java.util.UUID.randomUUID().toString.replace("-", "")
+    }
+    val stage = tableDir(db, table).resolve(".stage").resolve(key)
+    val w = projected.write.mode("overwrite")
     val parts = partitioningOf(db, table)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .parquet(dataDir(db, table).toString)
+      .parquet(stage.toString)
+    publishStage(stage, dataDir(db, table), key)
+  }
+
+  /** Rename-publish a staged write into the data dir (see [[append]]):
+    * idempotent per key — a previous attempt's published files are
+    * removed first, then the staged part files move in under
+    * deterministic `<key>-<n>.parquet` names. Local-FS renames, no
+    * data copy. */
+  private def publishStage(stage: Path, data: Path, key: String): Unit = {
+    Files.createDirectories(data)
+    val prefix = key + "-"
+    val prior = Files.walk(data)
+    try prior.iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(prefix)).toList
+      .foreach(Files.delete)
+    finally prior.close()
+    val walk = Files.walk(stage)
+    val staged =
+      try walk.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
+        .sortBy(_.toString)
+      finally walk.close()
+    staged.zipWithIndex.foreach { case (src, i) =>
+      val destDir = data.resolve(stage.relativize(src.getParent))
+      Files.createDirectories(destDir)
+      Files.move(src, destDir.resolve(s"$key-$i.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // best-effort staging cleanup (stray _SUCCESS/_temporary markers)
+    val rm = Files.walk(stage)
+    try rm.iterator().asScala.toList.reverse.foreach(p =>
+      try Files.deleteIfExists(p) catch { case _: Exception => () })
+    finally rm.close()
   }
 
   private def hasData(db: String, table: String): Boolean = {
@@ -329,8 +392,18 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * are tagged `__is_dup`/`__dup_of` or dropped, and ONLY survivors'
     * band/sig rows join the index — re-ingesting a document any
     * number of times grows the index once, upgrading at-least-once
-    * delivery to effectively-once. Returns appended row count. */
-  def appendWithPolicy(db: String, table: String, df: DataFrame): Long =
+    * delivery to effectively-once. Returns appended row count.
+    *
+    * `jobKey` (the queue job id for worker-driven loads) keys the
+    * PLAIN append paths' idempotent publish (see [[append]]). The
+    * dedup paths stay keyless on purpose: a retried job's survivor set
+    * is NOT the original batch (the index now knows attempt 1's
+    * survivors, so the retry's survivors are empty) — a key-based
+    * republish there would delete attempt 1's published rows and
+    * replace them with nothing. Their retry convergence is the
+    * content-level index probe itself. */
+  def appendWithPolicy(db: String, table: String, df: DataFrame,
+                       jobKey: Option[String] = None): Long =
     dedupPolicyOf(db, table) match {
       case Some(p) if df.columns.contains(p.textCol) =>
         if (p.params.method == "semantic") appendDedupedSemantic(db, table, df, p)
@@ -343,10 +416,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"table $db.$table has a dedup policy on '${p.textCol}' but the " +
             "batch lacks that column; appending WITHOUT dedup")
-        append(db, table, df)
+        append(db, table, df, jobKey)
         df.count()
       case None =>
-        append(db, table, df)
+        append(db, table, df, jobKey)
         df.count()
     }
 

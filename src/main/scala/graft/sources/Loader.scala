@@ -26,7 +26,12 @@ final class Loader(catalog: GraftCatalog,
                    destInfo: String => (String, String) = _ => ("spark", ""),
                    distributedInferenceBytes: Long = 256L * 1024 * 1024) {
 
-  def loadFile(database: String, table: String, file: Path): Long = {
+  /** @param jobKey idempotency key for the table publish — worker-
+    * driven loads pass their queue job id so an at-least-once
+    * redelivery republishes instead of duplicating (see
+    * [[GraftCatalog.append]]). */
+  def loadFile(database: String, table: String, file: Path,
+               jobKey: Option[String] = None): Long = {
     val spark = catalog.spark
     val types =
       if (Files.size(file) <= distributedInferenceBytes)
@@ -53,7 +58,7 @@ final class Loader(catalog: GraftCatalog,
       if (types.contains(catalog.RowIdColumn)) df0
       else df0.withColumn(catalog.RowIdColumn,
         graft.functions.NativeExpressions.snowflake_id())
-    catalog.appendWithPolicy(database, table, df)
+    catalog.appendWithPolicy(database, table, df, jobKey)
   }
 
   /** Bulk NDJSON load into a federated jdbc destination: same lattice
