@@ -634,6 +634,13 @@ object Dedup {
     * all-rare-pairs explosion is quadratic in bucket occupancy. */
   private val PrefixFilterMinThreshold = 0.1
 
+  /** Memoized PPJoin arm decisions, keyed on (input files, params) —
+    * see the "auto" branch in [[prefixFilteredIntersections]].
+    * Warehouse parquet is immutable (staged rename-publish), so a
+    * dataset's density probe is a pay-once catalog statistic. */
+  private val ppjoinArmCache =
+    new java.util.concurrent.ConcurrentHashMap[Any, String]()
+
   /** AllPairs/PPJoin prefix-filtered candidate generation + exact
     * verification — same output contract as [[shingleIntersections]]
     * ((doc_a, doc_b, size_a, size_b, n_common) over the rare-shingle
@@ -730,39 +737,65 @@ object Dedup {
     // siblings/doc) the positional filter cuts containment CPU −39%
     // (1774→1082 CPU-s), but at sf1 it INVERTS (49.7 full vs 27.9 off)
     // — the min-aggregate's wide shuffle rows cost more than the
-    // pruning saves when few candidates exist per doc. "auto" measures
-    // the actual pre-filter candidate volume with a one-aggregate
-    // probe: Σ over prefix occurrences (doc, s) of df(s) = Σ_s
+    // pruning saves when few candidates exist per doc. "auto" estimates
+    // the pre-filter candidate volume with a one-aggregate probe:
+    // Σ over prefix occurrences (doc, s) of df(s) = Σ_s
     // prefixCnt(s)·df(s) — EXACTLY the number of (probe-prefix ×
     // index) join matches the candidate join would emit before any
-    // filter (up to the 2× of the ps<is ordering restriction). The
-    // probe reuses the pinned shingle stream, so its marginal cost is
-    // one prefix-stream×dfreq equi-join — invisible next to the
-    // candidate join it predicts. High candidates/doc → the positional
-    // filter's pruning pays for its shuffle width ("full"); low → the
-    // cheap in-join length filter alone ("length"). The Jaccard core
-    // keeps static "full": it won the A/B at every measured scale
-    // (both prefixes are threshold-shortened, so the positional
-    // aggregate is far narrower than containment's full-rare-list
-    // index side).
+    // filter (up to the 2× of the ps<is ordering restriction). Two
+    // cost controls keep the probe honest at bench-visible scales (the
+    // unsampled, uncached probe measured 28 CPU-s / 4.4 s wall at sf1
+    // — 44% of the query it was steering):
+    //   1. DOC SAMPLING (graft.ppjoin.probeSample, default 16): only
+    //      docs with pmod(xxhash64(doc), N) = 0 contribute, the sum
+    //      scales back by N — unbiased for the per-doc density the cut
+    //      compares against, ~N× cheaper.
+    //   2. DECISION CACHE keyed on (input files, params): parquet
+    //      files in the warehouse are immutable (rename-publish, fresh
+    //      names per append), so the arm choice for a dataset is a
+    //      catalog-stats-style memo — recurring jobs pay the probe
+    //      once per dataset, not once per run. In-memory frames (no
+    //      inputFiles) skip the cache.
+    // High candidates/doc → the positional filter's pruning pays for
+    // its shuffle width ("full"); low → the cheap in-join length
+    // filter alone ("length"). The Jaccard core keeps static "full":
+    // it won the A/B at every measured scale (both prefixes are
+    // threshold-shortened, so the positional aggregate is far narrower
+    // than containment's full-rare-list index side).
     val modeConf = df.sparkSession.conf.getOption("graft.ppjoin.mode")
       .getOrElse("auto")
     val mode =
       if (modeConf != "auto") modeConf
       else if (!containment) "full"
       else {
-        val densityCut = df.sparkSession.conf
-          .getOption("graft.ppjoin.autoDensity").map(_.toDouble).getOrElse(64.0)
-        val nDocs = math.max(1L, docSets.count()) // forces the pin; reused below
-        val predRow = prefixes.join(dfreq, "s").agg(sum(col("__df"))).head()
-        val predicted = if (predRow.isNullAt(0)) 0L else predRow.getLong(0)
-        val density = predicted.toDouble / nDocs
-        val picked = if (density >= densityCut) "full" else "length"
-        if (df.sparkSession.conf.getOption("graft.ppjoin.verbose")
-            .exists(_.toBoolean))
-          System.err.println(f"[ppjoin] auto: predictedCandidates=$predicted " +
-            f"docs=$nDocs density=$density%.1f cut=$densityCut%.1f -> $picked")
-        picked
+        val cacheKey = {
+          val files = df.inputFiles
+          if (files.isEmpty) None
+          else Some((files.sorted.mkString(","), idCol, textCol, shingleK,
+            maxShingleFreq, threshold))
+        }
+        cacheKey.flatMap(k => Option(ppjoinArmCache.get(k))).getOrElse {
+          val densityCut = df.sparkSession.conf
+            .getOption("graft.ppjoin.autoDensity").map(_.toDouble).getOrElse(64.0)
+          val sampleMod = math.max(1, df.sparkSession.conf
+            .getOption("graft.ppjoin.probeSample").map(_.toInt).getOrElse(16))
+          val nDocs = math.max(1L, docSets.count()) // forces the pin; reused below
+          val predRow = prefixes
+            .filter(pmod(xxhash64(col("doc")), lit(sampleMod)) === 0)
+            .join(dfreq, "s").agg(sum(col("__df"))).head()
+          val predicted =
+            (if (predRow.isNullAt(0)) 0L else predRow.getLong(0)) * sampleMod
+          val density = predicted.toDouble / nDocs
+          val picked = if (density >= densityCut) "full" else "length"
+          if (df.sparkSession.conf.getOption("graft.ppjoin.verbose")
+              .exists(_.toBoolean))
+            System.err.println(f"[ppjoin] auto: predictedCandidates~$predicted " +
+              f"(sample 1/$sampleMod) docs=$nDocs density=$density%.1f " +
+              f"cut=$densityCut%.1f -> $picked")
+          if (ppjoinArmCache.size > 1000) ppjoinArmCache.clear()
+          cacheKey.foreach(k => ppjoinArmCache.put(k, picked))
+          picked
+        }
       }
     val positional = mode == "full"
     val lengthF = mode != "off"
