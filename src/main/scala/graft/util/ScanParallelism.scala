@@ -49,17 +49,50 @@ object ScanParallelism {
     } catch { case _: Exception => None }
   }
 
+  /** Total on-disk bytes of `files` (driver-side stat calls; callers
+    * only reach here with fewer than `defaultParallelism` files). None
+    * if any file can't be stat'd — treat as "don't spread".
+    */
+  private def totalBytes(df: DataFrame, files: Array[String]): Option[Long] =
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      var sum = 0L
+      files.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        sum += p.getFileSystem(conf).getFileStatus(p).getLen
+      }
+      Some(sum)
+    } catch { case _: Exception => None }
+
   /** Repartition `df` to `defaultParallelism` iff its parquet layout
-    * caps scan parallelism below half the cores. The check is pure
-    * metadata: ≤ `par` footers read on the driver (a table with ≥ par
-    * files short-circuits on the file count alone). Non-parquet or
+    * caps scan parallelism below half the cores AND the input is big
+    * enough for the trade to win. The check is pure metadata: ≤ `par`
+    * footers read on the driver (a table with ≥ par files
+    * short-circuits on the file count alone). Non-parquet or
     * unreadable inputs (in-memory test frames, post-shuffle plans with
     * no inputFiles) are left untouched.
+    *
+    * Size floor (`graft.spread.minBytes`, default 64 MB): a
+    * row-group-bound layout only costs real wall time when the fused
+    * kernel has enough rows to serialize — a 580 KB sf0.1 file runs
+    * its kernel in well under a second single-threaded, and the 32-way
+    * exchange the spread inserts costs MORE CPU than it saves
+    * (measured r12: suite process-CPU 298 → 499 CPU-s with no wall
+    * win, concentrated in sf0.1 queries whose inputs were a few
+    * hundred KB). At the sizes where the spread matters (sf1 minhash
+    * 9.26 → 5.28 s; sf10 PCA 98 → 10.3 s) the inputs are ≥ 50 MB, so
+    * a 64 MB floor keeps the wins and drops the misfires. At 100 TB
+    * any single-row-group file a writer produces is ≥ the floor by
+    * construction, so the guard still engages where it must.
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
     val files = df.inputFiles
     if (files.isEmpty || files.length >= par) return df
+    val floor = spark.conf.getOption("graft.spread.minBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    if (!totalBytes(df, files).exists(_ >= floor)) return df
     rowGroupCount(df, par) match {
       case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)
       case _ => df

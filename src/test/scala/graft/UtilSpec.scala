@@ -170,6 +170,11 @@ class UtilSpec extends SparkTestBase {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(org.apache.spark.sql.functions.col("embedding"))
     assert(ScanParallelism.rowGroupCount(emb, 1000).contains(1))
+    // default 64 MB size floor: a tiny file is left alone even though
+    // its layout is degenerate (the r12 CPU-doubling misfire)
+    assert(ScanParallelism.spreadIfNarrow(emb) eq emb,
+      "sub-floor input must not be spread")
+    spark.conf.set("graft.spread.minBytes", "0")
     val spread = ScanParallelism.spreadIfNarrow(emb)
     assert(spread.queryExecution.executedPlan.toString.contains("Exchange"),
       "single-row-group layout must gain a repartition")
@@ -185,5 +190,6 @@ class UtilSpec extends SparkTestBase {
     spark.range(par * 2L).repartition(par * 2).write.mode("overwrite").parquet(dir)
     val many = spark.read.parquet(dir)
     assert(ScanParallelism.spreadIfNarrow(many) eq many)
+    spark.conf.unset("graft.spread.minBytes")
   }
 }
