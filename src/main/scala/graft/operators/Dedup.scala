@@ -637,9 +637,20 @@ object Dedup {
   /** Memoized PPJoin arm decisions, keyed on (input files, params) —
     * see the "auto" branch in [[prefixFilteredIntersections]].
     * Warehouse parquet is immutable (staged rename-publish), so a
-    * dataset's density probe is a pay-once catalog statistic. */
-  private val ppjoinArmCache =
-    new java.util.concurrent.ConcurrentHashMap[Any, String]()
+    * dataset's density probe is a pay-once catalog statistic. Bounded
+    * LRU (access-order LinkedHashMap, capacity [[PpjoinMemoCapacity]]):
+    * a long-lived service planning against thousands of distinct
+    * datasets evicts only the coldest entry instead of dropping every
+    * cached probe at once. Driver-side, once per query plan — the
+    * synchronized wrapper is nowhere near any hot path. */
+  private[graft] val PpjoinMemoCapacity = 1000
+  private[graft] val ppjoinArmCache: java.util.Map[Any, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Any, String](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Any, String]): Boolean =
+          size() > PpjoinMemoCapacity
+      })
 
   /** AllPairs/PPJoin prefix-filtered candidate generation + exact
     * verification — same output contract as [[shingleIntersections]]
@@ -792,7 +803,6 @@ object Dedup {
             System.err.println(f"[ppjoin] auto: predictedCandidates~$predicted " +
               f"(sample 1/$sampleMod) docs=$nDocs density=$density%.1f " +
               f"cut=$densityCut%.1f -> $picked")
-          if (ppjoinArmCache.size > 1000) ppjoinArmCache.clear()
           cacheKey.foreach(k => ppjoinArmCache.put(k, picked))
           picked
         }

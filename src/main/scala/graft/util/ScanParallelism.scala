@@ -72,18 +72,25 @@ object ScanParallelism {
     * unreadable inputs (in-memory test frames, post-shuffle plans with
     * no inputFiles) are left untouched.
     *
-    * Size floor (`graft.spread.minBytes`, default 64 MB): a
+    * Size floor (`graft.spread.minBytes`, default 1 MiB): a
     * row-group-bound layout only costs real wall time when the fused
     * kernel has enough rows to serialize — a 580 KB sf0.1 file runs
     * its kernel in well under a second single-threaded, and the 32-way
     * exchange the spread inserts costs MORE CPU than it saves
     * (measured r12: suite process-CPU 298 → 499 CPU-s with no wall
-    * win, concentrated in sf0.1 queries whose inputs were a few
-    * hundred KB). At the sizes where the spread matters (sf1 minhash
-    * 9.26 → 5.28 s; sf10 PCA 98 → 10.3 s) the inputs are ≥ 50 MB, so
-    * a 64 MB floor keeps the wins and drops the misfires. At 100 TB
-    * any single-row-group file a writer produces is ≥ the floor by
-    * construction, so the guard still engages where it must.
+    * win, concentrated in sf0.1 queries whose inputs were 594–799 KB
+    * on disk). The documented wins start at sf1 (documents.parquet
+    * 1.75 MB: minhash 9.26 → 5.28 s) and grow through sf10
+    * (embeddings.parquet 52.06 MB: PCA 98 → 10.3 s), so the floor
+    * must sit BETWEEN 799 KB and 1.75 MB — 1 MiB keeps every measured
+    * win and drops every measured misfire. (The r13 default of
+    * 64 MiB was wrong at both ends: 52.06 MB < 64 MiB disabled the
+    * flagship sf10 win, and the sf1 wins are single-digit MB.) At
+    * 100 TB any single-row-group file a writer produces exceeds the
+    * floor by orders of magnitude, so the guard engages where it
+    * must. A malformed conf value falls back to the default rather
+    * than failing the scan (matching rowGroupCount/totalBytes, which
+    * also fail safe).
     */
   def spreadIfNarrow(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -91,7 +98,8 @@ object ScanParallelism {
     val files = df.inputFiles
     if (files.isEmpty || files.length >= par) return df
     val floor = spark.conf.getOption("graft.spread.minBytes")
-      .map(_.toLong).getOrElse(64L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(1L << 20)
     if (!totalBytes(df, files).exists(_ >= floor)) return df
     rowGroupCount(df, par) match {
       case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)

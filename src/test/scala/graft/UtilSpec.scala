@@ -170,26 +170,59 @@ class UtilSpec extends SparkTestBase {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
       .select(org.apache.spark.sql.functions.col("embedding"))
     assert(ScanParallelism.rowGroupCount(emb, 1000).contains(1))
-    // default 64 MB size floor: a tiny file is left alone even though
-    // its layout is degenerate (the r12 CPU-doubling misfire)
+    val embBytes = new java.io.File(
+      "/root/testdata/sf0.001/embeddings.parquet").length
+    // default 1 MiB size floor: the sf0.001 file is far below it, so
+    // its degenerate layout is left alone (the r12 CPU-doubling
+    // misfire inputs were 594-799 KB)
+    assert(embBytes < (1L << 20), "fixture must sit below the default floor")
     assert(ScanParallelism.spreadIfNarrow(emb) eq emb,
       "sub-floor input must not be spread")
-    spark.conf.set("graft.spread.minBytes", "0")
-    val spread = ScanParallelism.spreadIfNarrow(emb)
-    assert(spread.queryExecution.executedPlan.toString.contains("Exchange"),
-      "single-row-group layout must gain a repartition")
-    assert(spread.rdd.getNumPartitions == par)
-    assert(spread.count() == emb.count(), "spread must not change rows")
-    // an in-memory frame has no input files -> untouched plan
-    import spark.implicits._
-    val mem = Seq(1, 2, 3).toDF("x")
-    assert(ScanParallelism.spreadIfNarrow(mem) eq mem)
-    // a layout with >= par row groups is healthy -> untouched. Write
-    // one file per row via repartition to get many tiny row groups.
-    val dir = java.nio.file.Files.createTempDirectory("spread").toString
-    spark.range(par * 2L).repartition(par * 2).write.mode("overwrite").parquet(dir)
-    val many = spark.read.parquet(dir)
-    assert(ScanParallelism.spreadIfNarrow(many) eq many)
-    spark.conf.unset("graft.spread.minBytes")
+    try {
+      // positive path UNDER an explicit floor the fixture clears:
+      // just-above-floor single-row-group file must be spread...
+      spark.conf.set("graft.spread.minBytes", (embBytes - 1).toString)
+      val spread = ScanParallelism.spreadIfNarrow(emb)
+      assert(spread.queryExecution.executedPlan.toString.contains("Exchange"),
+        "single-row-group layout above the floor must gain a repartition")
+      assert(spread.rdd.getNumPartitions == par)
+      assert(spread.count() == emb.count(), "spread must not change rows")
+      // ...and a just-below-floor one must not
+      spark.conf.set("graft.spread.minBytes", (embBytes + 1).toString)
+      assert(ScanParallelism.spreadIfNarrow(emb) eq emb,
+        "just-below-floor input must not be spread")
+      // a malformed floor value falls back to the 1 MiB default (no
+      // throw out of query planning), under which the fixture is tiny
+      spark.conf.set("graft.spread.minBytes", "64m")
+      assert(ScanParallelism.spreadIfNarrow(emb) eq emb,
+        "malformed floor must fail safe to the default")
+      spark.conf.set("graft.spread.minBytes", "0")
+      // an in-memory frame has no input files -> untouched plan
+      import spark.implicits._
+      val mem = Seq(1, 2, 3).toDF("x")
+      assert(ScanParallelism.spreadIfNarrow(mem) eq mem)
+      // a layout with >= par row groups is healthy -> untouched. Write
+      // one file per row via repartition to get many tiny row groups.
+      val dir = java.nio.file.Files.createTempDirectory("spread").toString
+      spark.range(par * 2L).repartition(par * 2).write.mode("overwrite").parquet(dir)
+      val many = spark.read.parquet(dir)
+      assert(ScanParallelism.spreadIfNarrow(many) eq many)
+    } finally spark.conf.unset("graft.spread.minBytes")
+  }
+
+  test("PPJoin arm memo: bounded LRU evicts only the coldest entry") {
+    import graft.operators.Dedup
+    val memo = Dedup.ppjoinArmCache
+    val cap = Dedup.PpjoinMemoCapacity
+    memo.clear()
+    (0 until cap).foreach(i => memo.put(s"k$i", "full"))
+    assert(memo.size == cap)
+    memo.get("k0") // touch: k0 becomes most-recent, k1 is now eldest
+    memo.put("overflow", "length")
+    assert(memo.size == cap, "insert past capacity evicts exactly one")
+    assert(memo.containsKey("k0"), "recently-read entry survives")
+    assert(!memo.containsKey("k1"), "coldest entry is the one evicted")
+    assert(memo.containsKey("overflow"))
+    memo.clear()
   }
 }
