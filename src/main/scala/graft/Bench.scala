@@ -147,6 +147,14 @@ object Bench {
     // regression signal. Recording the load next to each wall number
     // lets the artifact falsify its own phantom regressions.
     val loadStart = osBean.getSystemLoadAverage
+    // SPARK_GRAFT_NOGC=1 skips the inter-run full GC — the A/B knob
+    // for the CPU-ledger question: a full GC compacts and UNCOMMITS
+    // heap, so the measured run of an allocation-heavy query re-pays
+    // page-fault + zeroing SYSTEM time for its whole working set, and
+    // getProcessCpuTime counts sys+user. Wall stabilizes (that is why
+    // the GC is here); cpu_sec inflates for exactly the byte-buffer
+    // family (mm_*, emb_*, ann_*). See BENCH_LOCAL Round 14.
+    val noGc = sys.env.contains("SPARK_GRAFT_NOGC")
     val results = names.map { n =>
       if (!cold) {
         materialize(n)
@@ -155,7 +163,7 @@ object Bench {
         // memory during the measured run (r7/sf3 note: 52 s isolated
         // vs 78 s with residue). unpersist(blocking=false) alone only
         // queues the release.
-        System.gc()
+        if (!noGc) System.gc()
       }
       val r = n -> materialize(n)
       (r, osBean.getSystemLoadAverage)

@@ -4,8 +4,7 @@ import graft.functions.TypeLattice
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types._
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
 /** Parquet-backed table catalog with the reference's additive-only
   * schema evolution (SURVEY §2A A5): every table is a directory of
@@ -18,34 +17,144 @@ import scala.jdk.CollectionConverters._
   * by-name parquet schema evolution), exactly matching the backend
   * behavior the reference relies on.
   *
+  * == Storage: Hadoop FileSystem throughout ==
+  *
+  * Every byte of catalog I/O — sidecars, staging, publish, compaction
+  * — goes through the Hadoop `FileSystem` API resolved from the root's
+  * scheme, so the SAME warehouse code runs on `file://` (tests, single
+  * box), HDFS, and object stores (`s3a://`, `gs://`) — matching the
+  * reference's blob-store reach (pkg/storage/blobstore/s3/s3.go). A
+  * schemeless root resolves against `fs.defaultFS`, exactly like any
+  * other Spark path. At 100 TB the warehouse IS the object store; a
+  * catalog built on `java.nio` (rounds ≤13) could never leave local
+  * disk.
+  *
+  * == Commit story where rename is not atomic ==
+  *
+  * Object stores give you ONE atomic primitive: single-object PUT
+  * (visible in full at close, never partially). Directory rename is a
+  * client-side copy+delete. The catalog therefore never relies on a
+  * multi-file rename for correctness:
+  *
+  *  - '''Table rewrites (compact/cluster) commit via a generation
+  *    pointer''', not a directory swap: the rewrite job writes a
+  *    complete new `data-<n+1>` directory, then commits by rewriting
+  *    the single `gen.json` object to name it — one atomic PUT. There
+  *    is NO window where the table resolves to a missing or
+  *    half-renamed directory (the rounds-≤13 rename-swap had one).
+  *    Old generations are deleted after the flip (readers mid-scan on
+  *    a pre-flip plan can race that delete — same caveat as every
+  *    non-snapshot warehouse; set `graft.warehouse.keepOldGen=true`
+  *    to retain the previous generation until the next rewrite).
+  *  - '''Appends publish per-file + a commit marker''': each staged
+  *    part file appears atomically under its final
+  *    `<key>-<n>.parquet` name (single-object rename on HDFS/file://,
+  *    copy+PUT on S3 — either way per-FILE atomic), then one
+  *    `commits/<key>.json` marker (atomic PUT) commits the batch as a
+  *    whole. A default `read` scans the directory — a reader racing a
+  *    multi-file publish can see a batch PREFIX (the reference's
+  *    backends are equally non-transactional per batch). Readers that
+  *    need batch-atomic visibility set
+  *    `graft.warehouse.strictCommits=true`: `read` then lists the data
+  *    files and keeps only (a) rewrite output (`part-*`, committed
+  *    atomically by the generation flip) and (b) append files whose
+  *    key has a published marker — a crash between file publish and
+  *    marker PUT leaves the partial batch invisible until the queue
+  *    redelivers and the idempotent republish completes it.
+  *
   * Scale: a table is a plain parquet dir — at warehouse scale the same
   * layout partitions/buckets by any column via `df.write.partitionBy`;
   * nothing here assumes a single file or a single node.
   */
 final class GraftCatalog(val spark: SparkSession, val root: String) {
 
-  private def tableDir(db: String, table: String): Path = Paths.get(root, db, table)
-  private def dataDir(db: String, table: String): Path = tableDir(db, table).resolve("data")
-  private def schemaFile(db: String, table: String): Path = tableDir(db, table).resolve("schema.json")
-  private def partitionFile(db: String, table: String): Path = tableDir(db, table).resolve("partition.json")
+  private val hconf = spark.sessionState.newHadoopConf()
+  private def fsOf(p: HPath): FileSystem = p.getFileSystem(hconf)
+
+  private def tableDir(db: String, table: String): HPath =
+    new HPath(new HPath(new HPath(root), db), table)
+  private def schemaFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "schema.json")
+  private def partitionFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "partition.json")
+  private def genFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "gen.json")
+  private def commitsDir(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "commits")
+
+  // ---- tiny FS helpers (driver-side metadata ops) ------------------
+
+  private def exists(p: HPath): Boolean = fsOf(p).exists(p)
+
+  /** Whole-object write. On object stores the PUT completes at close —
+    * readers see the old content or the new, never a prefix. This is
+    * the catalog's only commit primitive (see class doc). */
+  private def writeString(p: HPath, s: String): Unit = {
+    val out = fsOf(p).create(p, true)
+    try out.write(s.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Whole-object read with a bounded retry: on a checksummed local
+    * FS a reader can catch a sidecar mid-rewrite (create truncates,
+    * then writes — EOF/checksum for a few ms). Sidecar writes are
+    * small and serialized, so two short retries absorb the window;
+    * a genuinely corrupt object still fails after the third read. */
+  private def readString(p: HPath): String = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fsOf(p).open(p)
+        try return new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch {
+        case e @ (_: java.io.EOFException | _: org.apache.hadoop.fs.ChecksumException) =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          Thread.sleep(25L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Recursive .parquet listing (hive-partitioned layouts nest). */
+  private def parquetFiles(dir: HPath): Seq[HPath] = {
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) return Nil
+    val out = Seq.newBuilder[HPath]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet")) out += st.getPath
+    }
+    out.result()
+  }
+
+  /** `child`'s path relative to `base` ("" when equal) — Hadoop Path
+    * has no relativize; both sides are qualified through the same FS
+    * so the URI prefix strip is exact. */
+  private def relativeTo(base: HPath, child: HPath): String = {
+    val fs = fsOf(base)
+    fs.makeQualified(base).toUri.relativize(fs.makeQualified(child).toUri).getPath
+  }
 
   /** Seed column the reference creates every table with
     * (pkg/destinations/duckdb/insert.go:72-76). */
   val RowIdColumn = "__row_id"
 
-  def tableExists(db: String, table: String): Boolean = Files.exists(schemaFile(db, table))
+  def tableExists(db: String, table: String): Boolean = exists(schemaFile(db, table))
 
   def listTables(db: String): Seq[String] = {
-    val d = Paths.get(root, db)
-    if (!Files.exists(d)) Nil
-    else Files.list(d).iterator().asScala.filter(p => Files.exists(p.resolve("schema.json")))
-      .map(_.getFileName.toString).toSeq.sorted
+    val d = new HPath(new HPath(root), db)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Nil
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isDirectory && fs.exists(new HPath(st.getPath, "schema.json")))
+      .map(_.getPath.getName).sorted
   }
 
   /** CREATE TABLE IF NOT EXISTS with the __row_id seed column. */
   def ensureTable(db: String, table: String): Unit = synchronized {
     if (!tableExists(db, table)) {
-      Files.createDirectories(dataDir(db, table))
+      fsOf(tableDir(db, table)).mkdirs(dataDir(db, table))
       writeSchema(db, table, Vector(RowIdColumn -> TypeLattice.Int))
     }
   }
@@ -76,6 +185,28 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       StructField(n, TypeLattice.toSparkType(t), nullable = true)
     })
 
+  // ---- data generations (the rewrite commit point) -----------------
+
+  /** The table's CURRENT data directory: `data` until the first
+    * rewrite, then whatever generation `gen.json` names. Reading the
+    * pointer is one small GET per metadata op — noise next to any
+    * actual scan, and what makes the rewrite commit a single atomic
+    * object write. */
+  private def dataDir(db: String, table: String): HPath = {
+    import graft.functions.JValue, graft.functions.JValue._
+    val gf = genFile(db, table)
+    val name =
+      if (!exists(gf)) "data"
+      else JValue.parse(readString(gf)) match {
+        case o: JObj => o.get("dir").collect { case JStr(s) => s }.getOrElse("data")
+        case other => throw new IllegalStateException(s"bad gen sidecar: $other")
+      }
+    new HPath(tableDir(db, table), name)
+  }
+
+  private def genNumber(dirName: String): Int =
+    if (dirName == "data") 0 else dirName.stripPrefix("data-").toInt
+
   /** Hive-style directory partitioning for a table. Must be declared
     * while the table is still empty — the layout is fixed after the
     * first write (same rule as every warehouse). Partition columns
@@ -89,14 +220,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     require(cols.forall(have.contains),
       s"partition columns must exist in schema: ${cols.filterNot(have.contains)}")
     require(!hasData(db, table), "cannot re-partition a non-empty table")
-    Files.writeString(partitionFile(db, table),
-      cols.map(quote).mkString("[", ",", "]"))
+    writeString(partitionFile(db, table), cols.map(quote).mkString("[", ",", "]"))
   }
 
   def partitioningOf(db: String, table: String): Seq[String] = {
     import graft.functions.JValue, graft.functions.JValue._
-    if (!Files.exists(partitionFile(db, table))) Nil
-    else JValue.parse(Files.readString(partitionFile(db, table))) match {
+    if (!exists(partitionFile(db, table))) Nil
+    else JValue.parse(readString(partitionFile(db, table))) match {
       case JArr(items) => items.collect { case JStr(s) => s }
       case other => throw new IllegalStateException(s"bad partition sidecar: $other")
     }
@@ -104,8 +234,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   // ---- clustering (sort-order data skipping) ----------------------
 
-  private def clusterFile(db: String, table: String): Path =
-    tableDir(db, table).resolve("cluster.json")
+  private def clusterFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "cluster.json")
 
   /** Declare a clustering (sort) order for the table. Unlike
     * partitioning this is a LAYOUT property, not a path property — it
@@ -116,14 +246,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val have = readSchemaSeq(db, table).map(_._1).toSet
     require(cols.forall(have.contains),
       s"cluster columns must exist in schema: ${cols.filterNot(have.contains)}")
-    Files.writeString(clusterFile(db, table),
-      cols.map(quote).mkString("[", ",", "]"))
+    writeString(clusterFile(db, table), cols.map(quote).mkString("[", ",", "]"))
   }
 
   def clusteringOf(db: String, table: String): Seq[String] = {
     import graft.functions.JValue, graft.functions.JValue._
-    if (!Files.exists(clusterFile(db, table))) Nil
-    else JValue.parse(Files.readString(clusterFile(db, table))) match {
+    if (!exists(clusterFile(db, table))) Nil
+    else JValue.parse(readString(clusterFile(db, table))) match {
       case JArr(items) => items.collect { case JStr(s) => s }
       case other => throw new IllegalStateException(s"bad cluster sidecar: $other")
     }
@@ -138,10 +267,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * touching all of it, with zero layout knowledge in the query. The
     * sort itself is one distributed range-shuffle + per-partition
     * sort (`repartitionByRange` + `sortWithinPartitions`), never a
-    * global single-task sort. Same non-transactional dir-swap as
-    * [[compact]]. Returns (files before, files after). */
+    * global single-task sort. Commits via the generation pointer
+    * (class doc). Returns (files before, files after). */
   def cluster(db: String, table: String, sortCols: Seq[String] = Nil,
-              targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
     val cols0 = if (sortCols.nonEmpty) sortCols else clusteringOf(db, table)
     require(cols0.nonEmpty, "no cluster columns: pass sortCols or setClustering first")
     if (sortCols.nonEmpty) setClustering(db, table, sortCols)
@@ -150,13 +279,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   // ---- per-table ingest dedup policy ------------------------------
 
-  private def dedupFile(db: String, table: String): Path =
-    tableDir(db, table).resolve("dedup.json")
+  private def dedupFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "dedup.json")
 
   /** Where the table's dedup index lives: two raw parquet dirs (bands,
     * sigs) under the table dir — internal state, not user tables. */
-  def dedupIndexDir(db: String, table: String): Path =
-    tableDir(db, table).resolve("dedup_index")
+  def dedupIndexDir(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "dedup_index")
 
   def setDedupPolicy(db: String, table: String,
                      policy: GraftCatalog.DedupPolicy): Unit = synchronized {
@@ -174,15 +303,15 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         s"dedup index for $db.$table was built under $stored; new policy " +
           s"wants $want — clear or rebuild the index before changing the convention")
     }
-    Files.writeString(dedupFile(db, table),
+    writeString(dedupFile(db, table),
       s"""{"textCol":${quote(policy.textCol)},"mode":${quote(policy.mode)},""" +
         s""""threshold":${policy.threshold},""" + policy.params.json + "}")
   }
 
   def dedupPolicyOf(db: String, table: String): Option[GraftCatalog.DedupPolicy] = {
     import graft.functions.JValue, graft.functions.JValue._
-    if (!Files.exists(dedupFile(db, table))) None
-    else JValue.parse(Files.readString(dedupFile(db, table))) match {
+    if (!exists(dedupFile(db, table))) None
+    else JValue.parse(readString(dedupFile(db, table))) match {
       case o: JObj =>
         Some(GraftCatalog.DedupPolicy(
           o.get("textCol").collect { case JStr(s) => s }.get,
@@ -201,19 +330,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * [[GraftCatalog.DedupParams]] defaults. */
   def storedIndexParams(db: String, table: String): Option[GraftCatalog.DedupParams] = {
     import graft.functions.JValue, graft.functions.JValue._
-    val f = dedupIndexDir(db, table).resolve("params.json")
-    if (Files.exists(f)) JValue.parse(Files.readString(f)) match {
+    val f = new HPath(dedupIndexDir(db, table), "params.json")
+    if (exists(f)) JValue.parse(readString(f)) match {
       case o: JObj => Some(GraftCatalog.DedupParams.fromJson(o))
       case other => throw new IllegalStateException(s"bad index params sidecar: $other")
     }
-    else if (Files.exists(dedupIndexDir(db, table).resolve("bands")))
+    else if (exists(new HPath(dedupIndexDir(db, table), "bands")))
       Some(GraftCatalog.DedupParams()) // legacy index: defaults by construction
     else None
   }
 
-  /** Append a batch: project to catalog columns (missing → NULL), cast
-    * to catalog types, write parquet part-files (Hive-layout when the
-    * table declares partitioning). */
   /** Append via a per-call staging directory + rename publish.
     *
     * A plain `mode("append")` into the shared data dir is unsafe under
@@ -228,13 +354,23 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     *
     * Each call therefore writes (mode=overwrite) into its own
     * `.stage/<key>` directory — committer isolation — then renames the
-    * part files into `data/` as `<key>-<n>.parquet` (partition subdirs
-    * preserved). With the default random key, concurrent appends can
-    * never collide. Queue-driven callers pass their QUEUE JOB ID as
-    * `jobKey`: the publish step first deletes any `<key>-*` files an
-    * earlier attempt of the same job landed, so an at-least-once
-    * redelivery converges to exactly-once publication instead of
-    * duplicating rows. */
+    * part files into the current data generation as
+    * `<key>-<n>.parquet` (partition subdirs preserved) and commits the
+    * batch with a `commits/<key>.json` marker (see class doc). With
+    * the default random key, concurrent appends can never collide.
+    * Queue-driven callers pass their QUEUE JOB ID as `jobKey`: the
+    * publish step first deletes any `<key>-*` files an earlier attempt
+    * of the same job landed, so an at-least-once redelivery converges
+    * to exactly-once publication instead of duplicating rows.
+    *
+    * The Spark write job runs unsynchronized (concurrent loads are the
+    * point); only the driver-side publish takes the per-table lock, so
+    * a publish can never interleave with a [[compact]]/[[cluster]]
+    * rewrite IN THIS DRIVER — the publish resolves the generation
+    * under the lock and lands in whichever generation is current
+    * after any concurrent rewrite commits. Cross-driver, serialize
+    * rewrites against ingest through the control-plane queue (same
+    * rule as the reference's backends). */
   def append(db: String, table: String, df: DataFrame,
              jobKey: Option[String] = None): Unit = {
     val target = structOf(db, table)
@@ -250,77 +386,108 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         md.digest(k.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
       case None => java.util.UUID.randomUUID().toString.replace("-", "")
     }
-    val stage = tableDir(db, table).resolve(".stage").resolve(key)
+    val stage = new HPath(new HPath(tableDir(db, table), ".stage"), key)
     val w = projected.write.mode("overwrite")
     val parts = partitioningOf(db, table)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
       .parquet(stage.toString)
-    publishStage(stage, dataDir(db, table), key)
+    lockFor(db, table).synchronized {
+      publishStage(stage, dataDir(db, table), db, table, key)
+    }
   }
 
   /** Rename-publish a staged write into the data dir (see [[append]]):
-    * idempotent per key — a previous attempt's published files are
-    * removed first, then the staged part files move in under
-    * deterministic `<key>-<n>.parquet` names. Local-FS renames, no
-    * data copy. */
-  private def publishStage(stage: Path, data: Path, key: String): Unit = {
-    Files.createDirectories(data)
+    * idempotent per key — the previous attempt's marker and published
+    * files are removed first, then the staged part files move in under
+    * deterministic `<key>-<n>.parquet` names (each move is per-FILE
+    * atomic: rename on HDFS/file://, copy+PUT on object stores), and
+    * the batch COMMITS with one atomic marker write. Crash anywhere
+    * before the marker → strict readers never saw the batch and the
+    * redelivered job republishes from scratch. */
+  private def publishStage(stage: HPath, data: HPath, db: String,
+                           table: String, key: String): Unit = {
+    val fs = fsOf(data)
+    fs.mkdirs(data)
+    val marker = new HPath(commitsDir(db, table), s"$key.json")
+    fs.delete(marker, false) // retry: uncommit before touching files
     val prefix = key + "-"
-    val prior = Files.walk(data)
-    try prior.iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith(prefix)).toList
-      .foreach(Files.delete)
-    finally prior.close()
-    val walk = Files.walk(stage)
-    val staged =
-      try walk.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".parquet")).toList
-        .sortBy(_.toString)
-      finally walk.close()
-    staged.zipWithIndex.foreach { case (src, i) =>
-      val destDir = data.resolve(stage.relativize(src.getParent))
-      Files.createDirectories(destDir)
-      Files.move(src, destDir.resolve(s"$key-$i.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    parquetFiles(data).filter(_.getName.startsWith(prefix))
+      .foreach(p => fs.delete(p, false))
+    val staged = parquetFiles(stage).sortBy(_.toString)
+    val published = staged.zipWithIndex.map { case (src, i) =>
+      val rel = relativeTo(stage, src.getParent)
+      val destDir = if (rel.isEmpty) data else new HPath(data, rel)
+      fs.mkdirs(destDir)
+      val dest = new HPath(destDir, s"$key-$i.parquet")
+      fs.delete(dest, false)
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"publish rename failed: $src -> $dest")
+      relativeTo(data, dest)
     }
+    fs.mkdirs(commitsDir(db, table))
+    writeString(marker,
+      published.map(quote).mkString("""{"files":[""", ",", "]}"))
     // best-effort staging cleanup (stray _SUCCESS/_temporary markers)
-    val rm = Files.walk(stage)
-    try rm.iterator().asScala.toList.reverse.foreach(p =>
-      try Files.deleteIfExists(p) catch { case _: Exception => () })
-    finally rm.close()
+    try fs.delete(stage, true) catch { case _: Exception => () }
   }
 
-  private def hasData(db: String, table: String): Boolean = {
-    val dir = dataDir(db, table)
-    Files.exists(dir) && {
-      val walk = Files.walk(dir)
-      try walk.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
-      finally walk.close()
-    }
+  private def hasData(db: String, table: String): Boolean =
+    parquetFiles(dataDir(db, table)).nonEmpty
+
+  /** The batch keys with a published commit marker. */
+  def committedKeys(db: String, table: String): Set[String] = {
+    val d = commitsDir(db, table)
+    val fs = fsOf(d)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).iterator
+      .map(_.getPath.getName).filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json")).toSet
   }
 
   /** Read the table under its full sidecar schema (partition columns
-    * resolve from the directory layout by name). */
+    * resolve from the directory layout by name).
+    *
+    * Default: scan the current data generation — cheapest plan, but a
+    * reader racing a multi-file append can see a batch prefix. With
+    * `graft.warehouse.strictCommits=true` the read is batch-atomic:
+    * rewrite output (`part-*`, committed wholesale by the generation
+    * flip) plus only marker-committed append batches. */
   def read(db: String, table: String): DataFrame = {
     val struct = structOf(db, table)
-    if (hasData(db, table))
-      spark.read.schema(struct).parquet(dataDir(db, table).toString)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+    val data = dataDir(db, table)
+    val strict = spark.conf.getOption("graft.warehouse.strictCommits")
+      .exists(_.equalsIgnoreCase("true"))
+    val files =
+      if (!strict) if (hasData(db, table)) Seq(data.toString) else Nil
+      else {
+        val committed = committedKeys(db, table)
+        // append batches publish as <32-hex-key>-<n>.parquet; anything
+        // else in the generation came from a rewrite job and was
+        // committed atomically by the gen.json flip
+        val KeyedName = "([0-9a-f]{32})-\\d+\\.parquet".r
+        parquetFiles(data).filter { p =>
+          p.getName match {
+            case KeyedName(k) => committed.contains(k)
+            case _ => true
+          }
+        }.map(_.toString)
+      }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
+    else
+      spark.read.schema(struct).option("basePath", data.toString)
+        .parquet(files: _*)
   }
 
   /** Small-file compaction (maintenance op). The rotation-based ingest
     * path writes one parquet part per NDJSON batch — at warehouse scale
     * that accretes tiny files until scan PLANNING (listing + footer
     * reads) dominates query time. One distributed job rewrites the
-    * data dir into ~targetFileBytes parts, then swaps directories via
-    * the Hadoop FS client (same code path on file://, s3a://, gs://).
-    *
-    * Not transactional, like the reference's backends: a reader racing
-    * the two renames can transiently miss the table; serialize
-    * compactions through the control-plane job queue in deployments.
-    * Returns (files before, files after). */
+    * data into a NEW generation directory, then commits it with one
+    * atomic `gen.json` write (class doc) — no rename window on any
+    * store. Returns (files before, files after). */
   def compact(db: String, table: String,
-              targetFileBytes: Long = 128L << 20): (Int, Int) = synchronized {
+              targetFileBytes: Long = 128L << 20): (Int, Int) = {
     // a compaction of a clustered table must not destroy its sort
     // order — route through the same rewrite with the stored columns
     val cl = clusteringOf(db, table)
@@ -329,58 +496,66 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   /** Shared rewrite behind [[compact]] and [[cluster]]: one
     * distributed job into ~targetFileBytes parts (range-sorted when
-    * clusterCols is set), then the dir swap. */
+    * clusterCols is set) in a fresh generation dir, then the atomic
+    * pointer flip. Holds the per-table lock for the whole rewrite so
+    * no publish in this driver can land in the old generation after
+    * the rewrite job has planned its input (such rows would vanish
+    * with the old generation's cleanup). */
   private def rewriteData(db: String, table: String, targetFileBytes: Long,
-                          clusterCols: Option[Seq[String]]): (Int, Int) = {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val conf = spark.sparkContext.hadoopConfiguration
-    val dataPath = new HPath(dataDir(db, table).toString)
-    val fs = dataPath.getFileSystem(conf)
-    if (!fs.exists(dataPath)) return (0, 0)
-    def parquetParts(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val out = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
-      val it = fs.listFiles(p, true) // recursive: partitioned layouts nest
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) out += st
+                          clusterCols: Option[Seq[String]]): (Int, Int) =
+    lockFor(db, table).synchronized {
+      val tdir = tableDir(db, table)
+      val fs = fsOf(tdir)
+      val cur = dataDir(db, table)
+      val parts = parquetFiles(cur)
+      if (parts.isEmpty) return (0, 0)
+      if (parts.length <= 1 && clusterCols.isEmpty) return (parts.length, parts.length)
+      val totalBytes = parts.map(p => fs.getFileStatus(p).getLen).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+      val nextName = s"data-${genNumber(cur.getName) + 1}"
+      val next = new HPath(tdir, nextName)
+      fs.delete(next, true)
+      val partCols = partitioningOf(db, table)
+      val rewrite = (clusterCols, partCols) match {
+        // clustered: disjoint key ranges per file, rows sorted inside —
+        // row-group min/max stats become selective
+        case (Some(cc), pc) if pc.isEmpty =>
+          read(db, table).repartitionByRange(nOut, cc.map(col): _*)
+            .sortWithinPartitions(cc.map(col): _*)
+            .write.mode("overwrite")
+        case (Some(cc), pc) =>
+          // hive-partitioned AND clustered: cluster within partition dirs
+          read(db, table).repartitionByRange(nOut, (pc ++ cc).map(col): _*)
+            .sortWithinPartitions((pc ++ cc).map(col): _*)
+            .write.mode("overwrite").partitionBy(pc: _*)
+        // partitioned: shuffle rows to their partition dirs so each dir
+        // compacts to ~one part; flat: straight repartition(nOut)
+        case (None, pc) if pc.nonEmpty =>
+          read(db, table).repartition(nOut, pc.map(col): _*)
+            .write.mode("overwrite").partitionBy(pc: _*)
+        case _ =>
+          read(db, table).repartition(nOut).write.mode("overwrite")
       }
-      out.result()
+      rewrite.parquet(next.toString)
+      // COMMIT: one atomic object write flips every future read to the
+      // new generation
+      writeString(genFile(db, table), s"""{"dir":${quote(nextName)}}""")
+      // the rewrite output is committed by the flip; the old
+      // generation's per-batch markers no longer describe live files
+      val cd = commitsDir(db, table)
+      if (fs.exists(cd)) fs.listStatus(cd).foreach(st => fs.delete(st.getPath, false))
+      val keepOld = spark.conf.getOption("graft.warehouse.keepOldGen")
+        .exists(_.equalsIgnoreCase("true"))
+      if (!keepOld) fs.delete(cur, true)
+      // older grace generations from previous keepOldGen runs
+      val GenName = "data(-\\d+)?".r
+      fs.listStatus(tdir).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory && GenName.matches(n) && n != nextName && n != cur.getName)
+          fs.delete(st.getPath, true)
+      }
+      (parts.length, parquetFiles(next).length)
     }
-    val parts = parquetParts(dataPath)
-    if (parts.isEmpty) return (0, 0)
-    if (parts.length <= 1 && clusterCols.isEmpty) return (parts.length, parts.length)
-    val totalBytes = parts.map(_.getLen).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new HPath(tableDir(db, table).resolve("data.compacting").toString)
-    val old = new HPath(tableDir(db, table).resolve("data.old").toString)
-    fs.delete(tmp, true); fs.delete(old, true)
-    val partCols = partitioningOf(db, table)
-    val rewrite = (clusterCols, partCols) match {
-      // clustered: disjoint key ranges per file, rows sorted inside —
-      // row-group min/max stats become selective
-      case (Some(cc), pc) if pc.isEmpty =>
-        read(db, table).repartitionByRange(nOut, cc.map(col): _*)
-          .sortWithinPartitions(cc.map(col): _*)
-          .write.mode("overwrite")
-      case (Some(cc), pc) =>
-        // hive-partitioned AND clustered: cluster within partition dirs
-        read(db, table).repartitionByRange(nOut, (pc ++ cc).map(col): _*)
-          .sortWithinPartitions((pc ++ cc).map(col): _*)
-          .write.mode("overwrite").partitionBy(pc: _*)
-      // partitioned: shuffle rows to their partition dirs so each dir
-      // compacts to ~one part; flat: straight repartition(nOut)
-      case (None, pc) if pc.nonEmpty =>
-        read(db, table).repartition(nOut, pc.map(col): _*)
-          .write.mode("overwrite").partitionBy(pc: _*)
-      case _ =>
-        read(db, table).repartition(nOut).write.mode("overwrite")
-    }
-    rewrite.parquet(tmp.toString)
-    fs.rename(dataPath, old)
-    fs.rename(tmp, dataPath)
-    fs.delete(old, true)
-    (parts.length, parquetParts(dataPath).length)
-  }
 
   /** Append honoring the table's [[GraftCatalog.DedupPolicy]] — the
     * ONE policy-aware entry shared by every ingest surface (HTTP batch
@@ -491,8 +666,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
     val batch = stamped.transform(graft.util.Checkpoints.pin)
     val dir = dedupIndexDir(db, table)
-    val (bandsPath, sigsPath) = (dir.resolve("bands"), dir.resolve("sigs"))
-    val haveIndex = Files.exists(bandsPath)
+    val (bandsPath, sigsPath) = (new HPath(dir, "bands"), new HPath(dir, "sigs"))
+    val haveIndex = exists(bandsPath)
     // refuse a probe under a convention the index was not built with:
     // cross-kernel signatures share no buckets, so the mismatch would
     // not error — it would pass EVERY duplicate as novel
@@ -560,9 +735,9 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     survivorIndex.sigs.write.mode("append").parquet(sigsPath.toString)
     // record the convention the index is built under, once, so every
     // future probe (and setDedupPolicy) can verify against it
-    val paramsFile = dir.resolve("params.json")
-    if (!Files.exists(paramsFile))
-      Files.writeString(paramsFile, "{" + pr.json + "}")
+    val paramsFile = new HPath(dir, "params.json")
+    if (!exists(paramsFile))
+      writeString(paramsFile, "{" + pr.json + "}")
     appended
   }
 
@@ -592,8 +767,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       else df.withColumn(idCol, graft.functions.NativeExpressions.snowflake_id())
     val batch = stamped.transform(graft.util.Checkpoints.pin)
     val dir = dedupIndexDir(db, table)
-    val (vecsPath, centsPath) = (dir.resolve("vecs"), dir.resolve("centroids"))
-    val haveIndex = Files.exists(centsPath)
+    val (vecsPath, centsPath) = (new HPath(dir, "vecs"), new HPath(dir, "centroids"))
+    val haveIndex = exists(centsPath)
     storedIndexParams(db, table).foreach { stored =>
       if (stored != policy.params) throw new IllegalStateException(
         s"dedup index for $db.$table was built under $stored but the policy " +
@@ -668,7 +843,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     survivorVecs.write.mode("append").parquet(vecsPath.toString)
     if (!haveIndex) {
       cents.write.mode("overwrite").parquet(centsPath.toString)
-      Files.writeString(dir.resolve("params.json"), "{" + policy.params.json + "}")
+      writeString(new HPath(dir, "params.json"), "{" + policy.params.json + "}")
     }
     appended
   }
@@ -681,16 +856,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * index dirs. Takes the same per-(db, table) lock as
     * [[appendWithPolicy]]'s dedup path, so an ingesting batch can
     * never race the non-atomic dir swap (during the rename window the
-    * index transiently looks absent and a probe would be skipped).
+    * index transiently looks absent and a probe would be skipped —
+    * which is exactly why this swap stays lock-serialized rather than
+    * gen-pointer-committed: no reader ever sees it unlocked).
     * Returns (files before, files after) summed over both dirs. */
   def compactDedupIndex(db: String, table: String,
                         targetFileBytes: Long = 128L << 20): (Int, Int) = withTableLease(db, table) {
-    import org.apache.hadoop.fs.{Path => HPath}
-    val conf = spark.sparkContext.hadoopConfiguration
     var (before, after) = (0, 0)
     for (part <- Seq("bands", "sigs")) {
-      val dir = new HPath(dedupIndexDir(db, table).resolve(part).toString)
-      val fs = dir.getFileSystem(conf)
+      val dir = new HPath(dedupIndexDir(db, table), part)
+      val fs = fsOf(dir)
       if (fs.exists(dir)) {
         def parts(p: HPath): Int = {
           var n = 0
@@ -709,8 +884,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
             s
           }
           val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-          val tmp = new HPath(dedupIndexDir(db, table).resolve(s"$part.compacting").toString)
-          val old = new HPath(dedupIndexDir(db, table).resolve(s"$part.old").toString)
+          val tmp = new HPath(dedupIndexDir(db, table), s"$part.compacting")
+          val old = new HPath(dedupIndexDir(db, table), s"$part.old")
           fs.delete(tmp, true); fs.delete(old, true)
           spark.read.parquet(dir.toString).repartition(nOut)
             .write.mode("overwrite").parquet(tmp.toString)
@@ -735,13 +910,13 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val json = cols.map { case (n, t) =>
       s"""{"name":${quote(n)},"type":${quote(t)}}"""
     }.mkString("[", ",", "]")
-    Files.writeString(schemaFile(db, table), json)
+    writeString(schemaFile(db, table), json)
   }
 
   private def readSchemaSeq(db: String, table: String): Vector[(String, String)] = {
     import graft.functions.JValue, graft.functions.JValue._
     if (!tableExists(db, table)) return Vector.empty
-    JValue.parse(Files.readString(schemaFile(db, table))) match {
+    JValue.parse(readString(schemaFile(db, table))) match {
       case JArr(items) => items.map {
         case o: JObj =>
           val n = o.get("name").collect { case JStr(s) => s }.get

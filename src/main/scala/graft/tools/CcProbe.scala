@@ -86,6 +86,27 @@ object CcProbe {
         val fpStar = fingerprint(star._1)
         println(s"[probe] star fp=$fpStar equal=${fpStar == fpD}")
       }
+      if (args.contains("--multiround")) {
+        // The billion-edge-regime shape: the driver limit sits far
+        // BELOW what one contraction round reaches (a star forest
+        // floors at nodes − components edges), so the loop must run
+        // round 2+, hit the <10%/round stall detector, and fall
+        // through to the alternating-star loop ON the contracted list
+        // — the one production path no prior probe has observed.
+        // Forced here by dialing the limit under the forest floor.
+        spark.conf.set("graft.cc.localEdgeLimit", "2000000")
+        spark.conf.set("graft.cc.contractRounds", "5")
+        val multi = time("multi-round contraction -> stall -> star loop") {
+          val r = graft.operators.Dedup.connectedComponents(edges, "u", "v")
+            .localCheckpoint()
+          (r, r.count())
+        }
+        val fpM = fingerprint(multi._1)
+        println(s"[probe] multiround fp=$fpM equal=${fpM == fpD}")
+        require(fpM == fpD, "multi-round + star fallback diverged from driver union-find")
+        spark.conf.unset("graft.cc.localEdgeLimit")
+        spark.conf.unset("graft.cc.contractRounds")
+      }
       spark.stop(); return
     }
 

@@ -111,7 +111,7 @@ class GraftServerSpec extends SparkTestBase {
       assert(link.body() == """[{"n":1}]""", link.body())
 
       // the index holds the two survivors only — the re-ingest never joined
-      val bandsDir = srv.catalog.dedupIndexDir("default", "docs_dedup").resolve("bands")
+      val bandsDir = new org.apache.hadoop.fs.Path(srv.catalog.dedupIndexDir("default", "docs_dedup"), "bands")
       val bands = spark.read.parquet(bandsDir.toString)
       assert(bands.select("doc").distinct().count() == 2,
         "index grows once per distinct document")
@@ -183,11 +183,17 @@ class GraftServerSpec extends SparkTestBase {
 
       // a mismatched probe (sidecar tampered behind the API) fails
       // LOUDLY instead of passing every duplicate as novel
-      val pf = srv.catalog.dedupIndexDir("default", "docs_conv").getParent
-        .resolve("dedup.json")
-      Files.writeString(pf,
-        """{"textCol":"text","mode":"tag","threshold":0.7,"shingleK":5,""" +
-          """"numHashes":128,"bands":32,"seed":42,"useMd5":false,"oph":true}""")
+      // tamper through the Hadoop FS the catalog reads with (a raw
+      // nio write would leave the checksum sidecar stale)
+      val pf = new org.apache.hadoop.fs.Path(
+        srv.catalog.dedupIndexDir("default", "docs_conv").getParent,
+        "dedup.json")
+      val pfs = pf.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = pfs.create(pf, true)
+      out.write(("""{"textCol":"text","mode":"tag","threshold":0.7,"shingleK":5,""" +
+        """"numHashes":128,"bands":32,"seed":42,"useMd5":false,"oph":true}""")
+        .getBytes("UTF-8"))
+      out.close()
       val batch = Seq((s"$shared ending three", "third")).toDF("text", "tag")
       val err = intercept[IllegalStateException] {
         srv.catalog.appendWithPolicy("default", "docs_conv", batch)
@@ -277,7 +283,7 @@ class GraftServerSpec extends SparkTestBase {
       assert(link.body() == """[{"n":1}]""", link.body())
       // survivors only in the vec index; params record the method
       val vecs = spark.read.parquet(
-        srv.catalog.dedupIndexDir("default", "docs_sem").resolve("vecs").toString)
+        new org.apache.hadoop.fs.Path(srv.catalog.dedupIndexDir("default", "docs_sem"), "vecs").toString)
       assert(vecs.select("doc").distinct().count() == 2,
         "index grows once per distinct meaning")
       assert(srv.catalog.storedIndexParams("default", "docs_sem")
@@ -323,7 +329,7 @@ class GraftServerSpec extends SparkTestBase {
       assert(rows == Map("http-first" -> false, "stream-second" -> true,
         "http-third" -> true), s"identical verdicts across paths: $rows")
       val bands = spark.read.parquet(
-        srv.catalog.dedupIndexDir("default", "docs_parity").resolve("bands").toString)
+        new org.apache.hadoop.fs.Path(srv.catalog.dedupIndexDir("default", "docs_parity"), "bands").toString)
       assert(bands.select("doc").distinct().count() == 1,
         "index grows once across both ingest paths")
     } finally srv.stop()
@@ -354,7 +360,7 @@ class GraftServerSpec extends SparkTestBase {
       assert(link.body() == """[{"n":1}]""", link.body())
       // only the two survivors joined the index
       val bands = spark.read.parquet(
-        srv.catalog.dedupIndexDir("default", "docs_inbatch").resolve("bands").toString)
+        new org.apache.hadoop.fs.Path(srv.catalog.dedupIndexDir("default", "docs_inbatch"), "bands").toString)
       assert(bands.select("doc").distinct().count() == 2)
     } finally srv.stop()
   }

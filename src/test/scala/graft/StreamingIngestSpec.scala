@@ -118,7 +118,7 @@ class StreamingIngestSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
     assert(rows == Map("first" -> false, "second" -> true), s"got $rows")
     val bands = spark.read.parquet(
-      catalog.dedupIndexDir("db", "sdocs").resolve("bands").toString)
+      new org.apache.hadoop.fs.Path(catalog.dedupIndexDir("db", "sdocs"), "bands").toString)
     assert(bands.select("doc").distinct().count() == 1,
       "only the survivor joins the index")
   }
