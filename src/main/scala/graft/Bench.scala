@@ -147,23 +147,25 @@ object Bench {
     // regression signal. Recording the load next to each wall number
     // lets the artifact falsify its own phantom regressions.
     val loadStart = osBean.getSystemLoadAverage
-    // SPARK_GRAFT_NOGC=1 skips the inter-run full GC — the A/B knob
-    // for the CPU-ledger question: a full GC compacts and UNCOMMITS
-    // heap, so the measured run of an allocation-heavy query re-pays
-    // page-fault + zeroing SYSTEM time for its whole working set, and
-    // getProcessCpuTime counts sys+user. Wall stabilizes (that is why
-    // the GC is here); cpu_sec inflates for exactly the byte-buffer
-    // family (mm_*, emb_*, ann_*). See BENCH_LOCAL Round 14.
-    val noGc = sys.env.contains("SPARK_GRAFT_NOGC")
+    // NO inter-run full GC by default (r14 protocol). The r12 protocol
+    // ran System.gc() between the warm and measured passes; a full GC
+    // compacts and UNCOMMITS heap, so the measured run of an
+    // allocation-heavy query re-paid page-fault + zeroing SYSTEM time
+    // for its whole working set — and getProcessCpuTime counts
+    // sys+user, so cpu_sec (the project's cross-session regression
+    // signal) inflated ~25% on identical code: full-suite sf0.1 A/B
+    // measured 376.4 CPU-s / 102.9 s wall WITH the GC vs 288.9 CPU-s /
+    // 84.1 s wall without — the r12→r13 "+88 CPU-s unexplained drift"
+    // exactly, concentrated in the byte-buffer family (mm_*, emb_*,
+    // ann_*, dedup_semantic) with in-window gcSec ≈ 0 both ways. The
+    // GC's original job (dropping warm-pass residue) is done by the
+    // blocking unpersist in materialize's finally; SPARK_GRAFT_FORCEGC
+    // restores the r12/r13 protocol for A/B. See BENCH_LOCAL Round 14.
+    val forceGc = sys.env.contains("SPARK_GRAFT_FORCEGC")
     val results = names.map { n =>
       if (!cold) {
         materialize(n)
-        // Full GC between the warm and measured run: the warm pass's
-        // shuffle/broadcast/codegen residue otherwise occupies unified
-        // memory during the measured run (r7/sf3 note: 52 s isolated
-        // vs 78 s with residue). unpersist(blocking=false) alone only
-        // queues the release.
-        if (!noGc) System.gc()
+        if (forceGc) System.gc()
       }
       val r = n -> materialize(n)
       (r, osBean.getSystemLoadAverage)
