@@ -52,7 +52,7 @@ object CcProbe {
       val chains = spark.range(1, nCliques).toDF("c")
         .filter(pmod(col("c"), lit(100)) =!= 0)
         .select((col("c") * k).as("u"), ((col("c") - 1) * k).as("v"))
-      val edges = cliqueEdges.unionByName(chains).localCheckpoint()
+      val edges = graft.util.Checkpoints.pin(cliqueEdges.unionByName(chains))
       val n = edges.count()
       println(s"[probe] synthetic edges=$n cliques=$nCliques nodes=${nCliques * k} pinned")
 
@@ -60,8 +60,8 @@ object CcProbe {
       // driver limit, node count is under it — one forest round lands
       spark.conf.set("graft.cc.verbose", "true")
       val sharded = time("sharded contraction arm") {
-        val r = graft.operators.Dedup.connectedComponents(edges, "u", "v")
-          .localCheckpoint()
+        val r = graft.util.Checkpoints.pin(
+          graft.operators.Dedup.connectedComponents(edges, "u", "v"))
         (r, r.count())
       }
       println(s"[probe] sharded rows=${sharded._2}")
@@ -69,8 +69,8 @@ object CcProbe {
       spark.conf.set("graft.cc.contractRounds", "0")
       spark.conf.set("graft.cc.localEdgeLimit", (n + 1).toString)
       val direct = time("direct driver union-find (raised limit)") {
-        val r = graft.operators.Dedup.connectedComponents(edges, "u", "v")
-          .localCheckpoint()
+        val r = graft.util.Checkpoints.pin(
+          graft.operators.Dedup.connectedComponents(edges, "u", "v"))
         (r, r.count())
       }
       val fpS = fingerprint(sharded._1); val fpD = fingerprint(direct._1)

@@ -1,6 +1,7 @@
 package graft.util
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** The one checkpoint seam for every operator that PINS a
   * nondeterministic intermediate — sampled range boundaries
@@ -17,6 +18,17 @@ import org.apache.spark.sql.DataFrame
   * pinned values after any executor loss. The location comes from
   * `graft.checkpoint.dir` (HDFS/object storage) when the
   * SparkContext has none set. One switch, all call sites.
+  *
+  * Local pins store SERIALIZED (`MEMORY_AND_DISK_SER`), not Spark's
+  * `localCheckpoint` default of deserialized rows: a pinned edge list
+  * is UnsafeRows, which serialize as a flat byte copy, and the
+  * deserialized form costs ~6× the heap (object header + byte[]
+  * header + padding per row on top of 16 B of payload). Measured at
+  * the 300M-edge contraction probe: two deserialized 300M-row pins
+  * (the probe's input pin + the canonical-edges pin inside
+  * connectedComponents) OOM'd an 80 GB heap; serialized they fit in
+  * ~10 GB combined. `graft.checkpoint.storage` overrides (any
+  * `StorageLevel.fromString` name) for A/B.
   */
 object Checkpoints {
 
@@ -29,8 +41,13 @@ object Checkpoints {
         ss.conf.getOption("graft.checkpoint.dir")
           .foreach(ss.sparkContext.setCheckpointDir)
       df.checkpoint(eager)
-    } else df.localCheckpoint(eager)
+    } else df.localCheckpoint(eager, localStorage(ss))
   }
+
+  private def localStorage(ss: org.apache.spark.sql.SparkSession): StorageLevel =
+    ss.conf.getOption("graft.checkpoint.storage")
+      .flatMap(v => scala.util.Try(StorageLevel.fromString(v.trim)).toOption)
+      .getOrElse(StorageLevel.MEMORY_AND_DISK_SER)
 
   /** Lazy variant for lineage caps inside iterative loops. */
   def pinLazy(df: DataFrame): DataFrame = pin(df, eager = false)
