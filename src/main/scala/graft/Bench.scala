@@ -161,7 +161,21 @@ object Bench {
     // GC's original job (dropping warm-pass residue) is done by the
     // blocking unpersist in materialize's finally; SPARK_GRAFT_FORCEGC
     // restores the r12/r13 protocol for A/B. See BENCH_LOCAL Round 14.
-    val forceGc = sys.env.contains("SPARK_GRAFT_FORCEGC")
+    //
+    // EXCEPT in multi-executor mode, where the GC defaults ON: shuffle
+    // files and broadcast blocks on the executors are released only
+    // when the DRIVER's ContextCleaner processes their weak refs —
+    // i.e. on driver GC — and a 16 GB bench driver allocates too
+    // little to GC on its own, so executor-side residue from earlier
+    // queries thrashes later ones (sf10 local-cluster sweep:
+    // dedup_minhash_oph 155.2 s in-sweep vs 57.5 s isolated vs 46.5 s
+    // with the GC; suite 342.1 → 223.3 s = 1.12× of single-JVM).
+    // The single-JVM CPU-ledger objection doesn't apply here: executor
+    // CPU lives in other processes, so driver heap-recommit noise
+    // never enters cpu_queries. Real clusters bound the same residue
+    // with spark.cleaner.periodicGC.interval (default 30 min).
+    val forceGc = sys.env.contains("SPARK_GRAFT_FORCEGC") ||
+      master.startsWith("local-cluster")
     val results = names.map { n =>
       if (!cold) {
         materialize(n)
