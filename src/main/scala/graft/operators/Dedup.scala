@@ -90,10 +90,22 @@ object Dedup {
           .cast("long").as("n_shingles"))
   }
 
-  /** Candidate pairs from banded LSH + signature-estimated Jaccard.
-    * bands must divide numHashes; a pair is a candidate iff some band
-    * of the signatures matches exactly. Estimated Jaccard = fraction
-    * of matching signature components. */
+  /** Exchange by signature at FULL configured width before the
+    * group-rep window. The window's ENSURE_REQUIREMENTS exchange would
+    * be AQE-coalesced down to the 64 MB advisory size — at small scale
+    * that is ONE partition, and since the pin materializes right after
+    * the window, every row-local consumer of the pin (band explosion,
+    * bucket hashing, rep filters) inherits the collapsed parallelism.
+    * An explicit partition count is exempt from coalescing; the width
+    * is the session's shuffle-partition setting, i.e. exactly what the
+    * un-coalesced exchange would have used. */
+  private def bySignature(df: DataFrame): DataFrame = {
+    val n = scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(math.max(1, n), col("signature"))
+  }
+
   /** LSH band buckets from signatures: (doc, band, bucket) rows.
     * Banding carries only 24 B/row through the shuffle; the fat
     * signature arrays join back just for the (few) candidate pairs.
@@ -113,6 +125,10 @@ object Dedup {
       .select(col("doc") +: carry.map(col) :+ col("band") :+ col("bucket"): _*)
   }
 
+  /** Candidate pairs from banded LSH + signature-estimated Jaccard.
+    * bands must divide numHashes; a pair is a candidate iff some band
+    * of the signatures matches exactly. Estimated Jaccard = fraction
+    * of matching signature components. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
@@ -132,8 +148,28 @@ object Dedup {
     // retryable batch jobs; cluster jobs that must survive executor
     // loss pass a reliable pin instead (`_.checkpoint()` against a
     // checkpoint dir, or persist to storage and re-read).
+    //
+    // The pin carries the GROUP COLUMNS (__rep = min id sharing the
+    // signature, __n = group size), attached by one window over the
+    // signature INSIDE the pinned pass. That single exchange+sort is
+    // the only time the ~1 KB/doc signature stream crosses the wire:
+    // every signature-keyed consumer the old plan re-shuffled for —
+    // the distinct-signature groupBy, the member-expansion join, the
+    // dup-member join — becomes a row-local filter over the pin
+    // (groups = rows where id == __rep; members = every row's
+    // (__rep, id); dup members = rows where __n > 1), and all later
+    // joins key by the 8-byte __rep long, not the array. Checkpoint
+    // partitioning does NOT survive the pin (AQE reports
+    // UnknownPartitioning on the LogicalRDD — measured), which is why
+    // the group columns must be attached before pinning rather than
+    // recovered from co-partitioning after it. The multi-executor
+    // sf10 probes billed the old double shuffle at up to 1.77×
+    // single-JVM wall on the incremental path.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
     val sigs = checkpoint(
-      minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
+      bySignature(minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
+        .withColumn("__rep", min(col(idCol)).over(w))
+        .withColumn("__n", count(lit(1)).over(w)))
 
     // Distinct-signature pre-collapse (the [[hammingPairs64]] lesson,
     // applied to MinHash): identical docs carry identical signatures,
@@ -151,9 +187,8 @@ object Dedup {
     // bucket work is not. The group key is the FULL signature — an
     // orderable array, a plain shuffle key — so no digest collision
     // can merge distinct signatures.
-    val groups = checkpoint(
-      sigs.groupBy("signature")
-        .agg(min(col(idCol)).as("__rep"), count(lit(1)).as("__n")))
+    val groups = sigs.filter(col(idCol) === col("__rep"))
+      .select(col("signature"), col("__rep"), col("__n"))
 
     val reps = groups.select(col("__rep").as(idCol), col("signature"), col("__n"))
     val banded = bandBuckets(reps, idCol, bands, rows, useMd5, carry = Seq("__n"))
@@ -181,14 +216,14 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
       .select(col("rep_a"), col("rep_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
 
-    // rep → member expansion. Only multi-doc groups need the mapping
-    // join (tiny right side in a dup-sparse corpus — AQE broadcasts
-    // it); singleton reps map to themselves with no join at all.
-    val dupMembers = sigs.select(col(idCol).as("__doc"), col("signature"))
-      .join(groups.filter(col("__n") > 1).select("signature", "__rep"), Seq("signature"))
-      .select(col("__rep"), col("__doc"), col("signature"))
-    val allMembers = dupMembers.select("__rep", "__doc").unionByName(
-      groups.filter(col("__n") === 1).select(col("__rep"), col("__rep").as("__doc")))
+    // rep → member expansion: the pin already carries __rep on every
+    // row, so the mapping table is a row-local projection (the old
+    // plan re-shuffled the full signature stream to join members to
+    // groups). 16 B/row — the expansion joins below broadcast the
+    // pair side against it, so the corpus is scanned, never shuffled.
+    val dupMembers = sigs.filter(col("__n") > 1)
+      .select(col("__rep"), col(idCol).as("__doc"), col("signature"))
+    val allMembers = sigs.select(col("__rep"), col(idCol).as("__doc"))
 
     // cross-signature doc pairs: every member of rep_a's group × every
     // member of rep_b's (a doc has exactly one signature, so each doc
@@ -989,15 +1024,23 @@ object Dedup {
                                 oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val inSigs = graft.util.Checkpoints.pinLazy(
-      minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
     // Probe-side distinct-signature pre-collapse (same lesson as
     // [[minhashPairs]]): a boilerplate-heavy batch probes each distinct
     // signature ONCE against the index instead of once per copy — the
     // verdict is a pure function of the signature, so it fans back out
-    // to every member by one signature join. Bit-identical output.
-    val inGroups = inSigs.groupBy("signature").agg(min(col(idCol)).as("__rep"))
-    val repSigs = inGroups.select(col("__rep").as(idCol), col("signature"))
+    // to every member. Bit-identical output. The group rep (__rep =
+    // min id sharing the signature) is attached by one window INSIDE
+    // the pinned pass, so the ~1 KB/doc signature stream is exchanged
+    // exactly once; the fan-out at the end joins 16 B/row (id, __rep)
+    // against the rep-level verdict instead of re-shuffling the full
+    // stream by the signature array — the cost the multi-executor
+    // sf10 probe billed as incremental's 1.77× cross-JVM gap.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
+    val inSigs = graft.util.Checkpoints.pinLazy(
+      bySignature(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
+        .withColumn("__rep", min(col(idCol)).over(w)))
+    val repSigs = inSigs.filter(col(idCol) === col("__rep"))
+      .select(col(idCol), col("signature"))
     val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))
     val probe = bandBuckets(repSigs, idCol, bands, rows, useMd5)
       .select(col("band"), col("bucket"), col("doc").as("__in"))
@@ -1009,11 +1052,10 @@ object Dedup {
       .filter(graft.functions.NativeExpressions.signature_agreement(
         col("__sa"), col("__sb")) >= threshold)
       .groupBy("__in").agg(min("__ex").as("dup_of"))
-    val verdictBySig = inGroups
+    // matched is dup-reps-only (≤ distinct signatures, 16 B/row) —
+    // AQE broadcasts it and the batch is scanned, never re-shuffled
+    inSigs.select(col(idCol), col("__rep"))
       .join(matched.withColumnRenamed("__in", "__rep"), Seq("__rep"), "left_outer")
-      .select(col("signature"), col("dup_of"))
-    inSigs.select(col(idCol), col("signature"))
-      .join(verdictBySig, Seq("signature"), "left_outer")
       .select(col(idCol), col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
   }
 
@@ -1054,6 +1096,15 @@ object Dedup {
                              oph: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // NOTE: this path keeps the groupBy-based collapse rather than the
+    // window-attached __rep the other MinHash paths use. Here the
+    // fan-out side (repHits) is CONTAMINATION-sized, so the expansion
+    // join broadcasts either way and the only full-stream exchange is
+    // the combine-reduced groupBy below — swapping it for the window
+    // would ADD a partition sort of the ~1 KB/doc signature stream for
+    // no exchange saved (measured at sf1: 4.4 → 6.5 s). The window
+    // form wins only where the verdict table scales with the corpus
+    // (minhashPairs members, incremental's per-rep verdicts).
     val trainSigs = graft.util.Checkpoints.pinLazy(
       minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
     val evalSigs = minhashSignatures(evalSet, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
