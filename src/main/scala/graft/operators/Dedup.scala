@@ -725,7 +725,19 @@ object Dedup {
     // shingle stream feeds the frequency agg AND the join-back: pin it
     // (lazy local checkpoint — same contract as minhashPairs' signature
     // pin; cluster jobs needing executor-loss recovery pass reliable
-    // pins at the operator entry points that expose them)
+    // pins at the operator entry points that expose them).
+    //
+    // Deliberately NOT the minhashPairs window shape (attach __df by
+    // count-over-window keyed on the shingle): shingle frequency is
+    // power-law skewed — a boilerplate shingle puts ALL its
+    // occurrences in one window partition with no recourse, while the
+    // groupBy+join-back pair keeps map-side combine (a hot shingle
+    // collapses to one row per map partition) AND gets AQE skew-split
+    // on the join-back. Measured (r14): the window form was a wash at
+    // sf1 (7.3 → 6.5 s containment) and slightly WORSE at sf10
+    // (~1410 → ~1449 CPU-s, same-load pair) — the signature window
+    // wins because dup-group sizes are bounded by copy multiplicity;
+    // vocabulary df is not.
     // spreadIfNarrow before the byte walk — see shingleIntersections.
     val sh = graft.util.Checkpoints.pinLazy(
       graft.util.ScanParallelism.spreadIfNarrow(
