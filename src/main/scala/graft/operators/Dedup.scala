@@ -165,6 +165,14 @@ object Dedup {
     // recovered from co-partitioning after it. The multi-executor
     // sf10 probes billed the old double shuffle at up to 1.77×
     // single-JVM wall on the incremental path.
+    //
+    // Skew boundary: a window partition holds EVERY copy of one
+    // signature, and unlike the old member join it cannot be
+    // AQE-skew-split — fine here because exact-dup group sizes are
+    // bounded by copy multiplicity (and a pipeline runs exact dedup
+    // before near-dup), but it is why [[prefixFilteredIntersections]]
+    // keeps the join form for power-law-skewed shingle frequencies
+    // (see the note there).
     val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
     val sigs = checkpoint(
       bySignature(minhashSignatures(df, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
