@@ -64,6 +64,21 @@ object Bench {
       val cp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
         s"${sys.props("user.dir")}/target/scala-2.13/classes")
       builder.config("spark.executor.extraClassPath", cp)
+    } else {
+      // Pins now carry MEASURED sizes (graft.util.Checkpoints), so the
+      // broadcast threshold decides on true bytes — and what is WORTH
+      // broadcasting is deployment-dependent: in ONE JVM a broadcast
+      // is a pointer handoff plus one hash build, strictly cheaper
+      // than the shuffle+sort it replaces for anything that fits the
+      // heap (measured at sf10: the 331 MB md5-signature index as a
+      // broadcast vs sort-merge is dedup_minhash 60 s vs 220 s — the
+      // single-node profile an in-memory engine gets for free).
+      // Multi-executor mode keeps Spark's conservative default (every
+      // executor pays transfer + build + heap; at 1000 executors a fat
+      // broadcast is aggregate TBs). SPARK_GRAFT_CONF (applied below,
+      // last-wins) overrides either mode; size SPARK_DRIVER_MEM to
+      // match when probing the big scale factors.
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "512m")
     }
     // Extra session conf for experiments: "k=v;k=v".
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))

@@ -134,7 +134,7 @@ object Dedup {
                    threshold: Double = 0.7, seed: Long = 42L,
                    maxBucketSize: Int = 10000, useMd5: Boolean = false,
                    oph: Boolean = true,
-                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
+                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin(_)): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // The signature table feeds FIVE consumers (bucket-size agg, the
@@ -268,7 +268,7 @@ object Dedup {
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,
                    useMd5: Boolean = false, oph: Boolean = true,
-                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
+                   checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin(_)): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, shingleK, numHashes, bands,
       threshold, seed = seed, useMd5 = useMd5, oph = oph, checkpoint = checkpoint)
     val neighborMin = pairs.groupBy(col("doc_b").as(idCol))
@@ -305,7 +305,7 @@ object Dedup {
     * maxHamming ≤ 3 by the pigeonhole over 4 bands. */
   def hammingPairs64(sigs: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3,
-                     checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): DataFrame = {
+                     checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin(_)): DataFrame = {
     // Pin the (id, fingerprint) table: it feeds FOUR consumers below
     // (distinct-fp aggregate, two expansion joins, within-fp join),
     // and without the pin each consumer re-runs the fingerprint
@@ -747,7 +747,7 @@ object Dedup {
     // wins because dup-group sizes are bounded by copy multiplicity;
     // vocabulary df is not.
     // spreadIfNarrow before the byte walk — see shingleIntersections.
-    val sh = graft.util.Checkpoints.pinLazy(
+    val sh = graft.util.Checkpoints.pin(
       graft.util.ScanParallelism.spreadIfNarrow(
           df.select(col(idCol).as("doc"), col(textCol)))
         .select(col("doc"),
@@ -758,7 +758,7 @@ object Dedup {
       .filter(col("__df") <= maxShingleFreq)
     // per-doc state, one row per doc: the df-ordered rare list (prefix
     // source) and the value-sorted rare list (merge-verify source)
-    val docSets = graft.util.Checkpoints.pinLazy(
+    val docSets = graft.util.Checkpoints.pin(
       sh.join(dfreq, "s")
         .groupBy("doc", "set_size")
         .agg(sort_array(collect_list(struct(col("__df"), col("s")))).as("__o"))
@@ -1017,7 +1017,7 @@ object Dedup {
                         shingleK: Int = 5, numHashes: Int = 128,
                         bands: Int = 32, seed: Long = 42L,
                         useMd5: Boolean = false, oph: Boolean = true,
-                        checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pinLazy): MinhashIndex = {
+                        checkpoint: DataFrame => DataFrame = graft.util.Checkpoints.pin(_)): MinhashIndex = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // pinned for the same reason as in minhashPairs: bands + sigs are
@@ -1056,7 +1056,7 @@ object Dedup {
     // stream by the signature array — the cost the multi-executor
     // sf10 probe billed as incremental's 1.77× cross-JVM gap.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
-    val inSigs = graft.util.Checkpoints.pinLazy(
+    val inSigs = graft.util.Checkpoints.pin(
       bySignature(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
         .withColumn("__rep", min(col(idCol)).over(w)))
     val repSigs = inSigs.filter(col(idCol) === col("__rep"))
@@ -1125,7 +1125,7 @@ object Dedup {
     // no exchange saved (measured at sf1: 4.4 → 6.5 s). The window
     // form wins only where the verdict table scales with the corpus
     // (minhashPairs members, incremental's per-rep verdicts).
-    val trainSigs = graft.util.Checkpoints.pinLazy(
+    val trainSigs = graft.util.Checkpoints.pin(
       minhashSignatures(corpus, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
     val evalSigs = minhashSignatures(evalSet, idCol, textCol, shingleK, numHashes, seed, useMd5, oph)
     // Train-side distinct-signature pre-collapse (same lesson as

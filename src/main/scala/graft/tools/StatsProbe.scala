@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: what sizeInBytes does the planner believe for the
+  * pinned MinHash intermediates? (Chasing rogue static broadcasts of
+  * pin-derived join sides observed at sf10 in local-cluster mode.) */
+object StatsProbe {
+  def main(args: Array[String]): Unit = {
+    graft.util.LauncherCheck.assertModuleOpens()
+    val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val spark = SparkSession.builder().master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "16m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def st(label: String, df: DataFrame): Unit = {
+      val s = df.queryExecution.optimizedPlan.stats
+      println(f"[stats] $label%-28s sizeInBytes=${s.sizeInBytes}%,d rowCount=${s.rowCount}")
+    }
+
+    val d = graft.Tables.load(spark, sfDir, "documents")
+    st("documents scan", d)
+    val bucket = graft.functions.TextFunctions.splitBucket(col("doc_id"))
+    val existing = d.filter(bucket < 80)
+    val incoming = d.filter(bucket >= 80)
+    st("existing (80%)", existing)
+    val index = graft.operators.Dedup.buildMinhashIndex(existing, "doc_id", "text",
+      numHashes = 128, bands = 32, useMd5 = true, oph = false)
+    st("index.bands", index.bands)
+    st("index.sigs", index.sigs)
+    val verdict = graft.operators.Dedup.minhashIncrementalAgainst(index, incoming,
+      "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.7,
+      useMd5 = true, oph = false)
+    st("verdict (full plan)", verdict)
+    spark.stop()
+  }
+}

@@ -36,12 +36,30 @@ object Checkpoints {
 
   def pin(df: DataFrame, eager: Boolean): DataFrame = {
     val ss = df.sparkSession
-    if (ss.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean)) {
-      if (ss.sparkContext.getCheckpointDir.isEmpty)
-        ss.conf.getOption("graft.checkpoint.dir")
-          .foreach(ss.sparkContext.setCheckpointDir)
-      df.checkpoint(eager)
-    } else df.localCheckpoint(eager, localStorage(ss))
+    val pinned =
+      if (ss.conf.getOption("graft.checkpoint.reliable").exists(_.toBoolean)) {
+        if (ss.sparkContext.getCheckpointDir.isEmpty)
+          ss.conf.getOption("graft.checkpoint.dir")
+            .foreach(ss.sparkContext.setCheckpointDir)
+        df.checkpoint(eager)
+      } else df.localCheckpoint(eager, localStorage(ss))
+    // The checkpoint inherits the origin plan's size ESTIMATE, which
+    // descends from compressed file bytes — for text/array data that
+    // undercounts the in-memory relation by 10-100× and makes the
+    // static planner broadcast pin-derived join sides that are
+    // actually hundreds of MB (each executor transfers + rebuilds +
+    // GCs the relation; measured 7× task-time inflation on
+    // dedup_incremental at sf10 in local-cluster mode, and at real
+    // scale it is an executor OOM). Replace it: an eager pin installs
+    // its MEASURED block-manager/checkpoint-file size (true-cost
+    // broadcast decisions at every scale); a lazy pin strips the
+    // estimate and is statically non-broadcastable, with AQE still
+    // broadcasting from actual runtime shuffle sizes where a side is
+    // genuinely small. `graft.checkpoint.originStats=true` restores
+    // the inherited-estimate behavior.
+    if (ss.conf.getOption("graft.checkpoint.originStats").exists(_.toBoolean)) pinned
+    else scala.util.Try(org.apache.spark.sql.graft.Bridge.measuredPinStats(pinned))
+      .getOrElse(pinned) // stats are advisory — never fail a pin over them
   }
 
   private def localStorage(ss: org.apache.spark.sql.SparkSession): StorageLevel =
