@@ -14,6 +14,15 @@ Test / fork := true
 // thresholds) — parallel suite execution makes them race.
 Test / parallelExecution := false
 run / fork := true
+// The round driver JSON-parses the LAST line of `sbt "runMain
+// graft.Bench"` stdout. Two sbt default behaviors broke that every
+// round through r14: the forked process's output is re-logged with an
+// `[info] ` prefix, and sbt appends a `[success] Total time…` epilogue
+// after the run — so the metric line was never last nor bare JSON.
+// Pass forked output through verbatim and drop the epilogue.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

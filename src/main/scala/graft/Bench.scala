@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every SparkEntry query on
   * SPARK_GRAFT_SF_DIR, printing one JSON line
@@ -31,59 +30,12 @@ object Bench {
     // JDK 17 --add-opens flags; see graft.util.LauncherCheck.
     graft.util.LauncherCheck.assertModuleOpens()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
-    // Multi-executor bench: SPARK_GRAFT_MASTER=local-cluster[2,16,8192]
-    // (needs SPARK_HOME; see Verify for the executor classpath seam).
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder()
-      .master(master)
-      .config("spark.sql.shuffle.partitions", shufflePartitions)
-      .config("spark.sql.adaptive.enabled", aqe)
-      .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // single-file parquet needs small splits for scan parallelism on
-      // a 32-thread box (132 MB orders at sf10 = 2 tasks at the 128m
-      // default: scan+noop measured 8.8 s vs 1.1 s at 16m)
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MPB", "16m"))
-      // the 128-key default demotes every TypedImperativeAggregate
-      // with many groups to sort-based aggregation (topKPerGroup on
-      // 1.5M groups: 21 s fallback vs 11 s hashed)
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        "4000000")
-      // Static conf, default 100 entries: a 170-query suite evicts the
-      // first queries' compiled codegen classes long before the global
-      // warm-up pass returns to them, so the "measured" pass was
-      // recompiling everything (r10 driver artifact: 166.5 s vs
-      // 101.6 s steady). Sized for the whole suite's codegen units.
-      .config("spark.sql.codegen.cache.maxEntries", "10000")
-    if (master.startsWith("local-cluster")) {
-      val cp = sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
-        s"${sys.props("user.dir")}/target/scala-2.13/classes")
-      builder.config("spark.executor.extraClassPath", cp)
-    } else {
-      // Pins now carry MEASURED sizes (graft.util.Checkpoints), so the
-      // broadcast threshold decides on true bytes — and what is WORTH
-      // broadcasting is deployment-dependent: in ONE JVM a broadcast
-      // is a pointer handoff plus one hash build, strictly cheaper
-      // than the shuffle+sort it replaces for anything that fits the
-      // heap (measured at sf10: the 331 MB md5-signature index as a
-      // broadcast vs sort-merge is dedup_minhash 60 s vs 220 s — the
-      // single-node profile an in-memory engine gets for free).
-      // Multi-executor mode keeps Spark's conservative default (every
-      // executor pays transfer + build + heap; at 1000 executors a fat
-      // broadcast is aggregate TBs). SPARK_GRAFT_CONF (applied below,
-      // last-wins) overrides either mode; size SPARK_DRIVER_MEM to
-      // match when probing the big scale factors.
-      builder.config("spark.sql.autoBroadcastJoinThreshold", "512m")
-    }
-    // Extra session conf for experiments: "k=v;k=v".
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+    // Session recipe (master, shuffle partitions, AQE, broadcast
+    // threshold, codegen cache, SPARK_GRAFT_CONF overlay) lives in
+    // graft.util.BenchSession so the attribution probes run the SAME
+    // conf — and therefore the same physical plans — as this bench.
+    val master = graft.util.BenchSession.master
+    val spark = graft.util.BenchSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     // SPARK_GRAFT_GC=1: per-query GC time + heap deltas on stderr

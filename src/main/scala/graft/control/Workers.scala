@@ -48,7 +48,14 @@ final class Workers(queue: JobQueue, loader: Loader, copier: Copier,
           case e: Exception =>
             val n = attempts.merge(id, 1, (a, b) => a + b)
             System.err.println(s"[workers] job $id failed (attempt $n): ${e.getMessage}")
-            if (n < maxAttempts) queue.nack(id)
+            if (n < maxAttempts) {
+              // Backoff before redelivery: transient faults (a sidecar
+              // mid-commit, a metastore row lock) re-fail identically
+              // within milliseconds; 100ms·2ⁿ gives the writer's window
+              // time to close before the attempt budget is spent.
+              Thread.sleep(math.min(2000L, 100L << (n - 1)))
+              queue.nack(id)
+            }
             else { queue.ack(id); attempts.remove(id) } // dead-letter: drop after max attempts
         }
       }

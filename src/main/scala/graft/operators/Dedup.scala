@@ -128,7 +128,16 @@ object Dedup {
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * bands must divide numHashes; a pair is a candidate iff some band
     * of the signatures matches exactly. Estimated Jaccard = fraction
-    * of matching signature components. */
+    * of matching signature components.
+    *
+    * EAGER construction: the default `checkpoint` pins the signature
+    * pass eagerly (see [[graft.util.Checkpoints.pin]]), so CALLING
+    * this runs Spark jobs before the returned plan is ever executed —
+    * the price of measured pin statistics. Plan-only callers pass
+    * `checkpoint = Checkpoints.pinLazy`; long-lived callers release
+    * the pin via `Checkpoints.release` when done. The same contract
+    * applies to [[minhashDedup]], [[hammingPairs64]] and
+    * [[buildMinhashIndex]]. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 5, numHashes: Int = 128, bands: Int = 32,
                    threshold: Double = 0.7, seed: Long = 42L,

@@ -79,6 +79,8 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     new HPath(tableDir(db, table), "partition.json")
   private def genFile(db: String, table: String): HPath =
     new HPath(tableDir(db, table), "gen.json")
+  private def statsFile(db: String, table: String): HPath =
+    new HPath(tableDir(db, table), "stats.json")
   private def commitsDir(db: String, table: String): HPath =
     new HPath(tableDir(db, table), "commits")
 
@@ -86,19 +88,73 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   private def exists(p: HPath): Boolean = fsOf(p).exists(p)
 
-  /** Whole-object write. On object stores the PUT completes at close —
-    * readers see the old content or the new, never a prefix. This is
-    * the catalog's only commit primitive (see class doc). */
+  /** Whole-object write with a per-store atomic-replace commit.
+    *
+    * The r14 code committed every sidecar with `fs.create(p, true)` —
+    * truncate-in-place. That is atomic on object stores (PUT at close)
+    * but on `file://` a concurrent reader can see a truncated sidecar,
+    * and Hadoop's ChecksumFileSystem will happily SERVE the torn bytes
+    * with no exception when the `.crc` is gone mid-rewrite — observed
+    * as a dead-lettered copy job in the r14 full suite. The obvious
+    * temp+`fs.rename` fix does NOT exist in the FileSystem API: its
+    * rename contract refuses an existing destination (measured: this
+    * classpath's local FS returns false, as do HDFS and S3A), and
+    * delete-then-rename swaps the torn window for a MISSING one that
+    * poisons every `exists()` guard. So the commit primitive is chosen
+    * per scheme, best available first:
+    *
+    *  - `file://`: write a unique temp in the same directory, then
+    *    `java.nio` ATOMIC_MOVE — the POSIX atomic replace the Hadoop
+    *    API refuses to expose. Readers see the old object or the new,
+    *    never a prefix, never absence; a crash leaves the old sidecar
+    *    intact. The destination's stale `.crc` is deleted FIRST (and
+    *    none is written for the new content): sidecar integrity is
+    *    enforced by [[readJson]]'s whole-document parse, not by
+    *    block checksums that can't span a swap.
+    *  - `hdfs://`: temp + FileContext rename with OVERWRITE — an
+    *    atomic NameNode op.
+    *  - everything else (object stores): direct create — the PUT at
+    *    close IS the atomic replace.
+    *
+    * [[readJson]]'s parse-inside-retry backstops all three: any
+    * store that still manages to surface a torn prefix fails the
+    * parse (a proper prefix of a JSON document is never valid JSON)
+    * and is re-read. */
   private def writeString(p: HPath, s: String): Unit = {
-    val out = fsOf(p).create(p, true)
-    try out.write(s.getBytes("UTF-8")) finally out.close()
+    val fs = fsOf(p)
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    val bytes = s.getBytes("UTF-8")
+    if (scheme == "file") {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val dir = Paths.get(p.getParent.toUri.getPath)
+      Files.createDirectories(dir)
+      val dst = dir.resolve(p.getName)
+      val tmp = dir.resolve(
+        s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      Files.write(tmp, bytes)
+      // drop the stale checksum before the swap: ChecksumFileSystem
+      // would otherwise verify NEW bytes against the OLD .crc forever
+      Files.deleteIfExists(dir.resolve(s".${p.getName}.crc"))
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else if (scheme == "hdfs") {
+      val tmp = new HPath(p.getParent,
+        s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, hconf)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } else {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
   }
 
-  /** Whole-object read with a bounded retry: on a checksummed local
-    * FS a reader can catch a sidecar mid-rewrite (create truncates,
-    * then writes — EOF/checksum for a few ms). Sidecar writes are
-    * small and serialized, so two short retries absorb the window;
-    * a genuinely corrupt object still fails after the third read. */
+  /** Whole-object read with a bounded retry: a checksummed local FS
+    * can race a sidecar swap into an EOF/ChecksumException for a few
+    * ms (old `.crc` against new bytes). Sidecar writes are small and
+    * serialized, so short retries absorb the window; a genuinely
+    * corrupt object still fails after the final read. */
   private def readString(p: HPath): String = {
     var attempt = 0
     while (true) {
@@ -108,12 +164,37 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       } catch {
         case e @ (_: java.io.EOFException | _: org.apache.hadoop.fs.ChecksumException) =>
           attempt += 1
-          if (attempt >= 3) throw e
+          if (attempt >= 4) throw e
           Thread.sleep(25L * attempt)
       }
     }
     throw new IllegalStateException("unreachable")
   }
+
+  /** Sidecar read+parse with the PARSE inside the bounded retry:
+    * ChecksumFileSystem can serve a torn file with NO read exception
+    * (it logs "Ignoring exception" when the `.crc` fails to open and
+    * falls back to the raw stream), so JSON well-formedness is the
+    * only reliable torn-read detector on `file://`. Every sidecar is
+    * a complete JSON document, so a clean parse proves a clean read;
+    * a parse failure within the retry budget is treated as a torn
+    * read and re-fetched with backoff. */
+  private def readJson(p: HPath): graft.functions.JValue = {
+    var attempt = 0
+    while (true) {
+      val s = readString(p)
+      try return graft.functions.JValue.parse(s)
+      catch {
+        case e: Exception =>
+          attempt += 1
+          if (attempt >= 4) throw new java.io.IOException(
+            s"sidecar $p unparseable after $attempt reads: ${e.getMessage}", e)
+          Thread.sleep(30L * attempt)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
 
   /** Recursive .parquet listing (hive-partitioned layouts nest). */
   private def parquetFiles(dir: HPath): Seq[HPath] = {
@@ -197,7 +278,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val gf = genFile(db, table)
     val name =
       if (!exists(gf)) "data"
-      else JValue.parse(readString(gf)) match {
+      else readJson(gf) match {
         case o: JObj => o.get("dir").collect { case JStr(s) => s }.getOrElse("data")
         case other => throw new IllegalStateException(s"bad gen sidecar: $other")
       }
@@ -226,7 +307,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   def partitioningOf(db: String, table: String): Seq[String] = {
     import graft.functions.JValue, graft.functions.JValue._
     if (!exists(partitionFile(db, table))) Nil
-    else JValue.parse(readString(partitionFile(db, table))) match {
+    else readJson(partitionFile(db, table)) match {
       case JArr(items) => items.collect { case JStr(s) => s }
       case other => throw new IllegalStateException(s"bad partition sidecar: $other")
     }
@@ -252,7 +333,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   def clusteringOf(db: String, table: String): Seq[String] = {
     import graft.functions.JValue, graft.functions.JValue._
     if (!exists(clusterFile(db, table))) Nil
-    else JValue.parse(readString(clusterFile(db, table))) match {
+    else readJson(clusterFile(db, table)) match {
       case JArr(items) => items.collect { case JStr(s) => s }
       case other => throw new IllegalStateException(s"bad cluster sidecar: $other")
     }
@@ -311,7 +392,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   def dedupPolicyOf(db: String, table: String): Option[GraftCatalog.DedupPolicy] = {
     import graft.functions.JValue, graft.functions.JValue._
     if (!exists(dedupFile(db, table))) None
-    else JValue.parse(readString(dedupFile(db, table))) match {
+    else readJson(dedupFile(db, table)) match {
       case o: JObj =>
         Some(GraftCatalog.DedupPolicy(
           o.get("textCol").collect { case JStr(s) => s }.get,
@@ -331,7 +412,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   def storedIndexParams(db: String, table: String): Option[GraftCatalog.DedupParams] = {
     import graft.functions.JValue, graft.functions.JValue._
     val f = new HPath(dedupIndexDir(db, table), "params.json")
-    if (exists(f)) JValue.parse(readString(f)) match {
+    if (exists(f)) readJson(f) match {
       case o: JObj => Some(GraftCatalog.DedupParams.fromJson(o))
       case other => throw new IllegalStateException(s"bad index params sidecar: $other")
     }
@@ -409,7 +490,22 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val fs = fsOf(data)
     fs.mkdirs(data)
     val marker = new HPath(commitsDir(db, table), s"$key.json")
+    // retry of a COMPLETED earlier attempt: back its stats contribution
+    // (recorded in the marker) out of stats.json before uncommitting,
+    // so the republish's re-add below cannot double-count
+    if (exists(marker)) {
+      import graft.functions.JValue._
+      readJson(marker) match {
+        case o: JObj =>
+          def num(k: String) = o.get(k).collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
+          val (tr, tb) = tableStats(db, table).getOrElse((0L, 0L))
+          if (num("rows") != 0L || num("bytes") != 0L)
+            writeStats(db, table, tr - num("rows"), tb - num("bytes"))
+        case _ => ()
+      }
+    }
     fs.delete(marker, false) // retry: uncommit before touching files
+    committedCache.remove(db + "/" + table)
     val prefix = key + "-"
     parquetFiles(data).filter(_.getName.startsWith(prefix))
       .foreach(p => fs.delete(p, false))
@@ -425,8 +521,18 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       relativeTo(data, dest)
     }
     fs.mkdirs(commitsDir(db, table))
+    // Measured stats: the batch's footer totals ride IN the marker so
+    // a redelivered job is idempotent here too — the retry path above
+    // already read the old marker's contribution out of stats.json
+    // before uncommitting it (see the top of this method).
+    val (bRows, bBytes) = try footerStats(published.map(new HPath(data, _)))
+    catch { case _: Exception => (0L, 0L) } // stats are advisory
+    val (tRows, tBytes) = tableStats(db, table).getOrElse((0L, 0L))
+    writeStats(db, table, tRows + bRows, tBytes + bBytes)
     writeString(marker,
-      published.map(quote).mkString("""{"files":[""", ",", "]}"))
+      published.map(quote).mkString("""{"files":[""", ",", """],""") +
+        s""""rows":$bRows,"bytes":$bBytes}""")
+    committedCache.remove(db + "/" + table)
     // best-effort staging cleanup (stray _SUCCESS/_temporary markers)
     try fs.delete(stage, true) catch { case _: Exception => () }
   }
@@ -434,14 +540,96 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   private def hasData(db: String, table: String): Boolean =
     parquetFiles(dataDir(db, table)).nonEmpty
 
+  // ---- measured table statistics -----------------------------------
+  //
+  // A parquet scan's planner estimate is the COMPRESSED file size —
+  // for text/array tables a 10–100× undercount that lets the static
+  // planner broadcast a "small" warehouse table whose decoded form is
+  // hundreds of MB PER EXECUTOR (the same failure the r14 pin-stats
+  // work killed for checkpoints). The catalog is the one component
+  // that sees every byte it publishes, so it keeps a `stats.json`
+  // sidecar of (row count, decoded byte size) summed from the parquet
+  // FOOTERS of committed files — driver-side metadata reads, a few ms
+  // per batch — and [[read]] installs them as table-level statistics.
+  // The numbers are exact under normal operation (footers are the
+  // ground truth for what was published), ADVISORY after a crash
+  // between file publish and stats commit, and fully HEALED by any
+  // rewrite ([[compact]]/[[cluster]] recompute them from the new
+  // generation's footers from scratch).
+
+  /** (rows, decodedBytes) summed over the files' parquet footers.
+    * `getTotalByteSize` is the encoded-uncompressed block size — not
+    * Spark's in-memory row width, but within small factors of it,
+    * versus the 10–100× compression undercount it replaces. */
+  private def footerStats(files: Seq[HPath]): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    var rows = 0L; var bytes = 0L
+    files.foreach { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hconf))
+      try rd.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount; bytes += b.getTotalByteSize
+      } finally rd.close()
+    }
+    (rows, bytes)
+  }
+
+  /** Measured (rows, decodedBytes) of the table, if the catalog has
+    * published stats for it (tables written before r15 have none
+    * until their next rewrite). */
+  def tableStats(db: String, table: String): Option[(Long, Long)] = {
+    import graft.functions.JValue._
+    val f = statsFile(db, table)
+    if (!exists(f)) None
+    else readJson(f) match {
+      case o: JObj =>
+        def num(k: String) = o.get(k).collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
+        Some((num("rows"), num("bytes")))
+      case _ => None
+    }
+  }
+
+  private def writeStats(db: String, table: String, rows: Long, bytes: Long): Unit =
+    writeString(statsFile(db, table),
+      s"""{"rows":${math.max(0L, rows)},"bytes":${math.max(0L, bytes)}}""")
+
+  /** Committed-key cache for strict reads: (dir mtime, time the list
+    * ran, keys). A strict `read` at 10⁵ accumulated batches would
+    * otherwise pay a full LIST of `commits/` per query — on an object
+    * store that is the read path's dominant metadata cost. One
+    * `getFileStatus` mtime probe replaces the LIST when nothing
+    * changed. Invalidation is belt-and-braces: driver-local writers
+    * ([[publishStage]], [[rewriteData]]) drop the entry directly;
+    * cross-driver writers are caught by the mtime probe. The cache is
+    * only SERVED when the recorded mtime is strictly older than the
+    * moment we listed — a marker landing in the same clock tick as the
+    * list could leave the mtime unchanged, so such entries re-list
+    * until the tick passes. Stores whose directory mtime is synthetic
+    * (S3A reports 0) never hit the cache — there `compact` (which
+    * clears all markers) is the lever that bounds marker count. */
+  private val committedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
+  /** Test seam: count of full `commits/` LISTs actually performed. */
+  private[graft] val commitListCalls = new java.util.concurrent.atomic.AtomicLong()
+
   /** The batch keys with a published commit marker. */
   def committedKeys(db: String, table: String): Set[String] = {
     val d = commitsDir(db, table)
     val fs = fsOf(d)
-    if (!fs.exists(d)) Set.empty
-    else fs.listStatus(d).iterator
+    val st = try fs.getFileStatus(d)
+             catch { case _: java.io.FileNotFoundException => return Set.empty }
+    val ck = db + "/" + table
+    val mtime = st.getModificationTime
+    val cached = committedCache.get(ck)
+    if (cached != null && mtime > 0 && cached._1 == mtime && cached._1 < cached._2)
+      return cached._3
+    commitListCalls.incrementAndGet()
+    val listedAt = System.currentTimeMillis()
+    val keys = fs.listStatus(d).iterator
       .map(_.getPath.getName).filter(_.endsWith(".json"))
       .map(_.stripSuffix(".json")).toSet
+    if (mtime > 0) committedCache.put(ck, (mtime, listedAt, keys))
+    keys
   }
 
   /** Read the table under its full sidecar schema (partition columns
@@ -474,9 +662,19 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       }
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], struct)
-    else
-      spark.read.schema(struct).option("basePath", data.toString)
+    else {
+      val df = spark.read.schema(struct).option("basePath", data.toString)
         .parquet(files: _*)
+      // install measured statistics (decoded bytes + row count from the
+      // publish-time footers) so size-based planning — broadcast above
+      // all — decides on true bytes, not the compressed file size
+      tableStats(db, table) match {
+        case Some((rows, bytes)) if bytes > 0 =>
+          scala.util.Try(org.apache.spark.sql.graft.Bridge.withTableStats(
+            df, db, table, BigInt(bytes), Some(BigInt(rows)))).getOrElse(df)
+        case _ => df
+      }
+    }
   }
 
   /** Small-file compaction (maintenance op). The rotation-based ingest
@@ -544,6 +742,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       // generation's per-batch markers no longer describe live files
       val cd = commitsDir(db, table)
       if (fs.exists(cd)) fs.listStatus(cd).foreach(st => fs.delete(st.getPath, false))
+      committedCache.remove(db + "/" + table)
       val keepOld = spark.conf.getOption("graft.warehouse.keepOldGen")
         .exists(_.equalsIgnoreCase("true"))
       if (!keepOld) fs.delete(cur, true)
@@ -554,7 +753,12 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
         if (st.isDirectory && GenName.matches(n) && n != nextName && n != cur.getName)
           fs.delete(st.getPath, true)
       }
-      (parts.length, parquetFiles(next).length)
+      val nextFiles = parquetFiles(next)
+      // stats heal-point: recompute from the new generation's footers
+      // from scratch (crash-skewed increments from past appends die here)
+      try { val (r, b) = footerStats(nextFiles); writeStats(db, table, r, b) }
+      catch { case _: Exception => () } // advisory
+      (parts.length, nextFiles.length)
     }
 
   /** Append honoring the table's [[GraftCatalog.DedupPolicy]] — the
@@ -916,7 +1120,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   private def readSchemaSeq(db: String, table: String): Vector[(String, String)] = {
     import graft.functions.JValue, graft.functions.JValue._
     if (!tableExists(db, table)) return Vector.empty
-    JValue.parse(readString(schemaFile(db, table))) match {
+    readJson(schemaFile(db, table)) match {
       case JArr(items) => items.map {
         case o: JObj =>
           val n = o.get("name").collect { case JStr(s) => s }.get

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
 import scala.collection.mutable.ArrayBuffer
 
 /** Dev scratch: per-stage attribution for ONE named query — where the
@@ -17,22 +18,11 @@ object StageProbe {
     val qname = if (args.nonEmpty) args(0) else "dedup_incremental"
     val sfDir = if (args.length > 1) args(1) else
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
-    val builder = SparkSession.builder().master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.ui.enabled", "false")
-    if (master.startsWith("local-cluster")) {
-      builder.config("spark.executor.extraClassPath",
-        sys.env.getOrElse("SPARK_GRAFT_EXEC_CP",
-          s"${sys.props("user.dir")}/target/scala-2.13/classes"))
-    }
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
-      .foreach { kv => val Array(k, v) = kv.split("=", 2); builder.config(k, v) })
-    val spark = builder.getOrCreate()
+    // Bench's exact session recipe — a probe on different conf (e.g.
+    // Spark's default broadcast threshold instead of Bench's 512m)
+    // can attribute a plan the bench run never executes.
+    val master = graft.util.BenchSession.master
+    val spark = graft.util.BenchSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     final case class Row(id: Int, name: String, tasks: Int, taskSec: Double,

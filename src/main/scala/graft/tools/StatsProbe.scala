@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Dev scratch: what sizeInBytes does the planner believe for the
@@ -10,12 +10,9 @@ object StatsProbe {
   def main(args: Array[String]): Unit = {
     graft.util.LauncherCheck.assertModuleOpens()
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf10"
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    // Bench's exact session recipe (BenchSession) — believed stats are
+    // only meaningful under the conf the bench actually plans with.
+    val spark = graft.util.BenchSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def st(label: String, df: DataFrame): Unit = {

@@ -32,6 +32,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object Checkpoints {
 
+  /** EAGER by default — calling `pin` (and therefore any operator
+    * whose default `checkpoint` argument is `pin`) RUNS Spark jobs at
+    * construction time, because only a materialized pin has a
+    * measured size for [[org.apache.spark.sql.graft.Bridge.measuredPinStats]]
+    * to install (the true-cost broadcast story). Plan-only callers
+    * (explain, speculative DataFrame assembly) pass the operator's
+    * `checkpoint = Checkpoints.pinLazy` parameter instead, trading
+    * measured stats for deferred execution; pair long-lived pins with
+    * [[release]] when done. */
   def pin(df: DataFrame): DataFrame = pin(df, eager = true)
 
   def pin(df: DataFrame, eager: Boolean): DataFrame = {
@@ -69,4 +78,12 @@ object Checkpoints {
 
   /** Lazy variant for lineage caps inside iterative loops. */
   def pinLazy(df: DataFrame): DataFrame = pin(df, eager = false)
+
+  /** Release a pin's checkpoint blocks explicitly (no-op on non-pinned
+    * plans). Pins otherwise hold executor memory until their RDD is
+    * GC'd; operators that construct large intermediate pins and know
+    * when they are done call this. The blocks are the only copy of
+    * the data — the DataFrame must not be used after release. */
+  def release(df: DataFrame): Unit =
+    scala.util.Try(org.apache.spark.sql.graft.Bridge.releasePin(df))
 }

@@ -38,7 +38,15 @@ object Bridge {
     * stripped, falling back to `spark.sql.defaultSizeInBytes`
     * (Long.MaxValue): never statically broadcast, while AQE still
     * converts to broadcast joins from actual runtime shuffle sizes.
-    * Non-LogicalRDD plans pass through unchanged.
+    * That stripping therefore only happens when AQE is ON; with AQE
+    * disabled there is no runtime re-plan to recover a genuinely-small
+    * lazy pin's broadcast, so the inherited estimate (the pre-r14
+    * behavior) is the lesser evil and is kept. A measured size of
+    * ZERO is a valid measurement (an empty pin) — clamped to 1 byte,
+    * not discarded, so an empty join side stays statically
+    * broadcastable. The pin's inherited constraints (not-null facts
+    * etc.) are threaded through unchanged — only the statistics are
+    * replaced. Non-LogicalRDD plans pass through unchanged.
     */
   def measuredPinStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.queryExecution.logical match {
@@ -47,21 +55,71 @@ object Bridge {
         val sc = session.sparkContext
         val measured: Option[BigInt] = sc.getRDDStorageInfo
           .find(_.id == r.rdd.id)
-          .map(i => BigInt(i.memSize) + BigInt(i.diskSize))
-          .filter(_ > 0)
+          .map(i => (BigInt(i.memSize) + BigInt(i.diskSize)).max(BigInt(1)))
           .orElse(r.rdd.getCheckpointFile.flatMap { p =>
             scala.util.Try {
               val path = new org.apache.hadoop.fs.Path(p)
               val fs = path.getFileSystem(sc.hadoopConfiguration)
-              BigInt(fs.getContentSummary(path).getLength)
-            }.toOption.filter(_ > 0)
+              BigInt(fs.getContentSummary(path).getLength).max(BigInt(1))
+            }.toOption
           })
-        val stats = measured.map(b =>
-          org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = b))
-        val rebuilt = org.apache.spark.sql.execution.LogicalRDD(
-          r.output, r.rdd, r.outputPartitioning, r.outputOrdering, r.isStreaming,
-          r.stream)(session, stats, None)
-        org.apache.spark.sql.classic.Dataset.ofRows(session, rebuilt)
+        val aqeOn = session.sessionState.conf.getConf(
+          org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED)
+        if (measured.isEmpty && !aqeOn) df
+        else {
+          val stats = measured.map(b =>
+            org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = b))
+          val rebuilt = org.apache.spark.sql.execution.LogicalRDD(
+            r.output, r.rdd, r.outputPartitioning, r.outputOrdering, r.isStreaming,
+            r.stream)(session, stats, Some(r.constraints))
+          org.apache.spark.sql.classic.Dataset.ofRows(session, rebuilt)
+        }
       case _ => df
+    }
+
+  /** Install MEASURED table-level statistics on a file-relation scan.
+    *
+    * A raw parquet scan's planner estimate is the COMPRESSED file
+    * size (`HadoopFsRelation.sizeInBytes`) — the same 10–100×
+    * undercount that made pins broadcast 331 MB indexes as "3.5 MB"
+    * before [[measuredPinStats]]. The warehouse catalog KNOWS the
+    * true decoded size and row count of every table it publishes
+    * (parquet footers at commit time); this installs them where the
+    * planner reads statistics: a minimal `CatalogTable` whose
+    * `CatalogStatistics` `LogicalRelation.computeStats` prefers over
+    * the file size. `sizeInBytes` drives broadcast/build-side choices
+    * at any CBO setting; `rowCount` additionally feeds CBO when the
+    * session enables it. Plans without a `LogicalRelation` scan pass
+    * through unchanged. */
+  def withTableStats(df: org.apache.spark.sql.DataFrame, db: String, table: String,
+                     sizeInBytes: BigInt, rowCount: Option[BigInt]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStatistics, CatalogStorageFormat, CatalogTable, CatalogTableType}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val stats = CatalogStatistics(sizeInBytes = sizeInBytes, rowCount = rowCount)
+    val rewritten = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation =>
+        val ct = lr.catalogTable.getOrElse(CatalogTable(
+          identifier = TableIdentifier(table, Some(db)),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = lr.schema))
+        lr.copy(catalogTable = Some(ct.copy(stats = Some(stats))))
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(session, rewritten)
+  }
+
+  /** Drop a pinned Dataset's checkpoint blocks from the block manager
+    * (no-op for non-pinned plans). A local checkpoint's blocks
+    * otherwise live until the RDD object is GC'd and the
+    * ContextCleaner notices — this is the explicit seam for callers
+    * that know they are done with a pin. The blocks are the ONLY copy
+    * of the pinned data: the DataFrame must not be used afterwards. */
+  def releasePin(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
     }
 }
