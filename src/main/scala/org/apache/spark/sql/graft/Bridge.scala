@@ -44,10 +44,18 @@ object Bridge {
     * behavior) is the lesser evil and is kept. A measured size of
     * ZERO is a valid measurement (an empty pin) — clamped to 1 byte,
     * not discarded, so an empty join side stays statically
-    * broadcastable. The pin's inherited constraints (not-null facts
-    * etc.) are threaded through unchanged — only the statistics are
-    * replaced. Non-LogicalRDD plans pass through unchanged.
-    */
+    * broadcastable. Non-LogicalRDD plans pass through unchanged.
+    *
+    * The rebuilt node deliberately DROPS the pin's inherited
+    * constraint set (negative result, measured): threading
+    * `Some(r.constraints)` through let `InferFiltersFromConstraints`
+    * re-derive predicates onto both sides of the MinHash self-joins,
+    * re-evaluating kernel-priced expressions per joined copy —
+    * idle-box A/B at sf10, same session, dedup_minhash_oph:
+    * 108.8 s / 2637 CPU-s with constraints vs 75.9 s / 1285 CPU-s
+    * without (r15). The optimizer value of those constraints on an
+    * already-materialized pin is a pruned re-filter at best; the cost
+    * was a doubled suite kernel. */
   def measuredPinStats(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.queryExecution.logical match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
@@ -71,7 +79,7 @@ object Bridge {
             org.apache.spark.sql.catalyst.plans.logical.Statistics(sizeInBytes = b))
           val rebuilt = org.apache.spark.sql.execution.LogicalRDD(
             r.output, r.rdd, r.outputPartitioning, r.outputOrdering, r.isStreaming,
-            r.stream)(session, stats, Some(r.constraints))
+            r.stream)(session, stats, None) // constraints dropped — see scaladoc
           org.apache.spark.sql.classic.Dataset.ofRows(session, rebuilt)
         }
       case _ => df

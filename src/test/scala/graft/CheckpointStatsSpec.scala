@@ -28,19 +28,13 @@ class CheckpointStatsSpec extends SparkTestBase {
     } finally Checkpoints.release(pinned)
   }
 
-  test("pin keeps inherited constraints: an implied filter is pruned, not re-evaluated") {
-    val base = spark.range(100).toDF("k").filter(col("k") > 50)
-    val pinned = Checkpoints.pin(base)
-    try {
-      val again = pinned.filter(col("k") > 50) // implied by the pin's constraint set
-      val optimized = again.queryExecution.optimizedPlan
-      val hasFilter = optimized.collect {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
-      }.nonEmpty
-      assert(!hasFilter,
-        s"constraint-implied filter should be pruned (constraints lost?):\n$optimized")
-    } finally Checkpoints.release(pinned)
-  }
+  // NOTE deliberately ABSENT: a "pin keeps inherited constraints" test.
+  // Threading the origin constraint set through the stats rebuild was
+  // tried and REVERTED — InferFiltersFromConstraints re-derived
+  // kernel-priced predicates onto both sides of the MinHash self-joins
+  // (idle-box sf10 A/B: dedup_minhash_oph 108.8 s / 2637 CPU-s with
+  // constraints vs 75.9 s / 1285 CPU-s without; Bridge.measuredPinStats
+  // scaladoc records it). Pins drop constraints by design.
 
   test("empty eager pin is a small valid size, never unbroadcastable") {
     val empty = spark.range(100).toDF("k").filter(col("k") < 0)
