@@ -31,7 +31,8 @@ import java.util.concurrent.ConcurrentHashMap
   */
 final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
                         blobRoot: Option[String] = None,
-                        sinkMaxAgeSeconds: Long = 10) {
+                        sinkMaxAgeSeconds: Long = 10,
+                        oauth: Option[OAuthClient] = None) {
 
   val catalog = new GraftCatalog(spark, s"$root/warehouse")
   /** Rotated-batch staging area. A URI root (s3a://bucket/prefix, …)
@@ -173,6 +174,11 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
             case None => redirect(ex, 307, "/login")
             case Some(_) => handleConnPages(ex, method, p)
           }
+        case ("GET", "/login") if oauth.isDefined =>
+          // reference Login (auth.go:84-87): redirect straight to the
+          // provider's consent URL with a fresh state nonce
+          redirect(ex, 307, oauth.get.authCodeUrl(
+            java.util.UUID.randomUUID().toString))
         case ("GET", "/login") =>
           respond(ex, 200, Sessions.loginHtml.replace("__FLASH__", ""),
             "text/html; charset=utf-8")
@@ -180,6 +186,8 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
         // same exchange behind the reference's callback route shape
         // (GET /oauth/{provider}/callback — auth.go:146-193)
         case ("GET", "/oauth/local/callback") => handleOauthCallback(ex)
+        case ("GET", "/oauth/google/callback") if oauth.isDefined =>
+          handleProviderCallback(ex)
         case ("GET", "/logout") =>
           // reference Logout (auth.go:137-144): expire every cookie,
           // redirect to the login page
@@ -537,6 +545,33 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   private def handleOauthCallback(ex: HttpExchange): Unit = {
     val params = queryParams(ex)
     loginWith(ex, params.getOrElse("email", ""), params.getOrElse("code", ""))
+  }
+
+  /** The reference's OAuthCallback (auth.go:146-193) against a REAL
+    * provider: exchange the code at the token endpoint, fetch the
+    * userinfo email with the bearer token, get-or-create the user row
+    * (source "google", raw userinfo persisted as details), mint the
+    * 7-day user_id JWT, set the HttpOnly cookie, land on /dashboard.
+    * Any failure in the exchange is a failed login — back to /login,
+    * no cookie, never a 500 (the provider is an external system). */
+  private def handleProviderCallback(ex: HttpExchange): Unit = {
+    val code = queryParams(ex).getOrElse("code", "")
+    val session = for {
+      client <- oauth
+      token <- client.exchange(code)
+      (email, raw) <- client.userEmail(token)
+    } yield meta.createUser(email, "google", raw)
+    session match {
+      case Some(uid) =>
+        val token = webSessions.mint(uid, System.currentTimeMillis())
+        ex.getResponseHeaders.add("Set-Cookie", s"jwt=$token; HttpOnly; Path=/")
+        redirect(ex, 303, "/dashboard")
+      case None =>
+        // NOT a /login redirect: with a provider configured /login
+        // bounces straight back to the consent URL and a persistently
+        // bad code would loop the browser
+        respond(ex, 401, """{"error": "login failed"}""", "application/json")
+    }
   }
 
   private def redirect(ex: HttpExchange, code: Int, to: String): Unit = {
