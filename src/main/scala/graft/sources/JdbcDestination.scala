@@ -28,21 +28,23 @@ final class JdbcDestination(spark: SparkSession, url: String) {
     df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
   }
 
-  def append(table: String, df: DataFrame): Unit = {
-    // Spark's JDBC writer QUOTES every column it creates, which pins
-    // the exact case and breaks unquoted follow-up SQL on engines that
-    // fold identifiers. Pre-fold the names to the engine's unquoted
-    // form (JDBC metadata says which way it folds) so quoted-create ==
-    // unquoted-reference.
+  /** Spark's JDBC writer QUOTES every column it creates, which pins
+    * the exact case and breaks unquoted follow-up SQL on engines that
+    * fold identifiers. Pre-fold the names to the engine's unquoted
+    * form (JDBC metadata says which way it folds) so quoted-create ==
+    * unquoted-reference. */
+  private def foldIdentifiers(df: DataFrame): DataFrame = {
     val (upper, lower) = withConn { c =>
       (c.getMetaData.storesUpperCaseIdentifiers,
         c.getMetaData.storesLowerCaseIdentifiers)
     }
-    val normalized =
-      if (upper) df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
-      else if (lower) df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
-      else df
-    normalized.write.mode("append").format("jdbc")
+    if (upper) df.toDF(df.columns.map(_.toUpperCase).toIndexedSeq: _*)
+    else if (lower) df.toDF(df.columns.map(_.toLowerCase).toIndexedSeq: _*)
+    else df
+  }
+
+  def append(table: String, df: DataFrame): Unit = {
+    foldIdentifiers(df).write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table).save()
   }
 
@@ -106,12 +108,10 @@ final class JdbcDestination(spark: SparkSession, url: String) {
     * custom protocol. 10k rows/round-trip against the reference's
     * unbounded single batch: bounded memory per executor, N partitions
     * writing in parallel vs the reference's one. */
-  def appendBatched(table: String, df: DataFrame, batchSize: Int = 10000): Unit = {
-    val normalized = df // same identifier folding as append
-    normalized.write.mode("append").format("jdbc")
+  def appendBatched(table: String, df: DataFrame, batchSize: Int = 10000): Unit =
+    foldIdentifiers(df).write.mode("append").format("jdbc")
       .option("url", url).option("dbtable", table)
       .option("batchsize", batchSize.toString).save()
-  }
 
   /** Backend-native bulk load (SURVEY "missing" #1): stage the batch
     * as parallel NDJSON parts on the backend's blob store, then issue
