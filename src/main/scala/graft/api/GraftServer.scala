@@ -32,7 +32,20 @@ import java.util.concurrent.ConcurrentHashMap
 final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
                         blobRoot: Option[String] = None,
                         sinkMaxAgeSeconds: Long = 10,
-                        oauth: Option[OAuthClient] = None) {
+                        oauth: Option[OAuthClient] = None,
+                        oauthProviders: Map[String, OAuthClient] = Map.empty) {
+
+  /** Named identity providers behind the reference's
+    * `/oauth/{provider}/callback` route shape (pkg/api/router.go:76):
+    * a second IdP is a map entry, not a code change. The legacy
+    * single-client `oauth` parameter keeps its meaning as the
+    * "google" provider; the first provider (insertion order, `oauth`
+    * first) is where GET /login sends the browser. */
+  private val providerSeq: Seq[(String, OAuthClient)] = {
+    val all = oauth.map("google" -> _).toSeq ++ oauthProviders.toSeq
+    all.map(_._1).distinct.map(n => n -> all.collectFirst {
+      case (`n`, c) => c }.get)
+  }
 
   val catalog = new GraftCatalog(spark, s"$root/warehouse")
   /** Rotated-batch staging area. A URI root (s3a://bucket/prefix, …)
@@ -174,20 +187,33 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
             case None => redirect(ex, 307, "/login")
             case Some(_) => handleConnPages(ex, method, p)
           }
-        case ("GET", "/login") if oauth.isDefined =>
+        case ("GET", "/login") if providerSeq.nonEmpty =>
           // reference Login (auth.go:84-87): redirect straight to the
-          // provider's consent URL with a fresh state nonce
-          redirect(ex, 307, oauth.get.authCodeUrl(
-            java.util.UUID.randomUUID().toString))
+          // provider's consent URL with a fresh state nonce. Unlike
+          // the reference (which comments the check out at
+          // auth.go:149), the nonce is PERSISTED in a short-TTL
+          // HttpOnly cookie and the callback rejects a mismatch —
+          // without this, sessions are minted behind a login an
+          // attacker can drive (login CSRF / session fixation).
+          val state = java.util.UUID.randomUUID().toString
+          ex.getResponseHeaders.add("Set-Cookie",
+            s"oauth_state=$state; HttpOnly; Path=/; Max-Age=600; SameSite=Lax")
+          redirect(ex, 307, providerSeq.head._2.authCodeUrl(state))
         case ("GET", "/login") =>
           respond(ex, 200, Sessions.loginHtml.replace("__FLASH__", ""),
             "text/html; charset=utf-8")
         case ("POST", "/login") => handleLogin(ex)
         // same exchange behind the reference's callback route shape
-        // (GET /oauth/{provider}/callback — auth.go:146-193)
+        // (GET /oauth/{provider}/callback — auth.go:146-193): the
+        // provider is a PATH PARAMETER resolved against the configured
+        // map, exactly the reference's router shape
         case ("GET", "/oauth/local/callback") => handleOauthCallback(ex)
-        case ("GET", "/oauth/google/callback") if oauth.isDefined =>
-          handleProviderCallback(ex)
+        case ("GET", p) if p.startsWith("/oauth/") && p.endsWith("/callback") =>
+          val name = p.stripPrefix("/oauth/").stripSuffix("/callback")
+          providerSeq.collectFirst { case (`name`, c) => c } match {
+            case Some(client) => handleProviderCallback(ex, client)
+            case None => respond(ex, 404, "unknown oauth provider", "text/plain")
+          }
         case ("GET", "/logout") =>
           // reference Logout (auth.go:137-144): expire every cookie,
           // redirect to the login page
@@ -508,12 +534,15 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
   /** Some(userId) iff the jwt cookie verifies AND the user still
     * exists (the reference re-fetches the user on every request —
     * auth.go:107-113). */
-  private def sessionUser(ex: HttpExchange): Option[Long] = {
-    val cookies = Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
-    cookies.split(";").iterator.map(_.trim.split("=", 2))
-      .collectFirst { case Array("jwt", v) => v }
+  private def sessionUser(ex: HttpExchange): Option[Long] =
+    cookieValue(ex, "jwt")
       .flatMap(webSessions.verify(_, System.currentTimeMillis()))
       .filter(uid => meta.getUser(uid).isDefined)
+
+  private def cookieValue(ex: HttpExchange, name: String): Option[String] = {
+    val cookies = Option(ex.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+    cookies.split(";").iterator.map(_.trim.split("=", 2))
+      .collectFirst { case Array(`name`, v) => v }
   }
 
   /** Local identity exchange: email + a valid API key for this server
@@ -554,10 +583,26 @@ final class GraftServer(spark: SparkSession, root: String, workerCount: Int = 2,
     * 7-day user_id JWT, set the HttpOnly cookie, land on /dashboard.
     * Any failure in the exchange is a failed login — back to /login,
     * no cookie, never a 500 (the provider is an external system). */
-  private def handleProviderCallback(ex: HttpExchange): Unit = {
-    val code = queryParams(ex).getOrElse("code", "")
+  private def handleProviderCallback(ex: HttpExchange, client: OAuthClient): Unit = {
+    val params = queryParams(ex)
+    // state check FIRST, before any provider round-trip: the returned
+    // `state` must equal the nonce /login stored in the browser's
+    // short-TTL cookie. Absent or mismatched → fail closed with no
+    // exchange attempted — a cross-site-delivered code (login CSRF)
+    // never reaches the token endpoint. The reference skips this
+    // (auth.go:149 is commented out); we gate real sessions behind
+    // this login, so the ~10-line check is taken.
+    val returned = params.getOrElse("state", "")
+    val expected = cookieValue(ex, "oauth_state").getOrElse("")
+    // the nonce is single-use either way: expire the cookie now
+    ex.getResponseHeaders.add("Set-Cookie",
+      "oauth_state=; HttpOnly; Path=/; Max-Age=0")
+    if (returned.isEmpty || expected.isEmpty || returned != expected) {
+      respond(ex, 401, """{"error": "state mismatch"}""", "application/json")
+      return
+    }
+    val code = params.getOrElse("code", "")
     val session = for {
-      client <- oauth
       token <- client.exchange(code)
       (email, raw) <- client.userEmail(token)
     } yield meta.createUser(email, "google", raw)

@@ -1059,15 +1059,33 @@ object Dedup {
     // verdict is a pure function of the signature, so it fans back out
     // to every member. Bit-identical output. The group rep (__rep =
     // min id sharing the signature) is attached by one window INSIDE
-    // the pinned pass, so the ~1 KB/doc signature stream is exchanged
-    // exactly once; the fan-out at the end joins 16 B/row (id, __rep)
-    // against the rep-level verdict instead of re-shuffling the full
-    // stream by the signature array — the cost the multi-executor
-    // sf10 probe billed as incremental's 1.77× cross-JVM gap.
+    // the pinned pass.
+    //
+    // The pin is SLIM (r16, the last r15 `weak` item): only the rep
+    // row of each signature group keeps its ~1 KB array — duplicate
+    // members carry NULL — so the pinned blocks every later stage
+    // re-reads (cross-JVM on a real cluster) shrink from 1 KB/doc to
+    // 1 KB/distinct + 16 B/doc; and the pin lands PRE-PARTITIONED by
+    // __rep (explicit repartition, same AQE-coalesce exemption as
+    // [[bySignature]]) and DECLARES that partitioning through the
+    // LogicalRDD, so if the rep-level verdict ever outgrows the
+    // broadcast fallback the fan-out join reuses this exchange
+    // instead of re-shuffling the batch. The __rep exchange replaces
+    // the old plan's implicit reliance on the (unusable-for-__rep)
+    // signature partitioning and carries mostly-16 B rows.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("signature")
-    val inSigs = graft.util.Checkpoints.pin(
+    val nParts = math.max(1, scala.util.Try(
+      incoming.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(incoming.sparkSession.sparkContext.defaultParallelism))
+    val slimPinned = graft.util.Checkpoints.pin(
       bySignature(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
-        .withColumn("__rep", min(col(idCol)).over(w)))
+        .withColumn("__rep", min(col(idCol)).over(w))
+        .select(col(idCol), col("__rep"),
+          when(col(idCol) === col("__rep"), col("signature")).as("signature"))
+        .repartition(nParts, col("__rep")))
+    val inSigs = scala.util.Try(
+      org.apache.spark.sql.graft.Bridge.declareHashPartitioning(
+        slimPinned, Seq("__rep"), nParts)).getOrElse(slimPinned)
     val repSigs = inSigs.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col("signature"))
     val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))

@@ -91,9 +91,21 @@ object BulkLoad {
     * staged parts. */
   def bigqueryLoad(table: String, columns: Seq[(String, String)],
                    partUris: Seq[String]): String = {
-    val cols = columns.map { case (n, t) => s"`$n` ${bqType(t)}" }.mkString(", ")
+    val cols = columns.map { case (n, t) => s"${bqIdent(n)} ${bqType(t)}" }.mkString(", ")
     val uris = partUris.map(u => q(gsUri(u))).mkString(", ")
-    s"LOAD DATA INTO $table ($cols) FROM FILES ( format = 'JSON', uris = [$uris] )"
+    s"LOAD DATA INTO ${bqIdent(table)} ($cols) FROM FILES ( format = 'JSON', uris = [$uris] )"
+  }
+
+  /** BigQuery identifier: backtick-quoted, with backticks/control
+    * chars REJECTED rather than escaped — column names arrive from
+    * user-ingested JSON schemas, so this is an injection boundary
+    * exactly like [[ident]] on the Redshift arm. The whole dotted
+    * `project.dataset.table` path quotes as one identifier, which
+    * BigQuery accepts. */
+  private def bqIdent(s: String): String = {
+    require(s.nonEmpty && !s.contains('`') && !s.contains('\\') &&
+      !s.exists(c => c < ' '), s"unsafe identifier: $s")
+    "`" + s + "`"
   }
 
   /** The reference's jsonType→BQ mapping (bigquery jsonTypeToBQType):

@@ -490,20 +490,12 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val fs = fsOf(data)
     fs.mkdirs(data)
     val marker = new HPath(commitsDir(db, table), s"$key.json")
-    // retry of a COMPLETED earlier attempt: back its stats contribution
-    // (recorded in the marker) out of stats.json before uncommitting,
-    // so the republish's re-add below cannot double-count
-    if (exists(marker)) {
-      import graft.functions.JValue._
-      readJson(marker) match {
-        case o: JObj =>
-          def num(k: String) = o.get(k).collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
-          val (tr, tb) = tableStats(db, table).getOrElse((0L, 0L))
-          if (num("rows") != 0L || num("bytes") != 0L)
-            writeStats(db, table, tr - num("rows"), tb - num("bytes"))
-        case _ => ()
-      }
-    }
+    // retry of a COMPLETED earlier attempt: the old marker's stats
+    // contribution is NOT arithmetically backed out — the stats update
+    // below goes through the recompute-from-markers arm whenever the
+    // key set changed in any way this driver didn't witness, and a
+    // same-key republish is exactly that case
+    val isRetry = exists(marker)
     fs.delete(marker, false) // retry: uncommit before touching files
     committedCache.remove(db + "/" + table)
     val prefix = key + "-"
@@ -521,18 +513,21 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       relativeTo(data, dest)
     }
     fs.mkdirs(commitsDir(db, table))
-    // Measured stats: the batch's footer totals ride IN the marker so
-    // a redelivered job is idempotent here too — the retry path above
-    // already read the old marker's contribution out of stats.json
-    // before uncommitting it (see the top of this method).
+    // Measured stats: the batch's footer totals ride IN the marker, so
+    // the marker set is always a complete ledger of post-rewrite
+    // contributions — stats.json is DERIVED state the update below
+    // (and any reader) can recompute from it.
     val (bRows, bBytes) = try footerStats(published.map(new HPath(data, _)))
     catch { case _: Exception => (0L, 0L) } // stats are advisory
-    val (tRows, tBytes) = tableStats(db, table).getOrElse((0L, 0L))
-    writeStats(db, table, tRows + bRows, tBytes + bBytes)
     writeString(marker,
       published.map(quote).mkString("""{"files":[""", ",", """],""") +
         s""""rows":$bRows,"bytes":$bBytes}""")
     committedCache.remove(db + "/" + table)
+    // stats AFTER the commit marker: the marker is the ground truth
+    // the ksum check below verifies against, so it must be listable
+    // before stats claim to cover it
+    try updateStatsAfterPublish(db, table, key, bRows, bBytes, isRetry)
+    catch { case _: Exception => () } // stats are advisory
     // best-effort staging cleanup (stray _SUCCESS/_temporary markers)
     try fs.delete(stage, true) catch { case _: Exception => () }
   }
@@ -552,10 +547,15 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
   // FOOTERS of committed files — driver-side metadata reads, a few ms
   // per batch — and [[read]] installs them as table-level statistics.
   // The numbers are exact under normal operation (footers are the
-  // ground truth for what was published), ADVISORY after a crash
-  // between file publish and stats commit, and fully HEALED by any
-  // rewrite ([[compact]]/[[cluster]] recompute them from the new
-  // generation's footers from scratch).
+  // ground truth for what was published). stats.json is DERIVED
+  // state over two primaries — the last rewrite's base totals and
+  // the commit markers' per-batch (rows, bytes) — and records the
+  // XOR fingerprint (`ksum`) of the marker keys it covers, so a read
+  // that finds the fingerprint stale (another DRIVER appended; a
+  // crash landed between marker and stats; a concurrent write lost an
+  // increment) recomputes from the markers and heals the sidecar in
+  // place. Any rewrite ([[compact]]/[[cluster]]) resets a clean base
+  // from the new generation's footers from scratch.
 
   /** (rows, decodedBytes) summed over the files' parquet footers.
     * `getTotalByteSize` is the encoded-uncompressed block size — not
@@ -576,22 +576,130 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
 
   /** Measured (rows, decodedBytes) of the table, if the catalog has
     * published stats for it (tables written before r15 have none
-    * until their next rewrite). */
-  def tableStats(db: String, table: String): Option[(Long, Long)] = {
+    * until their next rewrite).
+    *
+    * CROSS-DRIVER SAFE since r16: stats.json records the XOR-hash
+    * (`ksum`) of the marker-key set it covers, plus the last rewrite's
+    * base totals. The read verifies the stored ksum against the LIVE
+    * committed-key set (O(1) via the mtime-cached [[committedKeys]]);
+    * a mismatch — another driver published, a lost RMW increment, a
+    * crash between marker and stats — triggers a recompute from the
+    * markers' own per-batch (rows, bytes) ledger and a heal-write.
+    * The only surviving skew is a pre-r16 legacy stats file (no ksum
+    * to verify, served as-is) and pre-r15 markers without (rows,
+    * bytes) fields (undercount → at worst an over-broadcast-AVOIDING
+    * error); both heal permanently at the next rewrite. */
+  def tableStats(db: String, table: String): Option[(Long, Long)] =
+    tableStats(db, table, None)
+
+  /** `knownKeys`: a committed-key set the caller just listed (strict
+    * reads), saving the verification pass its own LIST. */
+  private def tableStats(db: String, table: String,
+                         knownKeys: Option[Set[String]]): Option[(Long, Long)] =
+    readStatsFile(db, table).map {
+      case (rows, bytes, _, _, None) => (rows, bytes) // legacy, unverifiable
+      case (rows, bytes, baseR, baseB, Some(ks)) =>
+        val keys = knownKeys.getOrElse(committedKeys(db, table))
+        if (ks == ksumOf(keys)) (rows, bytes)
+        else {
+          val (mr, mb) = sumMarkers(db, table, keys)
+          val healed = (math.max(0L, baseR + mr), math.max(0L, baseB + mb))
+          try writeStats(db, table, healed._1, healed._2, baseR, baseB,
+            Some(ksumOf(keys)))
+          catch { case _: Exception => () } // advisory — serve it anyway
+          healed
+        }
+    }
+
+  /** Raw stats sidecar: (rows, bytes, baseRows, baseBytes, ksum).
+    * `base*` are the last rewrite's footer totals — the contribution
+    * NOT represented by any commit marker; `ksum` is the XOR of
+    * [[keyHash]] over the marker keys the totals cover (absent in
+    * pre-r16 files). */
+  private def readStatsFile(db: String, table: String)
+      : Option[(Long, Long, Long, Long, Option[Long])] = {
     import graft.functions.JValue._
     val f = statsFile(db, table)
     if (!exists(f)) None
     else readJson(f) match {
       case o: JObj =>
         def num(k: String) = o.get(k).collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
-        Some((num("rows"), num("bytes")))
+        val ksum = o.get("ksum").collect { case JStr(h) =>
+          java.lang.Long.parseUnsignedLong(h, 16) }
+        Some((num("rows"), num("bytes"), num("base_rows"), num("base_bytes"), ksum))
       case _ => None
     }
   }
 
-  private def writeStats(db: String, table: String, rows: Long, bytes: Long): Unit =
+  private def writeStats(db: String, table: String, rows: Long, bytes: Long,
+                         baseRows: Long, baseBytes: Long,
+                         ksum: Option[Long]): Unit = {
+    val tail = ksum.map(k =>
+      s""","base_rows":${math.max(0L, baseRows)},"base_bytes":${math.max(0L, baseBytes)},"ksum":"${java.lang.Long.toHexString(k)}"""").getOrElse("")
     writeString(statsFile(db, table),
-      s"""{"rows":${math.max(0L, rows)},"bytes":${math.max(0L, bytes)}}""")
+      s"""{"rows":${math.max(0L, rows)},"bytes":${math.max(0L, bytes)}$tail}""")
+  }
+
+  /** FNV-1a 64 over the key string — stable across JVMs (stats files
+    * outlive drivers), unlike String.hashCode's 32 bits. */
+  private def keyHash(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Order-independent set fingerprint: XOR of key hashes (empty set
+    * → 0, matching a fresh-rewrite stats file with no markers). */
+  private def ksumOf(keys: Set[String]): Long =
+    keys.foldLeft(0L)((acc, k) => acc ^ keyHash(k))
+
+  /** Σ (rows, bytes) over the given markers' recorded footer totals —
+    * the O(|markers|) recompute arm; only runs on retry or when
+    * another driver's publish made the incremental value stale. */
+  private def sumMarkers(db: String, table: String,
+                         keys: Set[String]): (Long, Long) = {
+    import graft.functions.JValue._
+    var rows = 0L; var bytes = 0L
+    keys.foreach { k =>
+      try readJson(new HPath(commitsDir(db, table), s"$k.json")) match {
+        case o: JObj =>
+          def num(f: String) = o.get(f).collect { case JNum(raw) => raw.toLong }.getOrElse(0L)
+          rows += num("rows"); bytes += num("bytes")
+        case _ => ()
+      } catch { case _: Exception => () } // marker raced away: advisory
+    }
+    (rows, bytes)
+  }
+
+  /** The publish-side stats update (called AFTER the marker commit,
+    * under this driver's table lock). Fast path: if the prior stats
+    * file covered exactly the pre-publish key set (ksum check) and
+    * this is not a same-key retry, increment. Anything else — another
+    * driver's marker landed, a retry replaced a key's contribution, a
+    * legacy/missing file — recomputes from the marker ledger, which
+    * by construction includes every concurrent publisher's committed
+    * batch. Two drivers racing this write can still last-writer-win a
+    * stale VALUE, but never a stale value with a CURRENT ksum, so the
+    * next [[tableStats]] read detects and heals it. */
+  private def updateStatsAfterPublish(db: String, table: String, key: String,
+                                      bRows: Long, bBytes: Long,
+                                      isRetry: Boolean): Unit = {
+    val keys = committedKeys(db, table)
+    readStatsFile(db, table) match {
+      case Some((r, b, baseR, baseB, Some(ks)))
+          if !isRetry && ks == (ksumOf(keys) ^ keyHash(key)) =>
+        writeStats(db, table, r + bRows, b + bBytes, baseR, baseB, Some(ksumOf(keys)))
+      case Some((r, b, _, _, None)) =>
+        // legacy pre-r16 file: base unknowable, keep incrementing
+        // unverified until the next rewrite installs a clean v2 base
+        writeStats(db, table, r + bRows, b + bBytes, 0L, 0L, None)
+      case other =>
+        val (baseR, baseB) = other.map(t => (t._3, t._4)).getOrElse((0L, 0L))
+        val (mr, mb) = sumMarkers(db, table, keys)
+        writeStats(db, table, baseR + mr, baseB + mb, baseR, baseB, Some(ksumOf(keys)))
+    }
+  }
 
   /** Committed-key cache for strict reads: (dir mtime, time the list
     * ran, keys). A strict `read` at 10⁵ accumulated batches would
@@ -601,12 +709,16 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     * changed. Invalidation is belt-and-braces: driver-local writers
     * ([[publishStage]], [[rewriteData]]) drop the entry directly;
     * cross-driver writers are caught by the mtime probe. The cache is
-    * only SERVED when the recorded mtime is strictly older than the
-    * moment we listed — a marker landing in the same clock tick as the
-    * list could leave the mtime unchanged, so such entries re-list
-    * until the tick passes. Stores whose directory mtime is synthetic
-    * (S3A reports 0) never hit the cache — there `compact` (which
-    * clears all markers) is the lever that bounds marker count. */
+    * only SERVED when the recorded mtime is older than the moment we
+    * listed by at least `graft.commits.mtimeSlackMs` (default 2000 ms)
+    * — a marker landing in the same mtime GRANULE as the list would
+    * leave the mtime unchanged, and granularity is a property of the
+    * store (ms on ext4, a full second on some filesystems, plus NN
+    * clock skew on HDFS), so "strictly older" with this driver's ms
+    * clock is not enough: such entries re-list until the granule
+    * passes. Stores whose directory mtime is synthetic (S3A reports 0)
+    * never hit the cache — there `compact` (which clears all markers)
+    * is the lever that bounds marker count. */
   private val committedCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
   /** Test seam: count of full `commits/` LISTs actually performed. */
@@ -620,8 +732,11 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
              catch { case _: java.io.FileNotFoundException => return Set.empty }
     val ck = db + "/" + table
     val mtime = st.getModificationTime
+    val slackMs = scala.util.Try(
+      spark.conf.get("graft.commits.mtimeSlackMs").toLong).getOrElse(2000L)
     val cached = committedCache.get(ck)
-    if (cached != null && mtime > 0 && cached._1 == mtime && cached._1 < cached._2)
+    if (cached != null && mtime > 0 && cached._1 == mtime &&
+        cached._2 - cached._1 > slackMs)
       return cached._3
     commitListCalls.incrementAndGet()
     val listedAt = System.currentTimeMillis()
@@ -645,10 +760,12 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
     val data = dataDir(db, table)
     val strict = spark.conf.getOption("graft.warehouse.strictCommits")
       .exists(_.equalsIgnoreCase("true"))
+    var strictKeys: Option[Set[String]] = None
     val files =
       if (!strict) if (hasData(db, table)) Seq(data.toString) else Nil
       else {
         val committed = committedKeys(db, table)
+        strictKeys = Some(committed)
         // append batches publish as <32-hex-key>-<n>.parquet; anything
         // else in the generation came from a rewrite job and was
         // committed atomically by the gen.json flip
@@ -668,7 +785,7 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       // install measured statistics (decoded bytes + row count from the
       // publish-time footers) so size-based planning — broadcast above
       // all — decides on true bytes, not the compressed file size
-      tableStats(db, table) match {
+      tableStats(db, table, strictKeys) match {
         case Some((rows, bytes)) if bytes > 0 =>
           scala.util.Try(org.apache.spark.sql.graft.Bridge.withTableStats(
             df, db, table, BigInt(bytes), Some(BigInt(rows)))).getOrElse(df)
@@ -756,7 +873,10 @@ final class GraftCatalog(val spark: SparkSession, val root: String) {
       val nextFiles = parquetFiles(next)
       // stats heal-point: recompute from the new generation's footers
       // from scratch (crash-skewed increments from past appends die here)
-      try { val (r, b) = footerStats(nextFiles); writeStats(db, table, r, b) }
+      // markers were just cleared → the new base covers everything and
+      // the covered-key fingerprint is the empty set's (0)
+      try { val (r, b) = footerStats(nextFiles)
+            writeStats(db, table, r, b, r, b, Some(0L)) }
       catch { case _: Exception => () } // advisory
       (parts.length, nextFiles.length)
     }

@@ -125,6 +125,13 @@ final class JdbcDestination(spark: SparkSession, url: String) {
                  stagingUri: String, credentials: String = "",
                  schemaName: String = "public",
                  exec: Option[String => Unit] = None): BulkLoad.Staged = {
+    // `table` is both a staging PATH component and an identifier in
+    // the native statement — validate before either use (a name like
+    // `../x` or one carrying quotes/backticks is an escape on one
+    // surface or the other). Dots stay legal: BigQuery tables are
+    // dotted `project.dataset.table` paths.
+    require(table.nonEmpty && table.matches("[A-Za-z0-9_.$-]+") &&
+      !table.contains(".."), s"unsafe table name: $table")
     val batchId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staged = BulkLoad.stage(df, stagingUri, table, batchId)
     val stmt = dialect.toLowerCase match {

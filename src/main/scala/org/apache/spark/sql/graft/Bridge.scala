@@ -85,6 +85,43 @@ object Bridge {
       case _ => df
     }
 
+  /** Declare a pinned Dataset's TRUE hash partitioning to the planner.
+    *
+    * `localCheckpoint` preserves the physical row layout partition by
+    * partition, but (measured, r16) the resulting LogicalRDD reaches
+    * the optimizer with `UnknownPartitioning` under AQE — so a later
+    * join on the very key the caller just `repartition(n, key)`-ed by
+    * pays a full re-exchange of the pinned stream. Callers that KNOW
+    * the pin was materialized straight out of a hash exchange declare
+    * it here; the claim is truthful by construction (same Murmur3
+    * hash, same modulus that Spark's own exchange used), so
+    * EnsureRequirements plans join sides against it soundly. Columns
+    * that don't resolve (or a non-pinned plan) pass through unchanged
+    * — the declaration is advisory, never load-bearing for
+    * correctness. */
+  def declareHashPartitioning(df: org.apache.spark.sql.DataFrame,
+                              colNames: Seq[String],
+                              numPartitions: Int): org.apache.spark.sql.DataFrame =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        val attrs = colNames.flatMap(n => r.output.find(_.name == n))
+        if (attrs.size != colNames.size || numPartitions <= 0) df
+        else {
+          val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          val part = org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+            attrs, numPartitions)
+          // carry forward whatever statistics the pin already installed
+          // (measured size from measuredPinStats, or the stripped
+          // default) — .stats reads them off the existing node
+          val stats = Some(df.queryExecution.optimizedPlan.stats)
+          val rebuilt = org.apache.spark.sql.execution.LogicalRDD(
+            r.output, r.rdd, part, r.outputOrdering, r.isStreaming,
+            r.stream)(session, stats, None)
+          org.apache.spark.sql.classic.Dataset.ofRows(session, rebuilt)
+        }
+      case _ => df
+    }
+
   /** Install MEASURED table-level statistics on a file-relation scan.
     *
     * A raw parquet scan's planner estimate is the COMPRESSED file

@@ -4,6 +4,62 @@ import graft.sources.{BulkLoad, JdbcDestination}
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 
+/** PUT-at-close object-store semantics over the local FS: a file
+  * created through this scheme is INVISIBLE at its final path until
+  * the writer's close() — bytes accumulate at a hidden in-flight path
+  * and land via one rename, the all-or-nothing contract of an S3/GCS
+  * PUT. Used to assert [[BulkLoad.stage]]'s commit ORDER (manifest
+  * strictly after all parts durable), which plain local-FS tests
+  * can't distinguish from luck. */
+class MockPutFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  import org.apache.hadoop.fs.{FSDataOutputStream, Path}
+  override def getUri: java.net.URI = java.net.URI.create("mockput://bucket/")
+
+  private def putAtClose(f: Path, open: Path => FSDataOutputStream): FSDataOutputStream = {
+    val tmp = new Path(f.getParent, s".inflight-${f.getName}")
+    val out = open(tmp)
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = out.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = out.write(b, off, len)
+      override def flush(): Unit = out.flush()
+      override def close(): Unit = {
+        out.close() // durable first...
+        MockPutFileSystem.this.delete(f, false)
+        if (!MockPutFileSystem.this.rename(tmp, f)) // ...then visible
+          throw new java.io.IOException(s"PUT publish failed: $tmp -> $f")
+      }
+    }, null)
+  }
+
+  override def create(f: Path, permission: org.apache.hadoop.fs.permission.FsPermission,
+                      overwrite: Boolean, bufferSize: Int, replication: Short,
+                      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : FSDataOutputStream =
+    putAtClose(f, t => super.create(t, permission, true, bufferSize,
+      replication, blockSize, progress))
+
+  // RawLocalFileSystem short-circuits this overload straight to an
+  // in-place stream (it never reaches the permission variant above) —
+  // without this override the final path is visible EMPTY mid-write
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: org.apache.hadoop.util.Progressable)
+      : FSDataOutputStream =
+    putAtClose(f, t => super.create(t, true, bufferSize, replication,
+      blockSize, progress))
+
+  override def createNonRecursive(f: Path,
+                                  permission: org.apache.hadoop.fs.permission.FsPermission,
+                                  flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+                                  bufferSize: Int, replication: Short, blockSize: Long,
+                                  progress: org.apache.hadoop.util.Progressable)
+      : FSDataOutputStream =
+    putAtClose(f, t => super.createNonRecursive(t, permission,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      bufferSize, replication, blockSize, progress))
+}
+
 /** Backend-native bulk-load paths (reference redshift/insert.go:80-140,
   * bigquery/insert.go:181-211): everything the zero-egress container
   * CAN verify — distributed NDJSON staging that round-trips, a
@@ -61,9 +117,25 @@ class BulkLoadSpec extends SparkTestBase {
       Seq("k" -> "int", "score" -> "float", "flag" -> "bool",
         "ts" -> "timestamp", "s" -> "string"),
       Seq("gs://b/stage/events/b1/part-0.json", "gs://b/stage/events/b1/part-1.json"))
-    assert(sql == "LOAD DATA INTO ds.events (`k` INT64, `score` FLOAT64, `flag` BOOL, " +
+    assert(sql == "LOAD DATA INTO `ds.events` (`k` INT64, `score` FLOAT64, `flag` BOOL, " +
       "`ts` TIMESTAMP, `s` STRING) FROM FILES ( format = 'JSON', " +
       "uris = ['gs://b/stage/events/b1/part-0.json', 'gs://b/stage/events/b1/part-1.json'] )")
+  }
+
+  test("identifier injection is rejected on every native-statement surface") {
+    // BigQuery arm: backticks in a user-ingested column name would
+    // break out of the identifier — rejected, not passed through
+    intercept[IllegalArgumentException] {
+      BulkLoad.bigqueryLoad("ds.events",
+        Seq("x` STRING) FROM FILES (uris=['gs://evil']); --" -> "string"), Seq("gs://b/p"))
+    }
+    intercept[IllegalArgumentException] {
+      BulkLoad.bigqueryLoad("ds.ev`nts", Seq("k" -> "int"), Seq("gs://b/p"))
+    }
+    // Redshift arm already routed through ident(); keep it pinned
+    intercept[IllegalArgumentException] {
+      BulkLoad.redshiftCopy("public", "t\";drop table x", "s3://m", "c")
+    }
   }
 
   test("bulkAppend: one native statement per batch, regardless of parts; unknown dialect refuses") {
@@ -82,11 +154,94 @@ class BulkLoadSpec extends SparkTestBase {
     // bigquery arm through the same seam
     issued.clear()
     dest.bulkAppend("events", sampleDf, "bigquery", root, exec = Some(issued += _))
-    assert(issued.size == 1 && issued.head.startsWith("LOAD DATA INTO events ("))
+    assert(issued.size == 1 && issued.head.startsWith("LOAD DATA INTO `events` ("))
     assert(issued.head.contains("`k` INT64") && issued.head.contains("`flag` BOOL"))
     intercept[IllegalArgumentException] {
       dest.bulkAppend("events", sampleDf, "sqlite", root, exec = Some(issued += _))
     }
+    // table doubles as a staging path component AND a statement
+    // identifier: both escape shapes refuse before any work
+    intercept[IllegalArgumentException] {
+      dest.bulkAppend("../escape", sampleDf, "redshift", root, exec = Some(issued += _))
+    }
+    intercept[IllegalArgumentException] {
+      dest.bulkAppend("ev`nts", sampleDf, "bigquery", root, exec = Some(issued += _))
+    }
+  }
+
+  test("object-store contract: a visible manifest never names missing parts") {
+    // VERDICT r15 #6: stage() writes the manifest LAST via fs.create —
+    // correct on PUT-at-close stores, asserted here over a scheme that
+    // ENFORCES put-at-close (invisible until close, then one rename).
+    // A concurrent reader polls the staging root the whole time: the
+    // instant any manifest is visible, every part it names must be
+    // fully visible too. Reordering stage()'s manifest write ahead of
+    // the part writes fails this test deterministically.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mockput.impl", classOf[MockPutFileSystem].getName)
+    val backing = Files.createTempDirectory("mockput-stage")
+    val root = s"mockput://bucket$backing/stage"
+    import org.apache.hadoop.fs.{Path => HPath}
+    val fs = new HPath(root).getFileSystem(hconf)
+
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failure = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val manifestsSeen = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => {
+      import graft.functions.JValue._
+      while (!stop.get() && failure.get() == null) {
+        try {
+          // manual recursive walk: listFiles() materializes
+          // LocatedFileStatus, whose lazy permission load rejects
+          // non-file URI schemes on RawLocalFileSystem
+          def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+            fs.listStatus(p).toSeq.flatMap { st =>
+              if (st.isDirectory) walk(st.getPath) else Seq(st) }
+          val it = walk(new HPath(root)).iterator
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName == "manifest.json") {
+              val in = fs.open(st.getPath)
+              val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+              if (body.isEmpty || !body.endsWith("]}")) {
+                failure.compareAndSet(null,
+                  s"torn/empty manifest visible at ${st.getPath} (len=${st.getLen}): '$body'")
+              } else {
+              val entries = graft.functions.JValue.parseObject(body)
+                .get("entries").collect { case JArr(es) => es }.getOrElse(Vector.empty)
+              if (entries.isEmpty) failure.compareAndSet(null,
+                s"visible manifest ${st.getPath} parsed empty: $body")
+              entries.foreach {
+                case e: JObj =>
+                  val url = e.get("url").collect { case JStr(u) => u }.get
+                  val p = new HPath(url)
+                  if (!fs.exists(p) || fs.getFileStatus(p).getLen == 0)
+                    failure.compareAndSet(null,
+                      s"manifest ${st.getPath} names missing/empty part $url")
+                case other => failure.compareAndSet(null, s"bad entry: $other")
+              }
+              manifestsSeen.incrementAndGet()
+              }
+            }
+          }
+        } catch {
+          case _: java.io.FileNotFoundException => () // listing raced a rename
+          case t: Throwable => failure.compareAndSet(null,
+            t.toString + "\n" + t.getStackTrace.take(8).mkString("\n"))
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 4).foreach { i =>
+        val staged = BulkLoad.stage(sampleDf, root, "events", s"b$i")
+        assert(staged.partUris.forall(_.startsWith("mockput://")),
+          "staging must run through the object-store scheme under test")
+      }
+      Thread.sleep(300) // let the reader sweep the final state too
+    } finally { stop.set(true); reader.join(10000) }
+    assert(failure.get() == null, String.valueOf(failure.get()))
+    assert(manifestsSeen.get() > 0, "the reader must actually have observed manifests")
   }
 
   test("appendBatched: the batched JDBC wire shape lands rows on a real engine") {

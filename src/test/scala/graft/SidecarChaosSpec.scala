@@ -95,10 +95,14 @@ class SidecarChaosSpec extends SparkTestBase {
     import spark.implicits._
     cat.append("db", "t", Seq(1, 2, 3).toDF("k"))
     spark.conf.set("graft.warehouse.strictCommits", "true")
+    // local fs mtime is ms-granular, so a 1 ms slack is sound HERE and
+    // lets the test settle fast; production keeps the 2 s default for
+    // coarse-mtime stores (see the granularity test below)
+    spark.conf.set("graft.commits.mtimeSlackMs", "1")
     try {
       cat.read("db", "t").count() // first strict read: lists and caches
-      // the same-tick guard can force one extra list while the dir
-      // mtime equals the list time — settle past the clock tick
+      // the same-granule guard can force extra lists while the list
+      // time sits within one slack window of the dir mtime — settle
       Thread.sleep(20)
       cat.read("db", "t").count()
       val settled = cat.commitListCalls.get()
@@ -110,6 +114,32 @@ class SidecarChaosSpec extends SparkTestBase {
       assert(cat.read("db", "t").count() == 4)
       assert(cat.commitListCalls.get() > settled,
         "a publish must force a fresh commits/ list")
+    } finally {
+      spark.conf.unset("graft.warehouse.strictCommits")
+      spark.conf.unset("graft.commits.mtimeSlackMs")
+    }
+  }
+
+  test("commits cache is never served inside the mtime-granularity window") {
+    // On a store with 1 s mtime granularity (or a skewed NameNode
+    // clock) a marker can land AFTER a list yet leave the directory
+    // mtime unchanged — the cache may only be trusted once the list
+    // time clears the mtime by the configured slack. With the default
+    // 2 s slack, every read in the first ~2 s after a publish must
+    // RE-LIST (and therefore see a marker that slipped in mtime-
+    // invisibly), not serve the cached key set.
+    val cat = newCatalog()
+    cat.ensureTable("db", "g")
+    cat.addColumns("db", "g", Map("k" -> "int"))
+    import spark.implicits._
+    cat.append("db", "g", Seq(1).toDF("k"))
+    spark.conf.set("graft.warehouse.strictCommits", "true")
+    try {
+      cat.read("db", "g").count() // lists, caches (listedAt ≈ mtime)
+      val before = cat.commitListCalls.get()
+      (1 to 3).foreach(_ => cat.read("db", "g").count())
+      assert(cat.commitListCalls.get() == before + 3,
+        "reads within the slack window must re-list, not trust the cache")
     } finally spark.conf.unset("graft.warehouse.strictCommits")
   }
 }

@@ -106,4 +106,47 @@ class TableStatsSpec extends SparkTestBase {
     assert(cat.read("db", "t").queryExecution.optimizedPlan.stats.rowCount.isEmpty ||
       cat.read("db", "t").queryExecution.optimizedPlan.stats.sizeInBytes == BigInt(b3))
   }
+
+  test("two drivers appending concurrently: stats converge to the sum of all markers") {
+    // The cross-driver story (ADVICE r15): each GraftCatalog instance
+    // has its OWN per-table lock, so two instances over one warehouse
+    // are two drivers — their stats.json read-modify-writes can race
+    // and last-writer-win a stale VALUE. The ksum fingerprint makes
+    // that loss detectable: the next tableStats read recomputes from
+    // the commit markers' per-batch ledger and heals the sidecar.
+    val tmp = Files.createTempDirectory("tstats3").toString
+    val catA = new GraftCatalog(spark, s"$tmp/warehouse")
+    val catB = new GraftCatalog(spark, s"$tmp/warehouse")
+    catA.ensureTable("db", "t")
+    catA.addColumns("db", "t", Map("k" -> "int"))
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(8)
+    val gate = new CountDownLatch(1)
+    val failures = new java.util.concurrent.atomic.AtomicInteger
+    (0 until 8).foreach { i =>
+      val cat = if (i % 2 == 0) catA else catB
+      pool.submit(new Runnable { def run(): Unit = {
+        gate.await()
+        try cat.append("db", "t", Seq(i * 10 + 1, i * 10 + 2).toDF("k"),
+          jobKey = Some(s"job-$i"))
+        catch { case _: Throwable => failures.incrementAndGet() }
+      }})
+    }
+    gate.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(failures.get() == 0, "all 8 concurrent appends must publish")
+    // ground truth: the marker ledger (8 jobs × 2 rows), and the data
+    assert(catA.read("db", "t").count() == 16)
+    // a FRESH catalog instance (third driver) must read healed stats
+    // equal to the sum of all markers, whatever the RMW races left
+    val catC = new GraftCatalog(spark, s"$tmp/warehouse")
+    val Some((rows, bytes)) = catC.tableStats("db", "t")
+    assert(rows == 16L, s"stats must equal the marker sum, got $rows")
+    assert(bytes > 0L)
+    // and the heal is durable: the sidecar itself now carries the sum
+    val Some((rows2, _)) = catA.tableStats("db", "t")
+    assert(rows2 == 16L)
+  }
 }
