@@ -1403,6 +1403,18 @@ object NativeExpressions {
     * RIGHT fold of squared component differences (the order engines'
     * list_sum uses, so the DuckDB oracle compares identical doubles);
     * ties break to the smallest code id, order-independently. */
+  /** Full element-wise id check for the packed-kernel unpack caches:
+    * true iff ids(i) == packed(i).id for every i (lengths already
+    * matched by the caller). */
+  private def sameIds(ids: Array[Long], a: ArrayData): Boolean = {
+    var i = 0
+    while (i < ids.length) {
+      if (ids(i) != a.getStruct(i, 2).getLong(0)) return false
+      i += 1
+    }
+    true
+  }
+
   case class PqEncodeBlock(cents: Expression, chunk: Expression, m: Int)
       extends BinaryExpression with CodegenFallback {
     override def left: Expression = cents
@@ -1417,9 +1429,9 @@ object NativeExpressions {
 
     private def ensureUnpacked(a: ArrayData): Unit = {
       val n = a.numElements()
-      if (ids != null && ids.length == n && (n == 0 ||
-        (ids(0) == a.getStruct(0, 2).getLong(0) &&
-         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      // Cache reuse requires FULL id equality (see NearDupBlock: a
+      // first/last guard can falsely match overlapping packed sets).
+      if (ids != null && ids.length == n && sameIds(ids, a)) return
       val idA = new Array[Long](n)
       val vA = new Array[Array[Double]](n)
       var i = 0
@@ -1576,8 +1588,9 @@ object NativeExpressions {
     * norms cached; value guard re-unpacks if the column ever
     * changes). Values are bit-identical to CosineSimilarity: same
     * sequential dot/norm accumulation, sqrt(na)·sqrt(nb) in the
-    * same order. Like the all-pairs operator itself, this is the
-    * correctness baseline — the LSH path is the 100 TB plan. */
+    * same order. Both the exact all-pairs arm and the LSH path run
+    * this kernel — they differ only in which packed sets meet (whole
+    * corpus vs per-bucket chunks). */
   case class NearDupBlock(all: Expression, chunk: Expression, threshold: Double)
       extends BinaryExpression with CodegenFallback {
     override def left: Expression = all
@@ -1593,9 +1606,14 @@ object NativeExpressions {
 
     private def ensureUnpacked(a: ArrayData): Unit = {
       val n = a.numElements()
-      if (ids != null && ids.length == n && (n == 0 ||
-        (ids(0) == a.getStruct(0, 2).getLong(0) &&
-         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      // Cache reuse requires FULL id equality: the LSH usage streams
+      // many different packed buckets through one expression instance,
+      // and buckets overlap across tables, so a (length, first, last)
+      // guard can falsely match two different member sets. A given id
+      // carries one vector within a query, so id equality implies
+      // vector equality; the O(n) scan is dim·|probe| cheaper than the
+      // kernel it guards.
+      if (ids != null && ids.length == n && sameIds(ids, a)) return
       val idA = new Array[Long](n)
       val vA = new Array[Array[Double]](n)
       val nA = new Array[Double](n)
@@ -1648,6 +1666,49 @@ object NativeExpressions {
         r: Expression): Expression = copy(all = l, chunk = r)
   }
 
+  /** Fused Hamming-verify kernel over two packed fingerprint chunks
+    * (plain array<long>, no struct wrapping): emits every (sh_a from
+    * probe, sh_b from all, popcount(xor)) with sh_b > sh_a and
+    * distance ≤ maxHamming. Same blocked shape as [[NearDupBlock]] —
+    * candidate pairs never exist as rows; the occupancy² popcount
+    * volume of a band bucket runs as one primitive loop per chunk
+    * pair and only verified near-pairs leave the kernel. The `sh_b >
+    * sh_a` orientation emits each unordered pair from exactly one of
+    * a chunk pair's two join rows (and once within a self-paired
+    * chunk). No unpack cache: toLongArray is the whole unpack. */
+  case class HammingPairsBlock(all: Expression, probe: Expression, maxHamming: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def left: Expression = all
+    override def right: Expression = probe
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("sh_a", LongType, nullable = false),
+      StructField("sh_b", LongType, nullable = false),
+      StructField("hamming", LongType, nullable = false))), containsNull = false)
+
+    override def nullSafeEval(allV: Any, probeV: Any): Any = {
+      val as = allV.asInstanceOf[ArrayData].toLongArray()
+      val ps = probeV.asInstanceOf[ArrayData].toLongArray()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var p = 0
+      while (p < ps.length) {
+        val shp = ps(p)
+        var i = 0
+        while (i < as.length) {
+          val sha = as(i)
+          if (sha > shp) {
+            val h = java.lang.Long.bitCount(shp ^ sha)
+            if (h <= maxHamming) out += InternalRow(shp, sha, h.toLong)
+          }
+          i += 1
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression,
+        r: Expression): Expression = copy(all = l, probe = r)
+  }
+
   /** Fused IVF coarse-assignment kernel: a CHUNK of probe rows packed
     * as array<struct<id,vec>> against ALL centroids packed the same
     * way (one broadcast row); emits (id, cell of the nearest centroid
@@ -1673,9 +1734,14 @@ object NativeExpressions {
 
     private def ensureUnpacked(a: ArrayData): Unit = {
       val n = a.numElements()
-      if (ids != null && ids.length == n && (n == 0 ||
-        (ids(0) == a.getStruct(0, 2).getLong(0) &&
-         ids(n - 1) == a.getStruct(n - 1, 2).getLong(0)))) return
+      // Cache reuse requires FULL id equality: the LSH usage streams
+      // many different packed buckets through one expression instance,
+      // and buckets overlap across tables, so a (length, first, last)
+      // guard can falsely match two different member sets. A given id
+      // carries one vector within a query, so id equality implies
+      // vector equality; the O(n) scan is dim·|probe| cheaper than the
+      // kernel it guards.
+      if (ids != null && ids.length == n && sameIds(ids, a)) return
       val idA = new Array[Long](n)
       val vA = new Array[Array[Double]](n)
       val nA = new Array[Double](n)
@@ -2097,6 +2163,9 @@ object NativeExpressions {
   def pq_encode_block(cents: Column, chunk: Column, m: Int): Column =
     ExpressionUtils.column(PqEncodeBlock(ExpressionUtils.expression(cents),
       ExpressionUtils.expression(chunk), m))
+  def hamming_pairs_block(all: Column, probe: Column, maxHamming: Int): Column =
+    ExpressionUtils.column(HammingPairsBlock(ExpressionUtils.expression(all),
+      ExpressionUtils.expression(probe), maxHamming))
   def near_dup_block(all: Column, chunk: Column, threshold: Double): Column =
     ExpressionUtils.column(NearDupBlock(ExpressionUtils.expression(all),
       ExpressionUtils.expression(chunk), threshold))

@@ -338,19 +338,46 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL)))
         .as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("sh").as("sh_b"))
-    // Hamming-verify BEFORE the pair dedup: short docs make 16-bit
-    // bands correlate, so buckets still join wide. The xor+popcount
-    // filter is a few cycles and pipelines inside the join stage, so
-    // non-near rows die in place; only fingerprint pairs within
+    // Hamming-verify INSIDE a packed kernel, not per join row: short
+    // docs make 16-bit bands correlate, so buckets still join wide —
+    // occupancy² candidates per bucket. Each (band, bucket) packs into
+    // size-bounded array<long> chunk rows (chunk id by xxhash64(sh)
+    // mod the bucket's chunk count, so a mega-bucket's volume spreads
+    // over chunk-pair rows instead of one giant row) and chunk PAIRS
+    // meet in the equi-join; HammingPairsBlock runs the xor+popcount
+    // loop over primitive longs and only fingerprint pairs within
     // maxHamming (collision in >= 1 band is guaranteed for <= 3
-    // differing bits by the pigeonhole) reach the dedup shuffle.
+    // differing bits by the pigeonhole) exist as rows at all. The
+    // kernel's sh_b > sh_a orientation makes per-band output
+    // exact-once; only cross-BAND repeats pay the dedup shuffle.
+    val chunkRows = sigs.sparkSession.conf
+      .getOption("graft.hamming.chunkRows").map(_.toInt).getOrElse(65536)
+    val sizes = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bs"))
+      .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
+      .select("band", "bucket", "__nc")
+    // The explicit repartition pins the kernel's parallelism AND the
+    // join layout: packed rows are tiny in BYTES while the kernel is
+    // occupancy² in them, so AQE's byte-sized coalescing would run the
+    // popcount loops on a few cores (measured: mm_dedup_image 11 → 17 s
+    // at sf10 without this — the same bytes-don't-track-CPU hazard the
+    // exact embedding arm documents). A user repartition is never
+    // AQE-coalesced, and both self-join sides inherit it, so the join
+    // adds no exchange of its own.
+    val par = sigs.sparkSession.sparkContext.defaultParallelism
+    val packed = banded.join(broadcast(sizes), Seq("band", "bucket"))
+      .withColumn("__chunk", pmod(xxhash64(col("sh")), col("__nc")))
+      .groupBy("band", "bucket", "__chunk")
+      .agg(collect_list(col("sh")).as("__shs"))
+      .repartition(par, col("band"), col("bucket"))
+    val a = packed.select(col("band"), col("bucket"), col("__shs").as("__all"))
+    val b = packed.select(col("band"), col("bucket"), col("__shs").as("__probe"))
     val fpPairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("sh_a") < col("sh_b"))
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
-      .filter(col("hamming") <= maxHamming)
-      .select("sh_a", "sh_b", "hamming").dropDuplicates("sh_a", "sh_b")
+      .select(explode(graft.functions.NativeExpressions.hamming_pairs_block(
+        col("__all"), col("__probe"), maxHamming)).as("__hp"))
+      .select(col("__hp.sh_a").as("sh_a"), col("__hp.sh_b").as("sh_b"),
+        col("__hp.hamming").as("hamming"))
+      .dropDuplicates("sh_a", "sh_b")
     // cross-fingerprint doc pairs: every holder of sh_a x every holder
     // of sh_b (a doc has exactly one fingerprint, so each doc pair
     // arises from exactly one fingerprint pair — no dedup needed)

@@ -281,53 +281,75 @@ object Similarity {
     * construction: nPlanes sign bits per bucket (precision), nTables
     * independent plane sets unioned (recall: a pair is a candidate if
     * ANY table buckets it together). Verification is identical exact
-    * cosine, fused INSIDE the bucket join stage (the SimHash lesson):
-    * bucket rows carry their vector — nTables·|corpus| vector rows,
-    * LINEAR in the corpus — and candidate pairs are scored and killed
-    * where the join emits them, so the O(Σbucket²) candidate volume
-    * never reaches a shuffle; only verified near-dups pay the final
-    * distinct. (The previous ids-only-candidates form paid a
-    * candidate-sized distinct plus two re-attach joins — quadratic
-    * shuffle growth under fixed LSH params: 122 s at sf3 vs 11.3 s
-    * for this plan, identical output.) A pair colliding in k tables is
-    * scored k≤nTables times; redundant cosines are in-stage CPU,
-    * cheaper than shuffling the candidate multiset. */
+    * cosine.
+    *
+    * Plan: each (table, bucket) group packs into size-bounded chunk
+    * rows (`graft.neardup.lshChunkRows`, chunk id by xxhash64(id) mod
+    * the bucket's chunk count, so chunk volume is bounded whatever the
+    * bucket skew); the bucket-blocked self equi-join then pairs CHUNK
+    * rows — O((Σbucket/chunk)²) rows, not O(Σbucket²) — and each
+    * chunk pair runs the same fused NearDupBlock primitive kernel as
+    * the exact arm. Candidate pairs therefore never exist as rows
+    * anywhere: no per-candidate join machinery, no per-candidate
+    * expression eval, only surviving near-dups leave the kernel
+    * (row-per-candidate scoring was 353 s vs 244 s for BRUTE FORCE at
+    * sf10 — the prune cost more than no prune; this form keeps the
+    * prune and the kernel). The kernel's `all-id > probe-id`
+    * orientation emits each unordered pair from exactly one of a
+    * chunk pair's two join rows, so per-table output is exact-once;
+    * only cross-TABLE repeats pay the final distinct. The kernel
+    * thresholds raw cosine, so it pre-filters at a 1e-6 slack and the
+    * exact round-then-compare (what the oracle specifies) applies
+    * outside. Ids are cast to long (same contract as the exact arm).
+    *
+    * The optional bucket cap (off by default) drops degenerate
+    * buckets — near-parallel vector mass, adversarial skew —
+    * entirely; the structural answer to candidate growth is parameter
+    * choice: nPlanes should grow ~log₂(n/targetBucket) with corpus
+    * size, nTables recovering recall. */
   def embeddingNearDupPairsLsh(corpus: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, dim: Int,
                                nPlanes: Int = 8, nTables: Int = 4,
                                seed: Int = 42,
                                maxBucketSize: Int = Int.MaxValue): DataFrame = {
-    val vecs = corpus.select(col(idCol),
+    val spark = corpus.sparkSession
+    val chunkRows = spark.conf.getOption("graft.neardup.lshChunkRows")
+      .map(_.toInt).getOrElse(4096)
+    val vecs = corpus.select(col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
-    val allBucketed = vecs
-      .select(col(idCol), col("__v"),
+    val bucketed = vecs
+      .select(col("__id"), col("__v"),
         posexplode(hyperplaneBuckets(col("__v"), dim, nPlanes, nTables, seed))
           .as(Seq("__table", "__bucket")))
-    // Optional bucket cap (off by default): a degenerate bucket —
-    // near-parallel vector mass, adversarial skew — contributes
-    // O(size²) candidate pairs; the cap bounds volume at
-    // n·maxBucketSize per table. It is OPT-IN: the structural answer
-    // to candidate growth is parameter choice — nPlanes should grow
-    // ~log₂(n/targetBucket) with corpus size, nTables recovering
-    // recall.
-    val bucketed =
-      if (maxBucketSize == Int.MaxValue) allBucketed
-      else {
-        val oversized = allBucketed.groupBy("__table", "__bucket")
-          .agg(count(lit(1)).as("__bs")).filter(col("__bs") > maxBucketSize)
-          .select("__table", "__bucket")
-        allBucketed.join(broadcast(oversized), Seq("__table", "__bucket"), "left_anti")
-      }
-    val a = bucketed.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_a"), col("__v").as("va"))
-    val b = bucketed.select(col("__table"), col("__bucket"),
-      col(idCol).as("id_b"), col("__v").as("vb"))
+    // Per-bucket sizes drive both the opt-in cap and the chunk count.
+    // Occupied buckets ≤ nTables·min(2^nPlanes, n): tiny at the
+    // default nPlanes=8 → broadcast; past 2^16 bucket ids the size
+    // table may rival the corpus, so fall back to a shuffle join.
+    val sizes0 = bucketed.groupBy("__table", "__bucket")
+      .agg(count(lit(1)).as("__bs"))
+      .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
+      .select("__table", "__bucket", "__bs", "__nc")
+    val sizes = if (nPlanes <= 16) broadcast(sizes0) else sizes0
+    val chunked = bucketed.join(sizes, Seq("__table", "__bucket"))
+      .filter(col("__bs") <= maxBucketSize)
+      .withColumn("__chunk", pmod(xxhash64(col("__id")), col("__nc")))
+    // Pin the kernel's parallelism and the join layout: packed bytes
+    // grow with |A|+|B| but the kernel with |A|·|B|, so AQE's
+    // byte-sized coalescing under-parallelizes the dot loops (the
+    // hammingPairs64 twin measured this at sf10). A user repartition
+    // is never coalesced, and both self-join sides inherit it.
+    val par = spark.sparkContext.defaultParallelism
+    val packed = chunked.groupBy("__table", "__bucket", "__chunk")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
+      .repartition(par, col("__table"), col("__bucket"))
+    val a = packed.select(col("__table"), col("__bucket"), col("__vs").as("__all"))
+    val b = packed.select(col("__table"), col("__bucket"), col("__vs").as("__probe"))
     a.join(b, Seq("__table", "__bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos_sim",
-        round(graft.functions.NativeExpressions.cosine_sim(col("va"), col("vb")), 6))
+      .select(explode(graft.functions.NativeExpressions.near_dup_block(
+        col("__all"), col("__probe"), threshold - 1e-6)).as("__nd"))
+      .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"),
+        round(col("__nd.cos"), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .select("id_a", "id_b", "cos_sim")
       .distinct()
   }
 

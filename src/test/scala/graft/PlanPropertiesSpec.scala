@@ -388,6 +388,17 @@ class PlanPropertiesSpec extends SparkTestBase {
     assert(expected.size == 100*99/2 + 50*49/2 + 50*49/2 + 20*19/2 +
       100*50 + 50*20, "fixture arithmetic")
     assert(got == expected, s"pair mismatch: ${got.size} vs ${expected.size}")
+
+    // chunking invariance: 1 fingerprint per packed chunk maximizes
+    // chunk-pair fan (cross-chunk, mirrored and self rows all carry
+    // pairs) and must not change the verified pair set
+    try {
+      spark.conf.set("graft.hamming.chunkRows", "1")
+      val rechunked = graft.operators.Dedup.hammingPairs64(sigs, "doc_id", "fp",
+        maxHamming = 3, checkpoint = identity).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rechunked == expected, "chunked hamming banding diverged")
+    } finally spark.conf.unset("graft.hamming.chunkRows")
   }
 
   test("ndjson sink is safe under concurrent writers") {

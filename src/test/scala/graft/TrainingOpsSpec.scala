@@ -411,6 +411,45 @@ class TrainingOpsSpec extends SparkTestBase {
       s"LSH plan must not contain a cross join:\n$plan")
   }
 
+  test("LSH near-dup is invariant to bucket chunking") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "embeddings")
+    def pairs(): Set[(Long, Long, Double)] =
+      Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.35, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneChunk = pairs() // default 4096 rows/chunk: every bucket is one chunk here
+    try {
+      // 7 rows/chunk: every bucket splits into many chunks, so cross-
+      // chunk, same-chunk and mirrored join rows all carry pairs
+      spark.conf.set("graft.neardup.lshChunkRows", "7")
+      val manyChunks = pairs()
+      assert(manyChunks == oneChunk,
+        s"chunked LSH diverged: only-in-one=${(oneChunk diff manyChunks).take(3)} " +
+          s"only-in-many=${(manyChunks diff oneChunk).take(3)}")
+      assert(oneChunk.nonEmpty, "vacuous: sf0.001 must contain LSH near-dups")
+    } finally spark.conf.unset("graft.neardup.lshChunkRows")
+  }
+
+  test("NearDupBlock unpack cache requires full id equality, not first/last") {
+    // Two packed sets agree on (length, first id, last id) but differ in
+    // the middle — exactly the collision two overlapping LSH buckets can
+    // produce. A stale cache would score row 2 against row 1's member 5.
+    val ex = Seq(1.0, 0.0)
+    val ey = Seq(0.0, 1.0)
+    val df = Seq(
+      (Seq((1L, ex), (5L, ex), (9L, ey)), Seq((0L, ex))),
+      (Seq((1L, ex), (7L, ey), (9L, ey)), Seq((0L, ex)))
+    ).toDF("all", "probe").coalesce(1) // one task = one expression instance
+    val out = df.select(explode(graft.functions.NativeExpressions.near_dup_block(
+        col("all"), col("probe"), 0.5)).as("nd"))
+      .select("nd.id_a", "nd.id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // row 1 pairs probe 0 with 1 and 5 (cos 1.0); row 2 only with 1 —
+    // a false cache hit would emit (0,5) twice and never probe id 7.
+    assert(out == Seq((0L, 1L), (0L, 1L), (0L, 5L)), s"got $out")
+  }
+
   test("exact near-dup over-limit arm: blocked cartesian matches broadcast arm, no driver-sized row") {
     val dir = "/root/testdata/sf0.001"
     val e = Tables.load(spark, dir, "embeddings")
