@@ -472,16 +472,42 @@ object Similarity {
     * [[ivfAssign]] output whose 6-rounded cosine clears `threshold` —
     * the candidate-pair generator [[semanticDedup]] filters and graph
     * operators (PageRank over the similarity graph) consume as an edge
-    * list. Pair volume is Σ|cell|², bounded by quantizer granularity. */
+    * list. Pair volume is Σ|cell|², bounded by quantizer granularity.
+    *
+    * Same packed-chunk kernel plan as [[embeddingNearDupPairsLsh]]:
+    * cells pack into size-bounded chunk rows, chunk pairs meet in the
+    * cell equi-join and run the fused NearDupBlock kernel — the
+    * Σ|cell|² candidate volume never exists as rows. A pair lives in
+    * exactly one cell, so no dedup pass is needed; the kernel
+    * pre-filters at raw threshold − 1e-6 and the policy's exact
+    * round-then-compare applies outside. Ids are cast to long (both
+    * production callers use long vector ids). */
   def cellMatePairs(assigned: DataFrame, idCol: String, vecCol: String,
                     threshold: Double): DataFrame = {
-    val a = assigned.select(col("cell"), col(idCol).as("__ida"), col(vecCol).as("__va"))
-    val b = assigned.select(col("cell"), col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val spark = assigned.sparkSession
+    val chunkRows = spark.conf.getOption("graft.neardup.lshChunkRows")
+      .map(_.toInt).getOrElse(4096)
+    val par = spark.sparkContext.defaultParallelism
+    val vecs = assigned.select(col("cell"), col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val sizes = vecs.groupBy("cell").agg(count(lit(1)).as("__bs"))
+      .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
+      .select("cell", "__nc")
+    // Explicit repartition: packed bytes are |A|+|B| but the kernel is
+    // |A|·|B| — AQE byte-coalescing must not serialize the loops (the
+    // hammingPairs64 lesson); both self-join sides inherit the layout.
+    val packed = vecs.join(broadcast(sizes), Seq("cell"))
+      .withColumn("__chunk", pmod(xxhash64(col("__id")), col("__nc")))
+      .groupBy("cell", "__chunk")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
+      .repartition(par, col("cell"))
+    val a = packed.select(col("cell"), col("__vs").as("__all"))
+    val b = packed.select(col("cell"), col("__vs").as("__probe"))
     a.join(b, Seq("cell"))
-      .filter(col("__ida") < col("__idb"))
-      .filter(round(graft.functions.NativeExpressions.cosine_sim(
-        col("__va"), col("__vb")), 6) >= threshold)
-      .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+      .select(explode(graft.functions.NativeExpressions.near_dup_block(
+        col("__all"), col("__probe"), threshold - 1e-6)).as("__nd"))
+      .filter(round(col("__nd.cos"), 6) >= threshold)
+      .select(col("__nd.id_a").as("id_a"), col("__nd.id_b").as("id_b"))
   }
 
   /** kNN label classification over the embedding corpus — the probe

@@ -14,10 +14,13 @@ import org.apache.spark.sql.functions._
   */
 object CurationPack {
 
+  // spreadIfNarrow: see TrainingOps.docs — CPU-dense consumers, and
+  // replicated corpora compress a 100×-scale table into one narrow
+  // file; no-op below the 1 MiB floor (all small-sf test data).
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "documents"))
   private def embs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "embeddings"))
 
   val defs: Seq[QueryDef] = Seq(
 

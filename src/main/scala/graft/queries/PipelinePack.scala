@@ -13,10 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object PipelinePack {
 
+  // spreadIfNarrow: see TrainingOps.docs — CPU-dense consumers, and
+  // replicated corpora compress a 100×-scale table into one narrow
+  // file; no-op below the 1 MiB floor (all small-sf test data).
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "documents"))
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "embeddings")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "embeddings"))
   private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.load(s, dir, "events")
 

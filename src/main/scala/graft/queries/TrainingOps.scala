@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object TrainingOps {
 
+  // spreadIfNarrow: the doc/embedding consumers here are CPU-dense
+  // per-row pipelines (shingling, fingerprints, decode, kernels), and
+  // replicated corpora compress so well that a 100×-scale table can be
+  // one sub-mpb parquet file — a narrow layout serializes every
+  // scan-fused stage (measured: text_fingerprint 35.5 → 3.3 s at sf10).
+  // Below the 1 MiB floor (all small-sf test data) it is a no-op, and
+  // operator-level guards stay safe via the partition-count check.
   private def docs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "documents")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "documents"))
   private def embs(s: org.apache.spark.sql.SparkSession, dir: String) =
-    Tables.load(s, dir, "embeddings")
+    graft.util.ScanParallelism.spreadIfNarrow(Tables.load(s, dir, "embeddings"))
 
   /** The rare-shingle pair graph closed to components — consumed by
     * BOTH dedup_components and dedup_keep_best. Materialized once per

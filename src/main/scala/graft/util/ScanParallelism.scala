@@ -101,6 +101,13 @@ object ScanParallelism {
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .getOrElse(1L << 20)
     if (!totalBytes(df, files).exists(_ >= floor)) return df
+    // Idempotence: guards now sit at BOTH the table-helper level and
+    // inside CPU-dense operators, so the same input can be checked
+    // twice. inputFiles sees through an upstream repartition (it reads
+    // the leaf scans), but the partition count doesn't — if the plan
+    // already delivers >= par partitions here, a second exchange would
+    // only move the text again. Planning cost only; no job runs.
+    if (df.rdd.getNumPartitions >= par) return df
     rowGroupCount(df, par) match {
       case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)
       case _ => df
