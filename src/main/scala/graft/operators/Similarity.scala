@@ -458,8 +458,12 @@ object Similarity {
     */
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, threshold: Double): DataFrame = {
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
-    val dropped = cellMatePairs(assigned, idCol, vecCol, threshold)
+    // Pin once here — the assignment feeds the pair generator AND the
+    // final keep/drop projection; cellMatePairs is told not to re-pin.
+    val assigned = graft.util.Checkpoints.pin(
+      ivfAssign(corpus, idCol, vecCol, centroids))
+    val dropped = cellMatePairs(assigned, idCol, vecCol, threshold,
+      checkpoint = identity)
       .select(col("id_b").as(idCol)).distinct()
       .withColumn("__dropped", lit(true))
     assigned.select(col(idCol), col("cell"))
@@ -481,15 +485,26 @@ object Similarity {
     * exactly one cell, so no dedup pass is needed; the kernel
     * pre-filters at raw threshold − 1e-6 and the policy's exact
     * round-then-compare applies outside. Ids are cast to long (both
-    * production callers use long vector ids). */
+    * production callers use long vector ids).
+    *
+    * The (cell, id, vec) projection is PINNED (same contract as
+    * minhashPairs/hammingPairs64): the packed plan consumes it twice
+    * (cell sizes, pack input), and `assigned` is usually an
+    * [[ivfAssign]] whose fused centroid-scoring pass is the most
+    * expensive thing in the query — without the pin each consumer
+    * re-runs it (measured: dedup_semantic 7.8 → 17.2 s at sf10).
+    * Callers that already pinned pass `checkpoint = identity`. */
   def cellMatePairs(assigned: DataFrame, idCol: String, vecCol: String,
-                    threshold: Double): DataFrame = {
+                    threshold: Double,
+                    checkpoint: DataFrame => DataFrame =
+                      graft.util.Checkpoints.pin(_)): DataFrame = {
     val spark = assigned.sparkSession
     val chunkRows = spark.conf.getOption("graft.neardup.lshChunkRows")
       .map(_.toInt).getOrElse(4096)
     val par = spark.sparkContext.defaultParallelism
-    val vecs = assigned.select(col("cell"), col(idCol).cast("long").as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
+    val vecs = checkpoint(assigned.select(col("cell"),
+      col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v")))
     val sizes = vecs.groupBy("cell").agg(count(lit(1)).as("__bs"))
       .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
       .select("cell", "__nc")
