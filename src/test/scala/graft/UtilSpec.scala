@@ -187,6 +187,12 @@ class UtilSpec extends SparkTestBase {
         "single-row-group layout above the floor must gain a repartition")
       assert(spread.rdd.getNumPartitions == par)
       assert(spread.count() == emb.count(), "spread must not change rows")
+      // idempotence: guards sit at the table helper AND inside CPU-dense
+      // operators — a second guard over an already-spread input must not
+      // stack another exchange (inputFiles still sees the narrow leaf
+      // scan, so only the partition-count precheck can stop it)
+      assert(ScanParallelism.spreadIfNarrow(spread) eq spread,
+        "an already-spread input must not be re-spread")
       // ...and a just-below-floor one must not
       spark.conf.set("graft.spread.minBytes", (embBytes + 1).toString)
       assert(ScanParallelism.spreadIfNarrow(emb) eq emb,
