@@ -361,15 +361,17 @@ object Dedup {
     // occupancy² in them, so AQE's byte-sized coalescing would run the
     // popcount loops on a few cores (measured: mm_dedup_image 11 → 17 s
     // at sf10 without this — the same bytes-don't-track-CPU hazard the
-    // exact embedding arm documents). A user repartition is never
-    // AQE-coalesced, and both self-join sides inherit it, so the join
-    // adds no exchange of its own.
+    // exact embedding arm documents). It sits BEFORE the pack — hash
+    // layout on (band, bucket) satisfies the aggregation's clustering
+    // on (band, bucket, chunk) — so pack, self-join and kernel all run
+    // off ONE exchange of the fingerprint stream (the LSH twin
+    // measured pack-then-repartition doubling cross-JVM serialization).
     val par = sigs.sparkSession.sparkContext.defaultParallelism
     val packed = banded.join(broadcast(sizes), Seq("band", "bucket"))
       .withColumn("__chunk", pmod(xxhash64(col("sh")), col("__nc")))
+      .repartition(par, col("band"), col("bucket"))
       .groupBy("band", "bucket", "__chunk")
       .agg(collect_list(col("sh")).as("__shs"))
-      .repartition(par, col("band"), col("bucket"))
     val a = packed.select(col("band"), col("bucket"), col("__shs").as("__all"))
     val b = packed.select(col("band"), col("bucket"), col("__shs").as("__probe"))
     val fpPairs = a.join(b, Seq("band", "bucket"))

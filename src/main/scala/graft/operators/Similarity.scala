@@ -333,15 +333,23 @@ object Similarity {
     val chunked = bucketed.join(sizes, Seq("__table", "__bucket"))
       .filter(col("__bs") <= maxBucketSize)
       .withColumn("__chunk", pmod(xxhash64(col("__id")), col("__nc")))
-    // Pin the kernel's parallelism and the join layout: packed bytes
-    // grow with |A|+|B| but the kernel with |A|·|B|, so AQE's
-    // byte-sized coalescing under-parallelizes the dot loops (the
-    // hammingPairs64 twin measured this at sf10). A user repartition
-    // is never coalesced, and both self-join sides inherit it.
+    // ONE exchange, placed BEFORE the pack: hash-partitioning by
+    // (table, bucket) satisfies the pack aggregation's clustering
+    // requirement on (table, bucket, chunk) — all of a bucket's chunks
+    // co-locate — so the groupBy adds no exchange of its own and the
+    // self-join inherits the layout from both sides (packing first and
+    // repartitioning after shipped the corpus vectors through TWO
+    // exchanges; cross-JVM that serialization doubled the query —
+    // measured 27.3 vs ~13 s at sf10 on local-cluster[2,16]). The
+    // explicit user repartition also pins the kernel's parallelism:
+    // packed bytes grow with |A|+|B| but the kernel with |A|·|B|, so
+    // AQE's byte-sized coalescing would under-parallelize the dot
+    // loops (measured on the hammingPairs64 twin).
     val par = spark.sparkContext.defaultParallelism
-    val packed = chunked.groupBy("__table", "__bucket", "__chunk")
-      .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
+    val packed = chunked
       .repartition(par, col("__table"), col("__bucket"))
+      .groupBy("__table", "__bucket", "__chunk")
+      .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
     val a = packed.select(col("__table"), col("__bucket"), col("__vs").as("__all"))
     val b = packed.select(col("__table"), col("__bucket"), col("__vs").as("__probe"))
     a.join(b, Seq("__table", "__bucket"))
@@ -508,14 +516,16 @@ object Similarity {
     val sizes = vecs.groupBy("cell").agg(count(lit(1)).as("__bs"))
       .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
       .select("cell", "__nc")
-    // Explicit repartition: packed bytes are |A|+|B| but the kernel is
-    // |A|·|B| — AQE byte-coalescing must not serialize the loops (the
-    // hammingPairs64 lesson); both self-join sides inherit the layout.
+    // Explicit repartition BEFORE the pack (cell layout satisfies the
+    // (cell, chunk) clustering, so pack + self-join run off ONE
+    // exchange — the LSH lesson) and pinning kernel parallelism:
+    // packed bytes are |A|+|B| but the kernel is |A|·|B|, so AQE
+    // byte-coalescing must not serialize the loops.
     val packed = vecs.join(broadcast(sizes), Seq("cell"))
       .withColumn("__chunk", pmod(xxhash64(col("__id")), col("__nc")))
+      .repartition(par, col("cell"))
       .groupBy("cell", "__chunk")
       .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
-      .repartition(par, col("cell"))
     val a = packed.select(col("cell"), col("__vs").as("__all"))
     val b = packed.select(col("cell"), col("__vs").as("__probe"))
     a.join(b, Seq("cell"))

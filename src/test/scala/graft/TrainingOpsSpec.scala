@@ -409,6 +409,33 @@ class TrainingOpsSpec extends SparkTestBase {
       threshold = 0.35, dim = 64).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
       s"LSH plan must not contain a cross join:\n$plan")
+    // Exchange budget of the SCALE-shaped plan (auto-broadcast off, as
+    // stats force at real size; at sf0.001 the packed side broadcasts,
+    // which duplicates the cheap pipeline instead): the vector stream
+    // must cross exactly ONE materialized shuffle — the pinned
+    // pre-pack layout, which the pack aggregation runs on without an
+    // exchange of its own ((table, bucket) hash layout satisfies the
+    // (table, bucket, chunk) clustering) and the self-join consumes
+    // from both sides via runtime stage REUSE. The other two shuffles
+    // are scalar-sized (bucket-size aggregate, final distinct). A 4th
+    // materialized shuffle means the pack or the join stopped reusing
+    // the layout — the shape that doubled the query cross-JVM.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val scaleDf = Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.35, dim = 64)
+      scaleDf.collect()
+      // final adaptive section only — AQE appends an "Initial Plan"
+      // echo whose pre-reuse exchanges must not be counted
+      val fin = scaleDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(fin.contains("ReusedExchange"),
+        s"self-join sides must reuse the pinned pack exchange:\n$fin")
+      val nShuffles = fin.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(nShuffles == 3,
+        s"expected 3 materialized shuffles (sizes agg, pinned pack layout, distinct), got $nShuffles:\n$fin")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
   test("LSH near-dup is invariant to bucket chunking") {
