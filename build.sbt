@@ -39,4 +39,6 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Extra JVM flags for the forked runMain (diagnostics like
+  // -XX:+CITime, GC experiments); space-separated, default none.
+) ++ sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split("\\s+")).filter(_.nonEmpty)

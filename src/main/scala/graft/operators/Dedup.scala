@@ -350,8 +350,31 @@ object Dedup {
     // differing bits by the pigeonhole) exist as rows at all. The
     // kernel's sh_b > sh_a orientation makes per-band output
     // exact-once; only cross-BAND repeats pay the dedup shuffle.
+    // Size-adaptive kernel floor (r17, the spreadIfNarrow 1 MiB-floor
+    // lesson applied to the pack machinery): the packed plan below
+    // wins by an order of magnitude once bucket occupancy grows
+    // (sf10: dedup_simhash 61.7 → 4.7 s), but its fixed machinery —
+    // size table, chunk assignment, pack aggregation, packed
+    // self-join — is pure overhead on tiny inputs where candidate
+    // volume is trivial either way (r16 ledger: dedup_simhash and the
+    // three mm_dedup_* regressed 1.4–1.8× at sf0.1 on machinery
+    // alone). The pin above is EAGER with MEASURED stats
+    // (Checkpoints/Bridge.measuredPinStats), so the route reads true
+    // bytes off the plan with no extra job; a lazy/identity pin's
+    // stripped stats read as huge and take the kernel path — the safe
+    // direction at unknown scale. 256 KiB ≈ 10k fingerprints (24 B
+    // serialized rows): sf0.1 (500 docs, ~12 KB) routes row-form,
+    // sf10 (50k docs, ~1.2 MB) keeps the kernel. Identical output by
+    // construction — both forms emit each qualifying unordered
+    // fingerprint pair exactly once per band and share the dedup +
+    // expansion below.
+    val rowFormMax = sigs.sparkSession.conf
+      .getOption("graft.hamming.rowFormMaxBytes").map(_.toLong).getOrElse(256L << 10)
+    val rowForm = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
+      BigInt(rowFormMax)
     val chunkRows = sigs.sparkSession.conf
       .getOption("graft.hamming.chunkRows").map(_.toInt).getOrElse(65536)
+    def packedFpPairs: DataFrame = {
     val sizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bs"))
       .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
@@ -374,11 +397,27 @@ object Dedup {
       .agg(collect_list(col("sh")).as("__shs"))
     val a = packed.select(col("band"), col("bucket"), col("__shs").as("__all"))
     val b = packed.select(col("band"), col("bucket"), col("__shs").as("__probe"))
-    val fpPairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .select(explode(graft.functions.NativeExpressions.hamming_pairs_block(
         col("__all"), col("__probe"), maxHamming)).as("__hp"))
       .select(col("__hp.sh_a").as("sh_a"), col("__hp.sh_b").as("sh_b"),
         col("__hp.hamming").as("hamming"))
+    }
+    // Row-form verify (the tiny-input route): the xor+popcount filter
+    // is a few cycles and pipelines inside the banded join stage, so
+    // non-near candidate rows die in place — no pack machinery, no
+    // extra aggregations. Only sane while Σoccupancy² stays small;
+    // the stats route above guarantees that.
+    def rowFpPairs: DataFrame = {
+      val a = banded.select(col("band"), col("bucket"), col("sh").as("sh_a"))
+      val b = banded.select(col("band"), col("bucket"), col("sh").as("sh_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("sh_a") < col("sh_b"))
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+        .filter(col("hamming") <= maxHamming)
+        .select("sh_a", "sh_b", "hamming")
+    }
+    val fpPairs = (if (rowForm) rowFpPairs else packedFpPairs)
       .dropDuplicates("sh_a", "sh_b")
     // cross-fingerprint doc pairs: every holder of sh_a x every holder
     // of sh_b (a doc has exactly one fingerprint, so each doc pair
@@ -1106,15 +1145,36 @@ object Dedup {
     val nParts = math.max(1, scala.util.Try(
       incoming.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(incoming.sparkSession.sparkContext.defaultParallelism))
-    val slimPinned = graft.util.Checkpoints.pin(
+    // Size-adaptive layout pin (r17): the explicit __rep repartition +
+    // declared partitioning exist so that a rep-level verdict too big
+    // for the broadcast fallback can fan out over THIS exchange
+    // instead of re-shuffling the batch — a cluster-scale concern. On
+    // a tiny batch the verdict always broadcasts, so the extra
+    // exchange (plus its declaration) is the only cost (r16 ledger:
+    // dedup_incremental 0.93 → 1.30 s at sf0.1 on this alone). Route
+    // on the batch's planner estimate — file-size-derived, no job; an
+    // unknown size reads huge and keeps the layout pin, the safe
+    // direction. 2 MiB: sf0.1 documents ≈ 0.6 MB skips the exchange,
+    // sf10 ≈ 12 MB keeps it. The slim NULL-signature projection stays
+    // in both routes (strictly smaller pin either way); output is
+    // identical — the exchange only places rows.
+    val layoutPinMin = incoming.sparkSession.conf
+      .getOption("graft.incremental.layoutPinMinBytes")
+      .map(_.toLong).getOrElse(2L << 20)
+    val wantLayoutPin = incoming.queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(layoutPinMin)
+    val slim =
       bySignature(minhashSignatures(incoming, idCol, textCol, shingleK, numHashes, seed, useMd5, oph))
         .withColumn("__rep", min(col(idCol)).over(w))
         .select(col(idCol), col("__rep"),
           when(col(idCol) === col("__rep"), col("signature")).as("signature"))
-        .repartition(nParts, col("__rep")))
-    val inSigs = scala.util.Try(
-      org.apache.spark.sql.graft.Bridge.declareHashPartitioning(
-        slimPinned, Seq("__rep"), nParts)).getOrElse(slimPinned)
+    val slimPinned = graft.util.Checkpoints.pin(
+      if (wantLayoutPin) slim.repartition(nParts, col("__rep")) else slim)
+    val inSigs =
+      if (!wantLayoutPin) slimPinned
+      else scala.util.Try(
+        org.apache.spark.sql.graft.Bridge.declareHashPartitioning(
+          slimPinned, Seq("__rep"), nParts)).getOrElse(slimPinned)
     val repSigs = inSigs.filter(col(idCol) === col("__rep"))
       .select(col(idCol), col("signature"))
     val idx = index.bands.select(col("band"), col("bucket"), col("doc").as("__ex"))

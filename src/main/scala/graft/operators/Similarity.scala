@@ -513,6 +513,31 @@ object Similarity {
     val vecs = checkpoint(assigned.select(col("cell"),
       col(idCol).cast("long").as("__id"),
       col(vecCol).cast("array<double>").as("__v")))
+    // Size-adaptive kernel floor (r17, same route as
+    // Dedup.hammingPairs64): the pack machinery (size table, chunk
+    // assignment, pack aggregation) is pure overhead when the whole
+    // assigned corpus is tiny — the cell self-join's Σ|cell|²
+    // candidate volume is then trivial in row form too (r16 ledger:
+    // dedup_semantic 0.61 → 0.88 s at sf0.1 on machinery alone, vs
+    // the kernel's sf10 win). `vecs` is either an eager pin with
+    // MEASURED stats or a projection of the caller's pinned
+    // assignment — both read true bytes off the plan with no job;
+    // anything unmeasured reads huge and keeps the kernel path. 4 MiB
+    // ≈ 8k 64-dim vectors: sf0.1 (500 rows, ~260 KB) routes row-form,
+    // sf10 (50k rows, ~26 MB) keeps the kernel. Identical output —
+    // both forms score every within-cell pair once (id_a < id_b) and
+    // the policy's exact round-then-compare applies in both.
+    val rowFormMax = spark.conf.getOption("graft.neardup.rowFormMaxBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    if (vecs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(rowFormMax)) {
+      val a = vecs.select(col("cell"), col("__id").as("__ida"), col("__v").as("__va"))
+      val b = vecs.select(col("cell"), col("__id").as("__idb"), col("__v").as("__vb"))
+      return a.join(b, Seq("cell"))
+        .filter(col("__ida") < col("__idb"))
+        .filter(round(graft.functions.NativeExpressions.cosine_sim(
+          col("__va"), col("__vb")), 6) >= threshold)
+        .select(col("__ida").as("id_a"), col("__idb").as("id_b"))
+    }
     val sizes = vecs.groupBy("cell").agg(count(lit(1)).as("__bs"))
       .withColumn("__nc", greatest(lit(1L), ceil(col("__bs") / lit(chunkRows))))
       .select("cell", "__nc")

@@ -104,10 +104,25 @@ object ScanParallelism {
     // Idempotence: guards now sit at BOTH the table-helper level and
     // inside CPU-dense operators, so the same input can be checked
     // twice. inputFiles sees through an upstream repartition (it reads
-    // the leaf scans), but the partition count doesn't — if the plan
-    // already delivers >= par partitions here, a second exchange would
-    // only move the text again. Planning cost only; no job runs.
-    if (df.rdd.getNumPartitions >= par) return df
+    // the leaf scans), so detect a prior spread from the LOGICAL plan:
+    // any shuffling repartition/rebalance node above the leaf already
+    // re-distributed the rows (spreads insert repartition(par); pack
+    // helpers repartition(par, key)) and a second exchange would only
+    // move the text again. The previous check here read
+    // df.rdd.getNumPartitions, which under AQE forces
+    // getFinalPhysicalPlan and eagerly SUBMITS every upstream shuffle
+    // stage — a throwaway scan+shuffle job of the corpus at
+    // DataFrame-construction time (ADVICE r16). Plan inspection
+    // answers the same question with zero jobs.
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Repartition, RepartitionByExpression, RebalancePartitions}
+    val alreadySpread = df.queryExecution.analyzed.exists {
+      case r: Repartition => r.shuffle
+      case _: RepartitionByExpression => true
+      case _: RebalancePartitions => true
+      case _ => false
+    }
+    if (alreadySpread) return df
     rowGroupCount(df, par) match {
       case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)
       case _ => df

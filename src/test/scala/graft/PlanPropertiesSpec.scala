@@ -118,6 +118,10 @@ class PlanPropertiesSpec extends SparkTestBase {
     // actually materializes, then assert on it.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // r17: the layout pin is size-adaptive (skipped on tiny batches);
+    // this spec pins the AT-SCALE plan, so force it on. The no-pin
+    // route's output equivalence is covered in TrainingOpsSpec.
+    spark.conf.set("graft.incremental.layoutPinMinBytes", "0")
     try {
       val df = SparkEntry.queries("dedup_incremental")(spark, dir)
       df.collect()
@@ -141,7 +145,10 @@ class PlanPropertiesSpec extends SparkTestBase {
         .filter(l => l.contains("Exchange hashpartitioning(__rep")).toSeq
       assert(repExchanges.size <= 1,
         s"fan-out must reuse the pin's __rep partitioning, found ${repExchanges.size} __rep exchanges:\n$plan")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.unset("graft.incremental.layoutPinMinBytes")
+    }
   }
 
   test("a pin made from an explicit repartition declares its partitioning to later joins") {
@@ -391,14 +398,23 @@ class PlanPropertiesSpec extends SparkTestBase {
 
     // chunking invariance: 1 fingerprint per packed chunk maximizes
     // chunk-pair fan (cross-chunk, mirrored and self rows all carry
-    // pairs) and must not change the verified pair set
+    // pairs) and must not change the verified pair set. The kernel
+    // route is FORCED (rowFormMaxBytes=0) — the r17 size-adaptive
+    // floor would otherwise route this tiny fixture to the row form
+    // and the chunking knob would test nothing; `got` above took the
+    // row form (tiny stats), so this block doubles as the
+    // row-vs-kernel route-equivalence pin.
     try {
       spark.conf.set("graft.hamming.chunkRows", "1")
+      spark.conf.set("graft.hamming.rowFormMaxBytes", "0")
       val rechunked = graft.operators.Dedup.hammingPairs64(sigs, "doc_id", "fp",
         maxHamming = 3, checkpoint = identity).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(rechunked == expected, "chunked hamming banding diverged")
-    } finally spark.conf.unset("graft.hamming.chunkRows")
+    } finally {
+      spark.conf.unset("graft.hamming.chunkRows")
+      spark.conf.unset("graft.hamming.rowFormMaxBytes")
+    }
   }
 
   test("ndjson sink is safe under concurrent writers") {

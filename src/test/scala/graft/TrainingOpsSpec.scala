@@ -254,6 +254,46 @@ class TrainingOpsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1._2 == 4L), "unrelated doc must not pair")
   }
 
+  test("r17 size-adaptive kernel floors: row and kernel routes agree exactly") {
+    val dir = "/root/testdata/sf0.01"
+    // cellMatePairs: a tiny corpus routes the row form by default
+    // (stats under graft.neardup.rowFormMaxBytes); forcing the packed
+    // kernel must yield the identical pair set.
+    val e = Tables.load(spark, dir, "embeddings")
+    val centroids = Similarity.seedCentroids(e, "vec_id", "embedding", 50)
+    val assigned = Similarity.ivfAssign(e, "vec_id", "embedding", centroids)
+    val rowPairs = Similarity.cellMatePairs(assigned, "vec_id", "embedding", 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val kernelPairs =
+      try {
+        spark.conf.set("graft.neardup.rowFormMaxBytes", "0")
+        Similarity.cellMatePairs(assigned, "vec_id", "embedding", 0.2)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.conf.unset("graft.neardup.rowFormMaxBytes")
+    assert(rowPairs.nonEmpty, "fixture must produce cell-mate pairs")
+    assert(rowPairs == kernelPairs,
+      s"cellMatePairs routes diverged: ${rowPairs.size} vs ${kernelPairs.size}")
+
+    // incremental dedup: skipping the __rep layout exchange on a tiny
+    // batch must not change a single verdict.
+    val d = Tables.load(spark, dir, "documents")
+    val bucket = TextFunctions.splitBucket(col("doc_id"))
+    def verdicts(): Set[(Long, Boolean, Long)] =
+      Dedup.minhashIncremental(
+        d.filter(bucket < 80), d.filter(bucket >= 80), "doc_id", "text",
+        useMd5 = true, oph = false)
+        .collect().map(r => (r.getLong(0), r.getBoolean(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val noPin = verdicts() // default floor: tiny batch skips the exchange
+    val withPin =
+      try {
+        spark.conf.set("graft.incremental.layoutPinMinBytes", "0")
+        verdicts()
+      } finally spark.conf.unset("graft.incremental.layoutPinMinBytes")
+    assert(noPin.nonEmpty && noPin == withPin,
+      "incremental layout-pin routes diverged")
+  }
+
   test("IVF top-k achieves high recall against brute force") {
     val dir = "/root/testdata/sf0.01"
     val e = Tables.load(spark, dir, "embeddings")
