@@ -34,6 +34,12 @@ object StatsProbe {
       "doc_id", "text", numHashes = 128, bands = 32, threshold = 0.7,
       useMd5 = true, oph = false)
     st("verdict (full plan)", verdict)
+    // r17 kernel-floor routes read these stats — print what they see.
+    val shPin = graft.util.Checkpoints.pin(
+      d.select(col("doc_id").as("doc"),
+        graft.operators.Dedup.simhash(
+          graft.operators.Dedup.tokens(col("text")), useMd5 = true).as("sh")))
+    st("hamming (doc,sh) pin", shPin)
     spark.stop()
   }
 }
