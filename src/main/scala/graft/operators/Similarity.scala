@@ -346,10 +346,44 @@ object Similarity {
     // AQE's byte-sized coalescing would under-parallelize the dot
     // loops (measured on the hammingPairs64 twin).
     val par = spark.sparkContext.defaultParallelism
-    val packed = chunked
+    val packed0 = chunked
       .repartition(par, col("__table"), col("__bucket"))
       .groupBy("__table", "__bucket", "__chunk")
       .agg(collect_list(struct(col("__id"), col("__v"))).as("__vs"))
+    // Pack ONCE cross-process (r17, deployment-routed like the
+    // BenchSession broadcast threshold). ReusedExchange shares only
+    // the shuffle WRITE: each self-join side still runs its own
+    // shuffle READ and re-runs the pack aggregation inside the join
+    // stage. In ONE JVM that re-read is a page-cache copy and the
+    // repack is cheaper than materializing a GB-sized pin (measured
+    // at sf10, same session: no-pin 34.5 s vs serialized pin 61.4 s /
+    // deserialized pin 55.9 s single-JVM) — so local mode keeps the
+    // r16 shape. Cross-PROCESS the double fetch is the biggest term
+    // of the r16 multi-executor residual (~900 MB fetched twice), and
+    // the pin + truthfully-declared hash layout (taken straight off
+    // the (table, bucket) exchange) lets the self-join consume
+    // executor-local blocks with zero exchange: local-cluster[2,16]
+    // sf10 measured 48.5 s → 44.0 s, the pinned run under the worse
+    // co-tenant load. Deserialized storage: packed rows are
+    // primitive-array payloads (≈2× serialized as objects, not the 6×
+    // of slim edge rows) consumed twice immediately.
+    // `graft.neardup.packPin` overrides the route for A/B and specs;
+    // reliable-checkpoint deployments inherit the usual pin contract.
+    val packPin = spark.conf.getOption("graft.neardup.packPin")
+      .map(_.toBoolean).getOrElse(!spark.sparkContext.isLocal)
+    val packed =
+      if (!packPin) packed0
+      else {
+        // Serialized pin storage (the Checkpoints default): on
+        // EXECUTOR-sized heaps the deserialized form contends with
+        // execution memory during the kernel join — measured at
+        // local-cluster[2,16] sf10: pin-deserialized 104.8/107.0 s vs
+        // pin-serialized 44.0 s vs no-pin 48.5/57.0 s.
+        val pinned = graft.util.Checkpoints.pin(packed0)
+        scala.util.Try(
+          org.apache.spark.sql.graft.Bridge.declareHashPartitioning(
+            pinned, Seq("__table", "__bucket"), par)).getOrElse(pinned)
+      }
     val a = packed.select(col("__table"), col("__bucket"), col("__vs").as("__all"))
     val b = packed.select(col("__table"), col("__bucket"), col("__vs").as("__probe"))
     a.join(b, Seq("__table", "__bucket"))

@@ -48,6 +48,10 @@ object ChaosProbe {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val master = if (args.length > 1) args(1) else "local-cluster[2,8,4096]"
     val delayMs = if (args.length > 2) args(2).toLong else 6000L
+    // r17: the r9 certification predates the packed block kernels —
+    // "lsh" (NearDupBlock + the multi-executor pack pin) and "simhash"
+    // (HammingPairsBlock) probe those plans' pins under executor loss.
+    val qname = if (args.length > 3) args(3) else "minhash"
     val ckDir = java.nio.file.Files.createTempDirectory("graft-chaos-ck-").toString
     val spark = SparkSession.builder()
       .master(master)
@@ -67,13 +71,22 @@ object ChaosProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def query(): DataFrame = {
-      val d = graft.Tables.load(spark, sfDir, "documents")
-      // md5 hash family: the deliberately-slow replicable kernel, so the
-      // chaos run stays in flight long enough for mid-run kills
-      graft.operators.Dedup.minhashDedup(d, "doc_id", "text",
-        useMd5 = true, oph = false,
-        checkpoint = df => graft.util.Checkpoints.pin(df)) // eager reliable pin
+    def query(): DataFrame = qname match {
+      case "lsh" =>
+        val e = graft.Tables.load(spark, sfDir, "embeddings")
+        graft.operators.Similarity.embeddingNearDupPairsLsh(
+          e, "vec_id", "embedding", threshold = 0.35, dim = 64)
+      case "simhash" =>
+        val d = graft.Tables.load(spark, sfDir, "documents")
+        graft.operators.Dedup.simhashPairs(d, "doc_id", "text",
+          maxHamming = 3, useMd5 = true)
+      case _ =>
+        val d = graft.Tables.load(spark, sfDir, "documents")
+        // md5 hash family: the deliberately-slow replicable kernel, so the
+        // chaos run stays in flight long enough for mid-run kills
+        graft.operators.Dedup.minhashDedup(d, "doc_id", "text",
+          useMd5 = true, oph = false,
+          checkpoint = df => graft.util.Checkpoints.pin(df)) // eager reliable pin
     }
 
     val baseline = fingerprint(query())

@@ -475,7 +475,32 @@ class TrainingOpsSpec extends SparkTestBase {
         l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
       assert(nShuffles == 3,
         s"expected 3 materialized shuffles (sizes agg, pinned pack layout, distinct), got $nShuffles:\n$fin")
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+      // r17 multi-executor route (forced via conf here — the default
+      // engages off-local, where each join side would otherwise FETCH
+      // the packed vectors cross-process and re-run the pack): the
+      // pack is pinned once, its hash layout declared, and the
+      // self-join consumes pinned blocks with zero exchange — the
+      // only materialized shuffle left in the visible plan is the
+      // final distinct. Output must be identical to the local shape.
+      val baseline = scaleDf.collect().map(_.toSeq).toSet
+      spark.conf.set("graft.neardup.packPin", "true")
+      val pinDf = Similarity.embeddingNearDupPairsLsh(e, "vec_id", "embedding",
+        threshold = 0.35, dim = 64)
+      val got = pinDf.collect().map(_.toSeq).toSet
+      val finPin = pinDf.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(finPin.contains("ExistingRDD"),
+        s"pinned route must scan the pack pin:\n$finPin")
+      val nShufflesPin = finPin.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+      assert(nShufflesPin == 1,
+        s"pinned route: expected 1 materialized shuffle (final distinct), got $nShufflesPin:\n$finPin")
+      assert(got == baseline, "packPin route changed the pair set")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("graft.neardup.packPin")
+    }
   }
 
   test("LSH near-dup is invariant to bucket chunking") {
