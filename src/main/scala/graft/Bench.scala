@@ -161,7 +161,7 @@ object Bench {
     // bimodal 5–10× per-query CPU "wobble" BENCH_LOCAL has had to
     // adjudicate since r11 (same code, mm_decode_video 1.2 vs
     // 12.0 CPU-s across runs). Poll the CompilationMXBean until
-    // compile time stops advancing (≤3 s cap, unmeasured inter-query
+    // compile time stops advancing (≤15 s cap, unmeasured inter-query
     // time); SPARK_GRAFT_NOJITWAIT=1 restores the old protocol for
     // A/B. Steady-state wall/CPU of the PLAN is unchanged — this only
     // stops compiler-thread CPU from being misattributed to queries.
@@ -213,7 +213,25 @@ object Bench {
     val bySpec = Seq("dedup_embedding", "dedup_ngram_jaccard")
       .filter(names.contains)
     val bySpecJson = bySpec.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpu_sec":$cpuTotal%.3f,"cpu_queries":$cpuQs,"load_start":$loadStart%.2f,"load_queries":$loadQs,"by_spec_baseline":$bySpecJson}"""
+    // Stamp the file artifact with the code it was built from (VERDICT
+    // r17 task 2): r17's committed BENCH_FULL.json turned out to be a
+    // pre-change baseline run, indistinguishable after the fact. The
+    // SHA (plus a -dirty marker for uncommitted edits) makes a
+    // baseline/probe run unable to masquerade as the round artifact.
+    // Advisory only — never fails the bench (git may be absent).
+    val gitSha = scala.util.Try {
+      def git(args: String*): String = {
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (p.waitFor() != 0) throw new RuntimeException(out)
+        out
+      }
+      val sha = git("rev-parse", "--short", "HEAD")
+      if (git("status", "--porcelain").nonEmpty) sha + "-dirty" else sha
+    }.getOrElse("unknown")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpu_sec":$cpuTotal%.3f,"cpu_queries":$cpuQs,"load_start":$loadStart%.2f,"load_queries":$loadQs,"by_spec_baseline":$bySpecJson,"git_sha":"$gitSha"}"""
     // The driver keeps only the LAST 2000 chars of stdout, so the
     // full 171-query map (~4 KB before the cpu/load diagnostics) can
     // NEVER parse from its capture — every BENCH_r* artifact through

@@ -360,20 +360,29 @@ object Dedup {
     // three mm_dedup_* regressed 1.4–1.8× at sf0.1 on machinery
     // alone). The pin above is EAGER with MEASURED stats
     // (Checkpoints/Bridge.measuredPinStats), so the route reads true
-    // bytes off the plan with no extra job; a lazy/identity pin's
-    // stripped stats read as huge and take the kernel path — the safe
-    // direction at unknown scale. 256 KiB ≈ 10k fingerprints (24 B
+    // bytes off the plan with no extra job; a lazy pin's stripped
+    // stats read as huge and take the kernel path — the safe
+    // direction at unknown scale. CAVEAT (ADVICE r17): an IDENTITY
+    // checkpoint instead inherits the origin's compressed-file
+    // estimate, which undercounts in-memory size 10–100× on text
+    // data and could route a moderate-scale corpus to the row form's
+    // occupancy² candidate explosion — a perf cliff, not a
+    // correctness risk (outputs identical). No production caller
+    // passes identity today; one that does should pass
+    // checkpoint = Checkpoints.pin. 256 KiB ≈ 10k fingerprints (24 B
     // serialized rows): sf0.1 (500 docs, ~12 KB) routes row-form,
     // sf10 (50k docs, ~1.2 MB) keeps the kernel. Identical output by
     // construction — both forms emit each qualifying unordered
     // fingerprint pair exactly once per band and share the dedup +
     // expansion below.
     val rowFormMax = sigs.sparkSession.conf
-      .getOption("graft.hamming.rowFormMaxBytes").map(_.toLong).getOrElse(256L << 10)
+      .getOption("graft.hamming.rowFormMaxBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(256L << 10)
     val rowForm = docs.queryExecution.optimizedPlan.stats.sizeInBytes <=
       BigInt(rowFormMax)
     val chunkRows = sigs.sparkSession.conf
-      .getOption("graft.hamming.chunkRows").map(_.toInt).getOrElse(65536)
+      .getOption("graft.hamming.chunkRows")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(65536)
     def packedFpPairs: DataFrame = {
     val sizes = banded.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bs"))
@@ -1160,7 +1169,7 @@ object Dedup {
     // identical — the exchange only places rows.
     val layoutPinMin = incoming.sparkSession.conf
       .getOption("graft.incremental.layoutPinMinBytes")
-      .map(_.toLong).getOrElse(2L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(2L << 20)
     val wantLayoutPin = incoming.queryExecution.optimizedPlan.stats.sizeInBytes >
       BigInt(layoutPinMin)
     val slim =

@@ -249,12 +249,19 @@ object ScalableWindow {
     *     ever sorts more than |rows|/numPartitions.
     */
   def analyticRankQuery(lineitem: DataFrame,
-                        singleTaskSortLimitBytes: Long): DataFrame = {
+                        singleTaskSortLimitBytes: Long,
+                        orderIsUnique: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = lineitem.select(
       "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    // Threshold overridable for measurement (A/B at any SF without a
+    // recompile); malformed values fall back to the caller's limit.
+    val limit = lineitem.sparkSession.conf
+      .getOption("graft.window.analyticSortLimitBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(singleTaskSortLimitBytes)
     val big = base.queryExecution.optimizedPlan.stats.sizeInBytes >
-      BigInt(singleTaskSortLimitBytes)
+      BigInt(limit)
     if (!big) {
       val order = Seq(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
       val w = Window.partitionBy("l_returnflag").orderBy(order: _*)
@@ -271,15 +278,32 @@ object ScalableWindow {
       val fullKey = Seq("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
       val rn = groupRowNumber(base, Seq("l_returnflag"),
         Seq("l_quantity", "l_orderkey", "l_linenumber"), "__rn", par)
-      val peers = rn.groupBy(fullKey.map(col): _*)
-        .agg(min("__rn").as("__rank"), max("__rn").as("__cume_rn"))
+      // Peer recovery (rank = min rn over full-key ties, cume rows =
+      // max rn) costs a full-data aggregation plus a full-data
+      // self-join on the 4-part key — two of this arm's four big
+      // exchanges. When the caller KNOWS the order key is unique per
+      // group (q_window_analytic orders by (l_quantity, l_orderkey,
+      // l_linenumber), and (l_orderkey, l_linenumber) is the lineitem
+      // primary key), every peer group is a singleton — rank ≡ rn ≡
+      // cume rows — so both operations are identities and are skipped
+      // (r18, guide §2.4: remove shuffles outright). The tied-corpus
+      // equivalence spec pins the general arm; a unique-order spec
+      // pins this one.
+      val peered =
+        if (orderIsUnique)
+          rn.withColumn("__rank", col("__rn")).withColumn("__cume_rn", col("__rn"))
+        else {
+          val peers = rn.groupBy(fullKey.map(col): _*)
+            .agg(min("__rn").as("__rank"), max("__rn").as("__cume_rn"))
+          rn.join(peers, fullKey)
+        }
       val orderKey = struct(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
       val stats = base.groupBy("l_returnflag").agg(
         count(lit(1)).as("__n"),
         max_by(col("l_quantity"), orderKey).as("__max_qty"))
       val second = rn.filter(col("__rn") === 2)
         .select(col("l_returnflag"), col("l_quantity").as("__q2"))
-      rn.join(peers, fullKey)
+      peered
         .join(broadcast(stats), Seq("l_returnflag"))
         .join(broadcast(second), Seq("l_returnflag"), "left_outer")
         .select(

@@ -370,7 +370,8 @@ object Similarity {
     // `graft.neardup.packPin` overrides the route for A/B and specs;
     // reliable-checkpoint deployments inherit the usual pin contract.
     val packPin = spark.conf.getOption("graft.neardup.packPin")
-      .map(_.toBoolean).getOrElse(!spark.sparkContext.isLocal)
+      .flatMap(v => scala.util.Try(v.trim.toBoolean).toOption)
+      .getOrElse(!spark.sparkContext.isLocal)
     val packed =
       if (!packPin) packed0
       else {
@@ -562,7 +563,7 @@ object Similarity {
     // both forms score every within-cell pair once (id_a < id_b) and
     // the policy's exact round-then-compare applies in both.
     val rowFormMax = spark.conf.getOption("graft.neardup.rowFormMaxBytes")
-      .map(_.toLong).getOrElse(4L << 20)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(4L << 20)
     if (vecs.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(rowFormMax)) {
       val a = vecs.select(col("cell"), col("__id").as("__ida"), col("__v").as("__va"))
       val b = vecs.select(col("cell"), col("__id").as("__idb"), col("__v").as("__vb"))

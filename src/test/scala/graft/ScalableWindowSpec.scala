@@ -220,4 +220,27 @@ class ScalableWindowSpec extends SparkTestBase {
       assert(distributed.count() == df.count())
     } finally df.unpersist()
   }
+
+  test("unique-order fast path (orderIsUnique) equals the window operator") {
+    // Unique (l_orderkey, l_linenumber) per row — the lineitem-PK
+    // precondition under which the big arm may skip peer recovery
+    // (rank ≡ rn ≡ cume rows). Equivalence against the plain window
+    // pins that skipping the peers aggregation + self-join changes
+    // nothing when the precondition holds.
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 5000).map { i =>
+      ("F" + (i % 3), (rnd.nextInt(40) + 1).toDouble, (i / 7).toLong, (i % 7).toLong)
+    }
+    val df = rows.toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+      .repartition(8).cache()
+    try {
+      val viaWindow = ScalableWindow.analyticRankQuery(df, Long.MaxValue)
+      val fast = ScalableWindow.analyticRankQuery(df, 0L, orderIsUnique = true)
+      assert(viaWindow.exceptAll(fast).isEmpty &&
+        fast.exceptAll(viaWindow).isEmpty,
+        "unique-order fast path must produce the identical multiset")
+      assert(fast.count() == df.count())
+    } finally df.unpersist()
+  }
 }
